@@ -1,0 +1,102 @@
+"""The fused per-block render graph — the engine's "forward pass".
+
+One jitted function replaces the reference's ~30 cooperating JACK clients
+(SURVEY.md §2 "Distributed communication backend"): voice rendering
+(SamplerSynthVoice), additive channel mixdown (the JACK port graph), the
+passthrough strip fabric (JackPassthrough), and metering (AudioLevels scans)
+all execute as one XLA program per audio block.
+
+Dataflow:
+    sound_data [N,2] HBM  ─┐
+    VoiceProgram [V,...]  ─┼─> render_voices ─> lane mix [12,B,2] ─> Σ master
+    StripParams [11,...]  ─┘        │                  │
+                              voice_peaks [V]    channel strips 1..10
+                                                 global strip on master
+                                                 peaks (free reductions)
+
+Everything is static-shaped: voice count, block size and strip count are
+compile-time constants; per-block variation is carried entirely in array
+*values* (active masks, segment tables), so the graph compiles once.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, NamedTuple
+
+import numpy as np
+
+from ..constants import DEFAULT_BLOCK_FRAMES, NUM_SAMPLER_CHANNELS
+from ..ops import meters as meter_ops
+from ..ops import mixer as mixer_ops
+from ..ops import voice as voice_ops
+
+NUM_STRIPS = 11  # GlobalPlayback + FXPassthrough-Channel1..10 (MidiRouter.cpp:876-883)
+# Lane layout reminder (constants.channel_to_lane): 0 = global uneffected,
+# 1 = global effected, 2..11 = sketchpad channels 1..10.
+FIRST_CHANNEL_LANE = 2
+
+
+class RenderOutputs(NamedTuple):
+    master: Any        # [B, 2] final mix (global strip dry output)
+    lane_mix: Any      # [12, B, 2] raw per-sampler-channel sums
+    strip_dry: Any     # [11, B, 2] strip dry sends (0=global, 1..10=channels)
+    strip_wet1: Any    # [11, B, 2]
+    strip_wet2: Any    # [11, B, 2]
+    lane_peaks: Any    # [12, 2] per-lane abs peaks
+    master_peak: Any   # [2]
+    voice_peaks: Any   # [V] reference peak metric: max(l+r, 0)
+
+
+def render_block_math(
+    xp,
+    sound_data,
+    prog: voice_ops.VoiceProgram,
+    strips: mixer_ops.StripParams,
+    block_frames: int,
+    quirk_gain: bool = False,
+) -> RenderOutputs:
+    """Backend-generic render math (numpy golden mirror + jax device path)."""
+    lane_mix, voice_peaks = voice_ops.render_voices(
+        xp, sound_data, prog, block_frames, quirk_gain=quirk_gain
+    )
+    master_raw = lane_mix.sum(axis=0)  # the JACK system:playback additive sum
+
+    # Channel strips act on sketchpad-channel lanes 2..11; the global strip
+    # acts on the summed master. Stack them so one op applies all 11.
+    strip_in = xp.concatenate(
+        [master_raw[None], lane_mix[FIRST_CHANNEL_LANE:]], axis=0
+    )
+    dry, wet1, wet2 = mixer_ops.apply_strips(xp, strip_in, strips)
+    master = dry[0]
+
+    lane_peaks = meter_ops.block_peaks(xp, lane_mix)
+    master_peak = meter_ops.block_peaks(xp, master)
+    return RenderOutputs(
+        master=master,
+        lane_mix=lane_mix,
+        strip_dry=dry,
+        strip_wet1=wet1,
+        strip_wet2=wet2,
+        lane_peaks=lane_peaks,
+        master_peak=master_peak,
+        voice_peaks=voice_peaks,
+    )
+
+
+@functools.partial(
+    __import__("jax").jit,
+    static_argnames=("block_frames", "quirk_gain"),
+)
+def render_block_jit(
+    sound_data,
+    prog: voice_ops.VoiceProgram,
+    strips: mixer_ops.StripParams,
+    block_frames: int = DEFAULT_BLOCK_FRAMES,
+    quirk_gain: bool = False,
+) -> RenderOutputs:
+    import jax.numpy as jnp
+
+    return render_block_math(
+        jnp, sound_data, prog, strips, block_frames, quirk_gain=quirk_gain
+    )

@@ -1,0 +1,134 @@
+"""Device-resident sample memory (the SamplerSynthSound equivalent).
+
+The reference keeps one decoded juce::AudioBuffer per clip
+(lib/SamplerSynthSound.cpp:28-59, preferring a memory-mapped reader) and the
+voice loop reads it with raw pointers. The TPU build packs every loaded sound
+into ONE flat float32 array `data[total_len, 2]` resident in HBM; each sound
+is a slot with a base offset. Voices address samples as `base + position`, so
+the render kernel does a single gather into one array regardless of how many
+sounds are loaded — no per-sound control flow, no recompiles when sounds are
+added (capacity is pre-allocated; growth doubles capacity and recompiles at
+most O(log n) times).
+
+Mono sources are duplicated to stereo on load: the reference computes the
+right channel of mono material from the identical expression as the left
+(lib/SamplerSynthVoice.cpp:205), so duplication is exact.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from ..io.wav import AudioData, to_stereo
+
+
+@dataclasses.dataclass
+class SoundSlot:
+    """Host-side metadata for one loaded sound."""
+
+    slot: int
+    base: int           # first frame index in the flat array
+    length: int         # frames
+    sample_rate: float
+    padded_length: int  # frames reserved (>= length + guard)
+
+
+# One guard frame past the end so `pos+1` of the final valid fetch index is
+# in-bounds without branching (the kernel masks `pos < length-1` anyway).
+_GUARD_FRAMES = 8
+
+
+class SoundBank:
+    """Packs sounds into one flat [N, 2] float32 buffer + slot table."""
+
+    def __init__(self, capacity_frames: int = 1 << 22):
+        self._data = np.zeros((capacity_frames, 2), dtype=np.float32)
+        self._used = 0
+        self._slots: list[SoundSlot] = []
+        self._free: list[int] = []  # recycled slot ids
+        self.version = 0            # bumped on every mutation
+
+    @property
+    def data(self) -> np.ndarray:
+        """The flat sample array [capacity, 2]; upload to device as-is."""
+        return self._data
+
+    @property
+    def capacity_frames(self) -> int:
+        return self._data.shape[0]
+
+    def slot(self, slot_id: int) -> SoundSlot:
+        return self._slots[slot_id]
+
+    def load(self, audio: AudioData) -> SoundSlot:
+        """Add a decoded sound; returns its slot."""
+        samples = to_stereo(np.asarray(audio.samples, dtype=np.float32))
+        length = samples.shape[0]
+        padded = length + _GUARD_FRAMES
+        if self._used + padded > self.capacity_frames:
+            self._grow(self._used + padded)
+        base = self._used
+        self._data[base : base + length] = samples
+        self._data[base + length : base + padded] = 0.0
+        self._used += padded
+        if self._free:
+            slot_id = self._free.pop()
+        else:
+            slot_id = len(self._slots)
+            self._slots.append(None)  # type: ignore[arg-type]
+        s = SoundSlot(
+            slot=slot_id,
+            base=base,
+            length=length,
+            sample_rate=float(audio.sample_rate),
+            padded_length=padded,
+        )
+        self._slots[slot_id] = s
+        self.version += 1
+        return s
+
+    def replace(self, slot_id: int, audio: AudioData) -> SoundSlot:
+        """Replace a slot's audio (the reference reloads on
+        playbackFileChanged, lib/SamplerSynthSound.cpp:68). Reuses the region
+        when the new sound fits, else appends a new region."""
+        old = self._slots[slot_id]
+        samples = to_stereo(np.asarray(audio.samples, dtype=np.float32))
+        length = samples.shape[0]
+        if old is not None and length + _GUARD_FRAMES <= old.padded_length:
+            base, padded = old.base, old.padded_length
+            self._data[base : base + length] = samples
+            self._data[base + length : base + padded] = 0.0
+        else:
+            padded = length + _GUARD_FRAMES
+            if self._used + padded > self.capacity_frames:
+                self._grow(self._used + padded)
+            base = self._used
+            self._data[base : base + length] = samples
+            self._used += padded
+        s = SoundSlot(
+            slot=slot_id,
+            base=base,
+            length=length,
+            sample_rate=float(audio.sample_rate),
+            padded_length=padded,
+        )
+        self._slots[slot_id] = s
+        self.version += 1
+        return s
+
+    def unload(self, slot_id: int) -> None:
+        """Release a slot id (region is not compacted; ids are recycled)."""
+        self._slots[slot_id] = None  # type: ignore[assignment]
+        self._free.append(slot_id)
+        self.version += 1
+
+    def _grow(self, min_frames: int) -> None:
+        new_cap = self.capacity_frames
+        while new_cap < min_frames:
+            new_cap *= 2
+        grown = np.zeros((new_cap, 2), dtype=np.float32)
+        grown[: self._used] = self._data[: self._used]
+        self._data = grown
+        self.version += 1

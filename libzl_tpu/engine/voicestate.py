@@ -1,0 +1,516 @@
+"""Host-side voice state machine and per-block program builder.
+
+The reference mutates voice state *inside* the render callback
+(lib/SamplerSynthVoice.cpp:174-270: position advance, loop wraps, ADSR
+transitions, auto-release, hard stops). On TPU the render must be a pure
+function, so all control flow moves HERE, to the host, at block granularity:
+
+- The pool holds every per-voice quantity in numpy struct-of-arrays
+  (float64/int64 for time and position bookkeeping, f32/int32 mirrors of
+  exactly what the device consumes).
+- `build_program()` converts the state into a `VoiceProgram` for one block:
+  piecewise position segments (loop wraps precomputed in float64 — the analog
+  of the reference's nextLoopUsecs arithmetic, lib/SamplerSynthVoice.cpp:179-181,
+  225-247), envelope programs, release triggers and hard-stop frames.
+- `advance()` moves the state past the block using THE SAME closed-form
+  formulas the device kernel evaluates (int32 + f32 fractional positions), so
+  host and device can never diverge: the host is authoritative and re-anchors
+  the device every block.
+
+Rules reproduced from the reference (each cited):
+- pitchRatio = 2^((note-root)/12) * srcRate / outRate (SamplerSynthVoice.cpp:115)
+- start position = int(startPositionSeconds * srcRate) (":121", truncated)
+- beat-quantized looping when the clip length is a whole number of beats;
+  wraps at musical-clock boundaries, not sample counts (":225-242")
+- positional looping otherwise: wrap to slice start when position passes the
+  stop position (":243-247")
+- non-looping: hard stop at stop position, auto-release (exponential, see
+  ops/adsr.py) starting release-time before the end (":248-257")
+- ADSR death stops the voice one frame after the envelope reaches zero (":258-261")
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from ..constants import MAX_SEGMENTS_PER_BLOCK
+from ..ops import adsr as adsr_ops
+from ..ops.voice import VoiceProgram, empty_program
+
+_BIG = np.int32(1 << 30)
+
+
+def pitch_ratio(midi_note: int, root_note: int, source_rate: float,
+                output_rate: float) -> float:
+    """lib/SamplerSynthVoice.cpp:115-116."""
+    return (2.0 ** ((midi_note - root_note) / 12.0)) * source_rate / output_rate
+
+
+@dataclasses.dataclass
+class VoicePool:
+    """Struct-of-arrays state for V voices."""
+
+    num_voices: int
+    block_frames: int
+    output_rate: float
+
+    def __post_init__(self):
+        V = self.num_voices
+        zi = lambda dt=np.int64: np.zeros(V, dt)  # noqa: E731
+        zf = lambda dt=np.float64: np.zeros(V, dt)  # noqa: E731
+        self.active = np.zeros(V, bool)
+        # command identity for equivalentTo matching (ClipCommand.h:33-39)
+        self.clip_id = np.full(V, -1, np.int64)
+        self.midi_note = zi(np.int32)
+        self.midi_channel = zi(np.int32)
+        self.has_slice = np.zeros(V, bool)
+        self.slice_idx = np.full(V, -1, np.int32)
+        # sound addressing
+        self.base = zi(np.int32)
+        self.length = zi(np.int32)
+        self.source_rate = zf()
+        # playback
+        self.pos_int = zi()                    # fetch position, whole samples
+        self.pos_frac = np.zeros(V, np.float32)
+        self.rate_int = zi(np.int32)
+        self.rate_frac = np.zeros(V, np.float32)
+        self.istart = zi()                     # loop/slice start (samples, int)
+        self.stop = zi()                       # stop position (samples, int)
+        self.looping = np.zeros(V, bool)
+        self.beat_quantized = np.zeros(V, bool)
+        self.loop_len_ticks = zi()             # beat-quantized loop span
+        self.next_loop_tick = zi()             # absolute tick of next wrap
+        self.gain = np.zeros(V, np.float32)    # velocity/volume
+        self.clip_volume = np.ones(V, np.float32)
+        self.pan = np.zeros(V, np.float32)
+        self.lane = zi(np.int32)
+        # envelope state (see ops/adsr.py)
+        self.stage = zi(np.int32)
+        self.env = np.zeros(V, np.float32)
+        self.a_rate = np.zeros(V, np.float32)
+        self.d_rate = np.zeros(V, np.float32)
+        self.sustain = np.ones(V, np.float32)
+        self.rel_rate = np.zeros(V, np.float32)
+        self.inv_rel = np.zeros(V, np.float32)
+        self.rel_log2 = np.zeros(V, np.float32)
+        self.rel_mode = zi(np.int32)
+        self.release_sec = np.zeros(V, np.float32)
+        # per-block pending events (frame offsets within the coming block)
+        self.pending_start = np.full(V, -1, np.int64)   # -1: not starting
+        self.pending_release = np.full(V, _BIG, np.int64)
+        # bookkeeping for the positions model (ClipAudioSourcePositionsModel)
+        self.position_id = np.full(V, -1, np.int64)
+        self._next_position_id = 0
+
+    # ------------------------------------------------------------------ events
+
+    def idle_voices(self) -> np.ndarray:
+        return np.flatnonzero(~self.active)
+
+    def note_on(
+        self,
+        voice: int,
+        *,
+        clip_id: int,
+        midi_note: int,
+        midi_channel: int,
+        lane: int,
+        base: int,
+        length: int,
+        source_rate: float,
+        root_note: int,
+        start_sec: float,
+        stop_sec: float,
+        gain: float,
+        clip_volume: float,
+        pan: float,
+        attack: float,
+        decay: float,
+        sustain: float,
+        release: float,
+        looping: bool,
+        length_beats: float,
+        start_tick: int,
+        slice_idx: int = -1,
+        has_slice: bool = False,
+        frame_offset: int = 0,
+    ) -> None:
+        """Claim `voice` and start a note (startNote semantics,
+        lib/SamplerSynthVoice.cpp:110-144)."""
+        v = voice
+        self.active[v] = True
+        self.clip_id[v] = clip_id
+        self.midi_note[v] = midi_note
+        self.midi_channel[v] = midi_channel
+        self.has_slice[v] = has_slice
+        self.slice_idx[v] = slice_idx
+        self.base[v] = base
+        self.length[v] = length
+        self.source_rate[v] = source_rate
+
+        ratio = pitch_ratio(midi_note, root_note, source_rate, self.output_rate)
+        self.rate_int[v] = int(ratio)
+        self.rate_frac[v] = np.float32(ratio - int(ratio))
+        self.istart[v] = int(start_sec * source_rate)
+        self.stop[v] = int(stop_sec * source_rate)
+        self.pos_int[v] = self.istart[v]
+        self.pos_frac[v] = 0.0
+        self.looping[v] = looping
+        # "clean multiple of a number of beats" rule (SamplerSynthVoice.cpp:227)
+        self.beat_quantized[v] = float(length_beats) == float(int(length_beats))
+        from ..constants import BEAT_SUBDIVISIONS
+
+        ticks = int(length_beats * BEAT_SUBDIVISIONS)
+        self.loop_len_ticks[v] = max(ticks, 1)
+        self.next_loop_tick[v] = start_tick + ticks
+
+        self.gain[v] = gain
+        self.clip_volume[v] = clip_volume
+        self.pan[v] = pan
+        self.lane[v] = lane
+
+        rates = adsr_ops.make_rates(attack, decay, sustain, release, source_rate)
+        stage, env = adsr_ops.note_on_stage(attack, decay, sustain)
+        self.stage[v] = stage
+        self.env[v] = env
+        self.a_rate[v] = rates["a_rate"]
+        self.d_rate[v] = rates["d_rate"]
+        self.sustain[v] = rates["sustain"]
+        self.inv_rel[v] = rates["inv_rel"]
+        self.rel_log2[v] = rates["rel_log2"]
+        self.rel_rate[v] = 0.0
+        self.rel_mode[v] = adsr_ops.RELEASE_MODE_LINEAR
+        self.release_sec[v] = release
+
+        self.pending_start[v] = frame_offset
+        self.pending_release[v] = _BIG
+        self.position_id[v] = self._next_position_id
+        self._next_position_id += 1
+
+    def note_off(self, voice: int, tail: bool = True, frame_offset: int = 0) -> None:
+        """stopNote semantics (lib/SamplerSynthVoice.cpp:146-169)."""
+        if tail:
+            self.pending_release[voice] = min(
+                self.pending_release[voice], frame_offset
+            )
+        else:
+            self.kill(voice)
+
+    def kill(self, voice: int) -> None:
+        self.active[voice] = False
+        self.position_id[voice] = -1
+        self.clip_id[voice] = -1
+        self.stage[voice] = adsr_ops.STAGE_IDLE
+        self.env[voice] = 0.0
+
+    def restart_playback(self, voice: int) -> None:
+        """startPlayback on a live voice = restart from the slice start
+        (lib/SamplerSynthVoice.cpp:87-92)."""
+        self.pos_int[voice] = self.istart[voice]
+        self.pos_frac[voice] = 0.0
+
+    # ------------------------------------------------------- program building
+
+    def build_program(
+        self,
+        block_start_sample: float,
+        tick_anchor_sample: float,
+        tick_anchor: int,
+        samples_per_tick: float,
+    ) -> VoiceProgram:
+        """Produce the device program for the next block and precompute the
+        wrap schedule. Vectorized over all voices."""
+        B = self.block_frames
+        prog = empty_program(self.num_voices, B)
+        act = self.active
+        if not act.any():
+            self._bq_wraps = np.zeros(self.num_voices, np.int64)
+            self._bq_boundary = np.zeros(self.num_voices, bool)
+            self._stop_frames = np.full(self.num_voices, B, np.int64)
+            self._release_frames = np.full(self.num_voices, _BIG, np.int64)
+            self._release_is_auto = np.zeros(self.num_voices, bool)
+            self._prog = prog
+            return prog
+
+        V = self.num_voices
+        S = MAX_SEGMENTS_PER_BLOCK
+        posf = self.pos_int.astype(np.float64) + self.pos_frac.astype(np.float64)
+        rate = self.rate_int.astype(np.float64) + self.rate_frac.astype(np.float64)
+        rate_safe = np.where(rate > 0, rate, 1.0)
+        start_f = np.where(self.pending_start >= 0, self.pending_start, 0)
+
+        seg_start = np.full((V, S), B, np.int64)
+        seg_pos_int = np.zeros((V, S), np.int64)
+        seg_pos_frac = np.zeros((V, S), np.float32)
+        seg_start[:, 0] = start_f
+        seg_pos_int[:, 0] = self.pos_int
+        seg_pos_frac[:, 0] = self.pos_frac
+
+        # --- wrap schedule ---
+        # Positional loops (SamplerSynthVoice.cpp:243-247): the post-advance
+        # position comparison means the first *fetch* from the reset position
+        # happens at frame n1 = ceil((stop - pos)/rate); successive wraps are
+        # then exactly ceil((stop - istart)/rate) frames apart (the reset
+        # lands on integer sample `istart` with zero fraction).
+        n1 = np.maximum(
+            np.ceil((self.stop.astype(np.float64) - posf) / rate_safe), 1
+        ).astype(np.int64)
+        pos_period = np.maximum(
+            np.ceil((self.stop - self.istart).astype(np.float64) / rate_safe), 1
+        ).astype(np.int64)
+        # Beat-quantized loops (SamplerSynthVoice.cpp:225-242): the wall-clock
+        # threshold fires at frame k0 = ceil(next_loop_sample - block_start)
+        # but the reset affects the NEXT fetch, i.e. frame k0 + 1 — possibly
+        # frame 0 of the next block (handled as a boundary reset in advance()).
+        next_loop_sample = (
+            tick_anchor_sample
+            + (self.next_loop_tick - tick_anchor).astype(np.float64)
+            * samples_per_tick
+        )
+        bq_diff = next_loop_sample - block_start_sample
+        bq_period = np.maximum(
+            self.loop_len_ticks.astype(np.float64) * samples_per_tick, 1.0
+        )
+
+        is_bq = act & self.looping & self.beat_quantized
+        is_pos = act & self.looping & ~self.beat_quantized
+        bq_wraps = np.zeros(V, np.int64)
+        bq_boundary = np.zeros(V, bool)
+        istart64 = self.istart.astype(np.int64)
+        for s in range(1, S):
+            k0 = np.maximum(
+                np.ceil(bq_diff + (s - 1) * bq_period), 0
+            ).astype(np.int64)
+            r_bq = k0 + 1
+            r_pos = start_f + n1 + (s - 1) * pos_period
+            r = np.where(is_bq, r_bq, r_pos)
+            hit_seg = (is_bq | is_pos) & (r < B) & (r >= start_f)
+            seg_start[:, s] = np.where(hit_seg, r, B)
+            seg_pos_int[:, s] = np.where(hit_seg, istart64, 0)
+            bq_wraps += (is_bq & (k0 < B)).astype(np.int64)
+            bq_boundary |= is_bq & (r == B)
+
+        # --- stop frame (non-looping hard stop, SamplerSynthVoice.cpp:249-252)
+        end_frame = start_f + np.ceil(
+            (self.stop.astype(np.float64) - posf) / rate_safe
+        ).astype(np.int64)
+        stop_frames = np.where(act & ~self.looping, end_frame, B)
+        stop_frames = np.clip(stop_frames, 0, B)
+
+        # --- release triggers ---
+        release_frames = np.where(act, self.pending_release, _BIG)
+        release_is_auto = np.zeros(V, bool)
+        # auto-release threshold: pos >= stop - release*srcRate, noteOff takes
+        # effect the NEXT frame (SamplerSynthVoice.cpp:253-255)
+        thr = self.stop.astype(np.float64) - (
+            self.release_sec.astype(np.float64) * self.source_rate
+        )
+        k_ar = start_f + np.ceil((thr - posf) / rate_safe).astype(np.int64) + 1
+        k_ar = np.maximum(k_ar, 0)
+        auto = (
+            act
+            & ~self.looping
+            & (self.stage != adsr_ops.STAGE_RELEASE)
+            & (self.stage != adsr_ops.STAGE_IDLE)
+            & (k_ar < np.minimum(release_frames, B))
+        )
+        release_is_auto |= auto
+        release_frames = np.where(auto, k_ar, release_frames)
+
+        # ADSR-death stop: a linear release in progress reaches zero at a known
+        # frame; the voice renders that frame then stops (":258-261")
+        in_lin_rel = act & (self.stage == adsr_ops.STAGE_RELEASE) & (
+            self.rel_mode == adsr_ops.RELEASE_MODE_LINEAR
+        )
+        with np.errstate(divide="ignore", invalid="ignore"):
+            death = np.ceil(
+                self.env.astype(np.float64)
+                / np.where(self.rel_rate > 0, self.rel_rate, 1.0)
+            ).astype(np.int64)
+        death = np.where(in_lin_rel & (self.rel_rate > 0), death, _BIG)
+        stop_frames = np.minimum(stop_frames, np.clip(start_f + death, 0, B))
+        # release frames are consumed in voice-local frame space (see
+        # ops/adsr.envelope_block)
+        release_frames_local = np.clip(release_frames - start_f, 0, _BIG)
+
+        # --- fill program arrays ---
+        prog = prog._replace(
+            active=act.astype(np.int32),
+            base=self.base.astype(np.int32),
+            len_minus1=np.maximum(self.length - 1, 1).astype(np.int32),
+            seg_start=np.minimum(seg_start, B).astype(np.int32),
+            seg_pos_int=seg_pos_int.astype(np.int32),
+            seg_pos_frac=seg_pos_frac,
+            rate_int=self.rate_int.astype(np.int32),
+            rate_frac=self.rate_frac,
+            start_frame=start_f.astype(np.int32),
+            stop_frame=stop_frames.astype(np.int32),
+            gain=self.gain,
+            clip_volume=self.clip_volume,
+            pan=self.pan,
+            lane=self.lane.astype(np.int32),
+            env=adsr_ops.AdsrProgram(
+                stage0=self.stage.astype(np.int32),
+                env0=self.env,
+                a_rate=self.a_rate,
+                d_rate=self.d_rate,
+                sustain=self.sustain,
+                rel_rate=self.rel_rate,
+                inv_rel=self.inv_rel,
+                rel_log2=self.rel_log2,
+                release_frame=release_frames_local.astype(np.int32),
+                rel_mode=np.where(
+                    release_is_auto,
+                    adsr_ops.RELEASE_MODE_EXPONENTIAL,
+                    self.rel_mode,
+                ).astype(np.int32),
+            ),
+        )
+        self._bq_wraps = bq_wraps
+        self._bq_boundary = bq_boundary
+        self._stop_frames = stop_frames
+        self._release_frames = release_frames
+        self._release_is_auto = release_is_auto
+        self._prog = prog
+        return prog
+
+    # ------------------------------------------------------------ state advance
+
+    def advance(self, prog: VoiceProgram) -> dict:
+        """Advance host state past one block rendered with `prog`.
+
+        Returns a dict of per-voice observations for the session layer
+        (positions model updates, voices that died).
+        """
+        B = self.block_frames
+        act = self.active.copy()
+        V = self.num_voices
+
+        # position at frame B via the device's own segment formula (unused
+        # segment slots carry seg_start == B and must not be selected)
+        last_seg = np.maximum(
+            (np.asarray(prog.seg_start) < B).astype(np.int32).sum(axis=1) - 1, 0
+        )
+        idx = (np.arange(V), last_seg)
+        s_start = np.asarray(prog.seg_start)[idx].astype(np.int64)
+        s_int = np.asarray(prog.seg_pos_int)[idx].astype(np.int64)
+        s_frac = np.asarray(prog.seg_pos_frac)[idx]
+        j = np.maximum(B - s_start, 0).astype(np.int32)
+        frac_full = s_frac + j.astype(np.float32) * self.rate_frac
+        carry = np.floor(frac_full)
+        new_pos_int = s_int + j * self.rate_int + carry.astype(np.int64)
+        new_pos_frac = (frac_full - carry).astype(np.float32)
+        # block-boundary loop resets: a positional wrap whose reset frame is
+        # exactly B, or a beat-quantized threshold firing on the last frame
+        # (reset position is the integer slice start with zero fraction,
+        # SamplerSynthVoice.cpp:241,246)
+        pos_wrap = (
+            act
+            & self.looping
+            & ~self.beat_quantized
+            & (
+                new_pos_int.astype(np.float64) + new_pos_frac
+                >= self.stop.astype(np.float64)
+            )
+        )
+        boundary = pos_wrap | (act & self._bq_boundary)
+        new_pos_int = np.where(boundary, self.istart, new_pos_int)
+        new_pos_frac = np.where(boundary, np.float32(0), new_pos_frac)
+        self.pos_int = np.where(act, new_pos_int, self.pos_int)
+        self.pos_frac = np.where(act, new_pos_frac, self.pos_frac)
+
+        # envelope at the last rendered frame (voice-local frame space)
+        start_f = np.asarray(prog.start_frame).astype(np.int64)
+        n_frames = B - start_f
+        env_last = adsr_ops.envelope_block(
+            np, prog.env, B, start_frame=np.asarray(prog.start_frame)
+        )[:, -1]
+        rf = np.asarray(prog.env.release_frame).astype(np.int64)
+        released = act & (rf < n_frames)
+        # new release rate fixed at trigger (linear mode)
+        e_r_prog = adsr_ops.AdsrProgram(*(np.asarray(f) for f in prog.env))
+        e_r = np.where(
+            rf > 0,
+            adsr_ops.ads_env_at(
+                np, e_r_prog, np.maximum(rf, 1).astype(np.int32) - 1
+            ),
+            np.asarray(prog.env.env0),
+        )
+        newly_linear = released & (
+            np.asarray(prog.env.rel_mode) == adsr_ops.RELEASE_MODE_LINEAR
+        )
+        self.rel_rate = np.where(
+            newly_linear, (e_r * self.inv_rel).astype(np.float32), self.rel_rate
+        )
+        self.rel_mode = np.where(
+            released, np.asarray(prog.env.rel_mode), self.rel_mode
+        ).astype(np.int32)
+        self.stage = np.where(
+            released, adsr_ops.STAGE_RELEASE, self._ads_stage_after(n_frames)
+        ).astype(np.int32)
+        self.env = np.where(act, env_last, self.env).astype(np.float32)
+
+        # beat-quantized loop tick bookkeeping (nextLoopTick += lengthInTicks
+        # per wrap, SamplerSynthVoice.cpp:234-235)
+        self.next_loop_tick = self.next_loop_tick + self._bq_wraps * np.where(
+            self.beat_quantized, self.loop_len_ticks, 0
+        )
+
+        # deaths: hard stop reached, or release completed (env==0 in release)
+        dead = act & (
+            (self._stop_frames < B)
+            | ((self.stage == adsr_ops.STAGE_RELEASE) & (self.env <= 0))
+            | (np.where(released, False, self.stage == adsr_ops.STAGE_IDLE))
+        )
+        died = np.flatnonzero(dead)
+        for v in died:
+            self.kill(v)
+
+        self.pending_start[:] = -1
+        self.pending_release[:] = _BIG
+        return {"died": died}
+
+    def _ads_stage_after(self, B) -> np.ndarray:
+        """Stage after B frames ([V] array or int) with no release trigger."""
+        stage = self.stage
+        in_attack = stage == adsr_ops.STAGE_ATTACK
+        with np.errstate(divide="ignore", invalid="ignore"):
+            ka = np.where(
+                in_attack & (self.a_rate > 0),
+                np.ceil((np.float32(1.0) - self.env) / np.where(
+                    self.a_rate > 0, self.a_rate, 1.0)),
+                0,
+            ).astype(np.int64)
+            e_d = np.where(in_attack, np.float32(1.0), self.env)
+            has_decay = (in_attack & (self.d_rate > 0)) | (
+                stage == adsr_ops.STAGE_DECAY
+            )
+            kd = np.where(
+                has_decay & (self.d_rate > 0),
+                np.ceil((e_d - self.sustain) / np.where(
+                    self.d_rate > 0, self.d_rate, 1.0)),
+                0,
+            ).astype(np.int64)
+        after_attack = np.where(
+            B > ka,
+            np.where(has_decay & (B <= ka + kd), adsr_ops.STAGE_DECAY,
+                     adsr_ops.STAGE_SUSTAIN),
+            adsr_ops.STAGE_ATTACK,
+        )
+        out = np.where(in_attack, after_attack, stage)
+        in_decay = stage == adsr_ops.STAGE_DECAY
+        out = np.where(
+            in_decay,
+            np.where(B > kd, adsr_ops.STAGE_SUSTAIN, adsr_ops.STAGE_DECAY),
+            out,
+        )
+        return out.astype(np.int32)
+
+    def progress(self) -> np.ndarray:
+        """Playback progress 0..1 per voice (sourceSamplePosition /
+        sourceSampleLength, lib/SamplerSynthVoice.cpp:266)."""
+        with np.errstate(divide="ignore", invalid="ignore"):
+            p = self.pos_int.astype(np.float64) / np.maximum(self.length, 1)
+        return np.where(self.active, p, 0.0)

@@ -113,10 +113,14 @@ def release_env(xp, e_r, steps, rel_rate, rel_log2, mode):
     return xp.where(mode == RELEASE_MODE_EXPONENTIAL, exponential, linear).astype(f32)
 
 
-def envelope_block(xp, prog: AdsrProgram, block_frames: int):
+def envelope_block(xp, prog: AdsrProgram, block_frames: int, start_frame=None):
     """Envelope values for a whole block: returns [V, B] f32.
 
-    prog fields are [V]; k runs over [0, B).
+    prog fields are [V]; k runs over [0, B). `start_frame` (optional [V])
+    shifts the envelope origin for voices that start mid-block: the envelope
+    advances in voice-local frames k - start_frame (values at k < start_frame
+    are unused — the render mask gates them). `release_frame` is interpreted
+    in the same voice-local frame space.
     """
     f32 = np.float32
     if xp is np:
@@ -125,6 +129,8 @@ def envelope_block(xp, prog: AdsrProgram, block_frames: int):
         import jax
 
         k = jax.lax.broadcasted_iota(np.int32, (1, block_frames), 1)
+    if start_frame is not None:
+        k = xp.maximum(k - start_frame[:, None], 0)
     col = lambda a: a[:, None]  # noqa: E731
 
     stage0 = col(prog.stage0)

@@ -1,0 +1,226 @@
+"""The voice render kernel: all sampler voices for one block, data-parallel.
+
+This replaces the reference's innermost per-sample loop
+(lib/SamplerSynthVoice.cpp:174-270) — the dominant cost of the engine — with a
+closed-form evaluation over a [V voices, B frames] grid:
+
+- Sample positions advance by a per-voice `pitchRatio` each frame
+  (lib/SamplerSynthVoice.cpp:223); loop wraps reset the position to the slice
+  start (:225-247). Because every reset target and wrap time is known at block
+  start, the host precomputes per-voice *position segments*: at most
+  MAX_SEGMENTS piecewise-arithmetic runs per block (segment start frame +
+  start position). The kernel evaluates `pos(k) = seg_pos + (k - seg_start) *
+  rate` — no sequential dependence, fully parallel over [V, B].
+- Positions are int32 whole + f32 fractional parts. The fractional advance
+  `j * rate_frac` stays below B < 2^7, so f32 keeps ~2^-17 absolute precision;
+  the host re-anchors segment bases in float64 every block, so error cannot
+  accumulate (deviation vs the reference's double accumulator is bounded at
+  ~1e-5 samples per block).
+- Linear interpolation + ADSR + gain/volume follow the reference expression
+  (lib/SamplerSynthVoice.cpp:197-216). NOTE the reference multiplies the gain
+  chain into only the *second* interpolation tap (missing parentheses at
+  :204-205). `quirk_gain=True` reproduces that exactly for parity testing;
+  the default applies gain to both taps (the audibly correct reading).
+- M/S panning per the documented algorithm (lib/ClipAudioSource.h:210-222,
+  lib/SamplerSynthVoice.cpp:207-211).
+- Per-voice peak is max(l+r) with 0 floor, matching :213-216.
+- Mixdown: voices sum into their sampler-channel lane (additive mixing the
+  JACK graph performed across clients, lib/SamplerSynth.cpp:116-148) as a
+  one-hot [C, V] x [V, B*2] matmul — MXU work instead of 12 RT callbacks.
+
+Written against an array-namespace `xp` (numpy or jax.numpy) so the host-side
+golden mirror and the device kernel share identical formulas.
+"""
+
+from __future__ import annotations
+
+from typing import Any, NamedTuple
+
+import numpy as np
+
+from ..constants import MAX_SEGMENTS_PER_BLOCK, NUM_SAMPLER_CHANNELS
+from . import adsr as adsr_ops
+
+
+class VoiceProgram(NamedTuple):
+    """Per-voice render program for one block.
+
+    Arrays are [V] unless noted. Segment arrays are [V, S] with
+    S = MAX_SEGMENTS_PER_BLOCK; unused segments carry seg_start == B (never
+    selected). Segment 0 starts at `start_frame`.
+    """
+
+    active: Any          # int32 0/1: voice renders this block
+    base: Any            # int32: sound base offset in the flat sample array
+    len_minus1: Any      # int32: sound length - 1 ("sampleDuration")
+    seg_start: Any       # int32 [V, S]: first frame of each segment
+    seg_pos_int: Any     # int32 [V, S]: whole sample position at segment start
+    seg_pos_frac: Any    # f32   [V, S]: fractional sample position at segment start
+    rate_int: Any        # int32: whole part of pitchRatio
+    rate_frac: Any       # f32: fractional part of pitchRatio
+    start_frame: Any     # int32: first frame to render (sample-accurate starts)
+    stop_frame: Any      # int32: first frame NOT to render (B if none)
+    gain: Any            # f32: lgain == rgain (velocityToGain == identity)
+    clip_volume: Any     # f32: clip volumeAbsolute
+    pan: Any             # f32: clip pan in [-1, 1]
+    lane: Any            # int32: sampler channel lane 0..11
+    env: adsr_ops.AdsrProgram
+
+
+def empty_program(num_voices: int, block_frames: int) -> VoiceProgram:
+    """An all-idle program (host fills in active voices per block)."""
+    V, S = num_voices, MAX_SEGMENTS_PER_BLOCK
+    zi = lambda *s: np.zeros(s or (V,), np.int32)  # noqa: E731
+    zf = lambda *s: np.zeros(s or (V,), np.float32)  # noqa: E731
+    return VoiceProgram(
+        active=zi(),
+        base=zi(),
+        len_minus1=np.ones(V, np.int32),
+        seg_start=np.full((V, S), block_frames, np.int32),
+        seg_pos_int=zi(V, S),
+        seg_pos_frac=zf(V, S),
+        rate_int=zi(),
+        rate_frac=zf(),
+        start_frame=zi(),
+        stop_frame=np.full(V, block_frames, np.int32),
+        gain=zf(),
+        clip_volume=zf(),
+        pan=zf(),
+        lane=zi(),
+        env=adsr_ops.AdsrProgram(
+            stage0=zi(),
+            env0=zf(),
+            a_rate=zf(),
+            d_rate=zf(),
+            sustain=zf(),
+            rel_rate=zf(),
+            inv_rel=zf(),
+            rel_log2=zf(),
+            release_frame=np.full(V, block_frames, np.int32),
+            rel_mode=zi(),
+        ),
+    )
+
+
+def positions_block(xp, prog: VoiceProgram, block_frames: int):
+    """Per-frame sample positions. Returns (pos_int [V,B] i32, alpha [V,B] f32,
+    seg_j [V,B] i32)."""
+    f32 = np.float32
+    if xp is np:
+        k = np.arange(block_frames, dtype=np.int32)[None, :]
+    else:
+        import jax
+
+        k = jax.lax.broadcasted_iota(np.int32, (1, block_frames), 1)
+    # segment index: count of segments whose start <= k, minus one
+    seg_started = (prog.seg_start[:, :, None] <= k[:, None, :]).astype(np.int32)
+    seg_idx = xp.maximum(seg_started.sum(axis=1) - 1, 0)  # [V, B]
+    take = np.take_along_axis if xp is np else xp.take_along_axis
+    s_start = take(prog.seg_start, seg_idx, axis=1)
+    s_int = take(prog.seg_pos_int, seg_idx, axis=1)
+    s_frac = take(prog.seg_pos_frac, seg_idx, axis=1)
+    j = k - s_start  # frames into segment (>= 0 for frames >= start_frame)
+    jc = xp.maximum(j, 0)
+    frac_full = s_frac + jc.astype(f32) * prog.rate_frac[:, None]
+    carry = xp.floor(frac_full)
+    pos_int = s_int + jc * prog.rate_int[:, None] + carry.astype(np.int32)
+    alpha = (frac_full - carry).astype(f32)
+    return pos_int, alpha, j
+
+
+def render_voices(
+    xp,
+    sound_data,           # [N, 2] f32 flat sample memory
+    prog: VoiceProgram,
+    block_frames: int,
+    quirk_gain: bool = False,
+    num_lanes: int = NUM_SAMPLER_CHANNELS,
+    return_contrib: bool = False,
+):
+    """Render all voices for one block.
+
+    Returns (mix [C, B, 2] f32, voice_peak [V] f32[, contrib [V, B, 2]]).
+    """
+    f32 = np.float32
+    B = block_frames
+    if xp is np:
+        k = np.arange(B, dtype=np.int32)[None, :]
+    else:
+        import jax
+
+        k = jax.lax.broadcasted_iota(np.int32, (1, B), 1)
+
+    pos_int, alpha, _ = positions_block(xp, prog, B)
+    env = adsr_ops.envelope_block(
+        xp, prog.env, B, start_frame=prog.start_frame
+    )  # [V, B], voice-local frame origin
+
+    renders = (
+        (prog.active[:, None] > 0)
+        & (k >= prog.start_frame[:, None])
+        & (k < prog.stop_frame[:, None])
+    )
+    # reference bounds rule: fetch only when sampleDuration > pos
+    # (lib/SamplerSynthVoice.cpp:204); otherwise the frame contributes 0.
+    valid = renders & (pos_int >= 0) & (pos_int < prog.len_minus1[:, None])
+
+    # Both taps are clamped into the sound's own region; lanes where the
+    # clamp changed anything are masked off by `valid` above.
+    lm1 = prog.len_minus1[:, None]
+    safe_pos0 = xp.clip(pos_int, 0, lm1) + prog.base[:, None]
+    safe_pos1 = xp.clip(pos_int + 1, 0, lm1) + prog.base[:, None]
+    if xp is np:
+        tap0 = sound_data[safe_pos0]         # [V, B, 2]
+        tap1 = sound_data[safe_pos1]
+    else:
+        tap0 = xp.take(sound_data, safe_pos0, axis=0)
+        tap1 = xp.take(sound_data, safe_pos1, axis=0)
+
+    g = (prog.gain[:, None] * env * prog.clip_volume[:, None]).astype(f32)
+    inv_alpha = f32(1.0) - alpha
+    if quirk_gain:
+        # Reference-exact expression: gain chain on the second tap only
+        # (lib/SamplerSynthVoice.cpp:204-205).
+        l = tap0[..., 0] * inv_alpha + tap1[..., 0] * alpha * g
+        r = tap0[..., 1] * inv_alpha + tap1[..., 1] * alpha * g
+    else:
+        l = (tap0[..., 0] * inv_alpha + tap1[..., 0] * alpha) * g
+        r = (tap0[..., 1] * inv_alpha + tap1[..., 1] * alpha) * g
+    zero = f32(0.0)
+    l = xp.where(valid, l, zero)
+    r = xp.where(valid, r, zero)
+
+    # M/S panning (lib/SamplerSynthVoice.cpp:207-211)
+    pan = prog.pan[:, None]
+    l_pan = f32(0.5) * (f32(1.0) + pan)
+    r_pan = f32(0.5) * (f32(1.0) - pan)
+    m_sig = f32(0.5) * (l + r)
+    s_sig = l - r
+    l = l_pan * m_sig + s_sig
+    r = r_pan * m_sig - s_sig
+
+    # per-voice peak: max of (l + r), floored at 0 (lib/SamplerSynthVoice.cpp:213)
+    voice_peak = xp.maximum(xp.max(l + r, axis=1), zero).astype(f32)
+
+    contrib = xp.stack([l, r], axis=-1).astype(f32)  # [V, B, 2]
+
+    # mixdown by sampler channel lane: one-hot [C, V] matmul -> [C, B, 2]
+    if xp is np:
+        lanes = np.arange(num_lanes, dtype=np.int32)[:, None]
+        onehot = (lanes == prog.lane[None, :]).astype(f32)
+        mix = np.einsum("cv,vbt->cbt", onehot, contrib).astype(f32)
+    else:
+        import jax
+
+        lanes = jax.lax.broadcasted_iota(np.int32, (num_lanes, 1), 0)
+        onehot = (lanes == prog.lane[None, :]).astype(f32)
+        mix = jax.lax.dot_general(
+            onehot,
+            contrib.reshape(contrib.shape[0], -1),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=f32,
+        ).reshape(num_lanes, B, 2)
+
+    if return_contrib:
+        return mix, voice_peak, contrib
+    return mix, voice_peak

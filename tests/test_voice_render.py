@@ -1,0 +1,219 @@
+"""Golden tests: block renderer vs the scalar per-frame oracle."""
+
+import numpy as np
+import pytest
+
+from libzl_tpu.engine.voicestate import VoicePool, pitch_ratio
+from libzl_tpu.ops.voice import render_voices
+
+from _oracle import ScalarVoiceSim
+
+SR = 48000.0
+B = 128
+
+
+def make_sound(frames=24000, freq=440.0, stereo_phase=0.0):
+    t = np.arange(frames) / SR
+    l = 0.5 * np.sin(2 * np.pi * freq * t)
+    r = 0.5 * np.sin(2 * np.pi * freq * t + stereo_phase)
+    return np.stack([l, r], axis=1).astype(np.float32)
+
+
+def quantized_ratio(ratio):
+    ri = int(ratio)
+    rf = np.float32(ratio - ri)
+    return ri, rf, float(ri) + float(rf)
+
+
+def run_engine(pool, data, n_blocks, spt=250.0, quirk=False):
+    out = []
+    for b in range(n_blocks):
+        prog = pool.build_program(
+            block_start_sample=b * B,
+            tick_anchor_sample=0.0,
+            tick_anchor=0,
+            samples_per_tick=spt,
+        )
+        mix, peaks, contrib = render_voices(
+            np, data, prog, B, quirk_gain=quirk, return_contrib=True
+        )
+        out.append(contrib[0])
+        pool.advance(prog)
+    return np.concatenate(out, axis=0)
+
+
+def start_voice(pool, sound, *, midi_note=60, root=60, looping=False,
+                length_beats=2.0, gain=1.0, clip_volume=0.8, pan=0.3,
+                adsr=(0.0, 0.1, 1.0, 0.05), start_sec=0.0, stop_sec=None):
+    frames = sound.shape[0]
+    stop_sec = frames / SR if stop_sec is None else stop_sec
+    pool.note_on(
+        0,
+        clip_id=1, midi_note=midi_note, midi_channel=0, lane=2,
+        base=0, length=frames, source_rate=SR, root_note=root,
+        start_sec=start_sec, stop_sec=stop_sec,
+        gain=gain, clip_volume=clip_volume, pan=pan,
+        attack=adsr[0], decay=adsr[1], sustain=adsr[2], release=adsr[3],
+        looping=looping, length_beats=length_beats, start_tick=0,
+    )
+
+
+def make_oracle(pool, sound, *, looping=False, beat_quantized=False,
+                spt=250.0, quirk=False, adsr=(0.0, 0.1, 1.0, 0.05)):
+    v = 0
+    ratio = float(pool.rate_int[v]) + float(pool.rate_frac[v])
+    return ScalarVoiceSim(
+        sound,
+        ratio=ratio,
+        istart=int(pool.istart[v]),
+        stop=int(pool.stop[v]),
+        gain=float(pool.gain[v]),
+        clip_volume=float(pool.clip_volume[v]),
+        pan=float(pool.pan[v]),
+        adsr=adsr,
+        source_rate=SR,
+        looping=looping,
+        beat_quantized=beat_quantized,
+        loop_samples=float(pool.loop_len_ticks[v]) * spt,
+        first_loop_sample=float(pool.next_loop_tick[v]) * spt,
+        quirk_gain=quirk,
+    )
+
+
+@pytest.mark.parametrize("quirk", [False, True])
+def test_oneshot_default_adsr(quirk):
+    """Non-looping playback at unity rate: auto-release tail then hard stop."""
+    sound = make_sound(frames=6000, stereo_phase=0.5)
+    pool = VoicePool(4, B, SR)
+    start_voice(pool, sound)
+    got = run_engine(pool, sound, n_blocks=50, quirk=quirk)
+    oracle = make_oracle(pool_copy := pool, sound, quirk=quirk)
+    # re-init oracle position state from scratch (voice may be dead in pool)
+    want = oracle.render(50 * B)
+    np.testing.assert_allclose(got, want, atol=3e-4)
+    # voice must be dead after the clip end
+    assert not pool.active[0]
+
+
+def test_pitched_positional_loop():
+    """Looping at +7 semitones, non-integer beat length -> positional wraps."""
+    sound = make_sound(frames=5000)
+    pool = VoicePool(4, B, SR)
+    start_voice(pool, sound, midi_note=67, looping=True, length_beats=1.3,
+                stop_sec=4500 / SR)
+    oracle = make_oracle(pool, sound, looping=True)
+    got = run_engine(pool, sound, n_blocks=100)
+    want = oracle.render(100 * B)
+    np.testing.assert_allclose(got, want, atol=3e-4)
+    assert pool.active[0]
+
+
+def test_beat_quantized_loop():
+    """Integer-beat loop wraps on the musical clock, not the sample count."""
+    spt = 60.0 / (120 * 96) * SR  # 250 samples per tick at 120 bpm
+    sound = make_sound(frames=30000)
+    pool = VoicePool(4, B, SR)
+    # 1 beat = 96 ticks = 24000 samples; clip shorter than its musical length
+    # would leave a gap; clip longer gets cut by the wrap. Use 30000 frames.
+    start_voice(pool, sound, looping=True, length_beats=1.0)
+    oracle = make_oracle(pool, sound, looping=True, beat_quantized=True, spt=spt)
+    got = run_engine(pool, sound, n_blocks=400, spt=spt)
+    want = oracle.render(400 * B)
+    np.testing.assert_allclose(got, want, atol=3e-4)
+    # the wrap must have happened at the beat boundary: frame 24001 restarts
+    # the waveform (reset lands on the fetch after the threshold frame)
+    np.testing.assert_allclose(got[24001], want[24001], atol=3e-4)
+    assert pool.active[0]
+
+
+def test_explicit_noteoff_linear_release():
+    sound = make_sound(frames=48000)
+    pool = VoicePool(4, B, SR)
+    start_voice(pool, sound, adsr=(0.005, 0.05, 0.6, 0.02))
+    oracle = make_oracle(pool, sound, adsr=(0.005, 0.05, 0.6, 0.02))
+
+    out = []
+    release_block, release_offset = 10, 37
+    n_blocks = 30
+    for b in range(n_blocks):
+        if b == release_block:
+            pool.note_off(0, tail=True, frame_offset=release_offset)
+        prog = pool.build_program(
+            block_start_sample=b * B, tick_anchor_sample=0.0,
+            tick_anchor=0, samples_per_tick=250.0,
+        )
+        _, _, contrib = render_voices(np, sound, prog, B, return_contrib=True)
+        out.append(contrib[0])
+        pool.advance(prog)
+    got = np.concatenate(out, axis=0)
+
+    want = np.concatenate([
+        oracle.render(release_block * B + release_offset),
+        (oracle.note_off(), oracle.render(
+            n_blocks * B - release_block * B - release_offset,
+            block_start_sample=release_block * B + release_offset))[1],
+    ], axis=0)
+    np.testing.assert_allclose(got, want, atol=3e-4)
+    # release of 0.02s = 960 frames after trigger; voice must be dead
+    assert not pool.active[0]
+
+
+def test_mixdown_and_peaks():
+    """Multiple voices on different lanes mix additively into their lanes."""
+    sound = make_sound(frames=10000)
+    pool = VoicePool(8, B, SR)
+    for v, lane in [(0, 2), (1, 2), (2, 5)]:
+        pool.note_on(
+            v, clip_id=v, midi_note=60 + v, midi_channel=lane - 2, lane=lane,
+            base=0, length=10000, source_rate=SR, root_note=60,
+            start_sec=0.0, stop_sec=10000 / SR, gain=0.5, clip_volume=1.0,
+            pan=0.0, attack=0.0, decay=0.1, sustain=1.0, release=0.05,
+            looping=True, length_beats=1.0, start_tick=0,
+        )
+    prog = pool.build_program(
+        block_start_sample=0, tick_anchor_sample=0.0, tick_anchor=0,
+        samples_per_tick=250.0,
+    )
+    mix, peaks, contrib = render_voices(np, sound, prog, B, return_contrib=True)
+    np.testing.assert_allclose(
+        mix[2], contrib[0] + contrib[1], atol=1e-6
+    )
+    np.testing.assert_allclose(mix[5], contrib[2], atol=1e-6)
+    assert np.abs(mix[[0, 1, 3, 4, 6, 7, 8, 9, 10, 11]]).max() == 0
+    # reference peak metric: max(l+r), not abs
+    assert peaks[0] == pytest.approx(
+        max((contrib[0][:, 0] + contrib[0][:, 1]).max(), 0), abs=1e-7
+    )
+
+
+def test_numpy_jax_render_bit_exact():
+    import jax.numpy as jnp
+
+    sound = make_sound(frames=8000)
+    pool = VoicePool(16, B, SR)
+    rng = np.random.default_rng(1)
+    for v in range(12):
+        pool.note_on(
+            v, clip_id=v, midi_note=int(rng.integers(48, 72)),
+            midi_channel=v % 10, lane=2 + v % 10,
+            base=0, length=8000, source_rate=SR,
+            root_note=60, start_sec=0.0, stop_sec=8000 / SR,
+            gain=float(rng.uniform(0.2, 1)), clip_volume=float(rng.uniform(0.5, 1)),
+            pan=float(rng.uniform(-1, 1)),
+            attack=float(rng.uniform(0, 0.01)), decay=0.05,
+            sustain=float(rng.uniform(0.3, 1)), release=0.05,
+            looping=bool(v % 2), length_beats=1.0 + (v % 3) * 0.25,
+            start_tick=0,
+        )
+    prog = pool.build_program(
+        block_start_sample=0, tick_anchor_sample=0.0, tick_anchor=0,
+        samples_per_tick=250.0,
+    )
+    mix_np, peak_np, c_np = render_voices(np, sound, prog, B, return_contrib=True)
+    mix_j, peak_j, c_j = render_voices(jnp, sound, prog, B, return_contrib=True)
+    # per-voice contributions: identical elementwise f32 math -> bit-exact
+    # (except exp2-based lanes, which may differ by an ulp)
+    np.testing.assert_allclose(np.asarray(c_j), c_np, rtol=2e-6, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(peak_j), peak_np, rtol=2e-6)
+    # mixdown accumulates in a backend-specific order -> allclose
+    np.testing.assert_allclose(np.asarray(mix_j), mix_np, rtol=1e-5, atol=1e-7)
