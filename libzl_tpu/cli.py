@@ -1,0 +1,133 @@
+"""Command-line interface: render clips through the full engine.
+
+Usage:
+    python -m libzl_tpu.cli render IN.wav OUT.wav [options]
+    python -m libzl_tpu.cli info IN.wav
+
+The `render` command is the block-engine equivalent of the reference's
+test/playtest.py flow (load clip, play, listen): it plays the input clip
+through the sampler voice path — looped or one-shot, pitched, stretched,
+panned — and writes the master mix to a WAV.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+
+def _build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="libzl_tpu", description=__doc__)
+    sub = p.add_subparsers(dest="command", required=True)
+
+    r = sub.add_parser("render", help="render a clip to a WAV")
+    r.add_argument("input")
+    r.add_argument("output")
+    r.add_argument("--seconds", type=float, default=4.0)
+    r.add_argument("--loop", action="store_true", default=False)
+    r.add_argument("--note", type=int, default=60, help="MIDI note (root 60)")
+    r.add_argument("--channel", type=int, default=0, help="sampler channel -2..9")
+    r.add_argument("--bpm", type=float, default=120.0)
+    r.add_argument("--length-beats", type=float, default=0.0,
+                   help="clip length in beats (0 = natural length)")
+    r.add_argument("--pitch", type=float, default=0.0, help="semitones")
+    r.add_argument("--speed", type=float, default=1.0, help="speed ratio")
+    r.add_argument("--gain", type=float, default=0.0, help="clip gain dB")
+    r.add_argument("--volume", type=float, default=None, help="clip volume dB")
+    r.add_argument("--pan", type=float, default=0.0)
+    r.add_argument("--attack", type=float, default=0.0)
+    r.add_argument("--release", type=float, default=0.05)
+    r.add_argument("--backend", choices=["jax", "numpy"], default="jax")
+    r.add_argument("--block-frames", type=int, default=128)
+    r.add_argument("--voices", type=int, default=64)
+    r.add_argument("--sample-rate", type=int, default=48000)
+    r.add_argument("--quiet", action="store_true")
+
+    i = sub.add_parser("info", help="print WAV info")
+    i.add_argument("input")
+    return p
+
+
+def cmd_render(args) -> int:
+    from .engine.engine import AudioEngine
+    from .io.wav import read_wav, write_wav
+    from .models.clip import ClipAudioSource
+
+    engine = AudioEngine(
+        sample_rate=args.sample_rate,
+        block_frames=args.block_frames,
+        num_voices=args.voices,
+        backend=args.backend,
+    )
+    engine.start_transport(bpm=args.bpm)
+    clip = ClipAudioSource(engine, filepath=args.input)
+    if args.length_beats:
+        clip.set_length(args.length_beats, int(args.bpm))
+    if args.pitch:
+        clip.set_pitch(args.pitch)
+    if args.speed != 1.0:
+        clip.set_speed_ratio(args.speed)
+    if args.gain:
+        clip.set_gain(args.gain)
+    if args.volume is not None:
+        clip.set_volume(args.volume)
+    clip.set_pan(args.pan)
+    clip.adsr_attack = args.attack
+    clip.adsr_release = args.release
+
+    from .engine.commands import ClipCommand
+
+    cmd = ClipCommand.channel(clip.id, args.channel)
+    cmd.midi_note = args.note
+    cmd.change_volume = True
+    cmd.volume = 1.0
+    cmd.looping = args.loop
+    cmd.start_playback = True
+    engine.schedule_clip_command(cmd, 0)
+
+    n_blocks = int(args.seconds * args.sample_rate) // args.block_frames
+    blocks = []
+    t0 = time.perf_counter()
+    for _ in range(n_blocks):
+        res = engine.process_block()
+        blocks.append(res.outputs.master)
+    master = np.concatenate([np.asarray(b) for b in blocks], axis=0)
+    dt = time.perf_counter() - t0
+
+    write_wav(args.output, master, args.sample_rate)
+    if not args.quiet:
+        rendered_s = n_blocks * args.block_frames / args.sample_rate
+        print(
+            f"rendered {rendered_s:.2f}s in {dt:.2f}s "
+            f"({rendered_s / dt:.1f}x realtime, backend={args.backend}) "
+            f"peak={np.abs(master).max():.4f} -> {args.output}"
+        )
+    return 0
+
+
+def cmd_info(args) -> int:
+    from .io.wav import read_wav
+
+    a = read_wav(args.input)
+    print(
+        f"{args.input}: {a.num_frames} frames, {a.num_channels}ch, "
+        f"{a.sample_rate} Hz, {a.duration_seconds:.3f}s, "
+        f"peak {np.abs(a.samples).max():.4f}"
+    )
+    return 0
+
+
+def main(argv=None) -> int:
+    args = _build_parser().parse_args(argv)
+    if args.command == "render":
+        return cmd_render(args)
+    if args.command == "info":
+        return cmd_info(args)
+    return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,367 @@
+"""AudioEngine: the host block runtime replacing JACK + SyncTimer.
+
+One object owns the whole render pipeline (SURVEY.md §7 step 4):
+
+    BlockClock (musical time)      StepRing (scheduled events)
+          │                              │
+          └──> process_block(): drain due ticks -> commands -> VoicePool
+                    │
+                    ├─ VoicePool.build_program() ───────> render (jit, TPU)
+                    ├─ VoicePool.advance()  (host mirror)      │
+                    └─ session updates (positions, meters) <───┘
+
+The reference spreads this across an RT tick thread, ~30 JACK client
+callbacks and a web of rings (SURVEY.md §2); here a single host thread calls
+`process_block()` per 128-frame block and the device renders voices, mixdown,
+strips and meters in one XLA program. Timer-command semantics follow the
+process-callback switch (lib/SyncTimer.cpp:563-632); transport and stop-flush
+follow SyncTimer::start/stop (:870-929).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Optional
+
+import numpy as np
+
+from ..constants import (
+    BPM_MAXIMUM,
+    BPM_MINIMUM,
+    DEFAULT_BLOCK_FRAMES,
+    DEFAULT_BPM,
+    DEFAULT_NUM_VOICES,
+    DEFAULT_SAMPLE_RATE,
+    MIDI_BEAT_CLOCK_BYTE,
+    NUM_SAMPLER_CHANNELS,
+    channel_to_lane,
+)
+from ..ops import mixer as mixer_ops
+from ..timebase import BlockClock, next_bar_delay
+from . import render as render_mod
+from .allocator import VoiceAllocator
+from .commands import (
+    PASSTHROUGH_SETTING_DRY,
+    PASSTHROUGH_SETTING_MUTED,
+    PASSTHROUGH_SETTING_PAN,
+    PASSTHROUGH_SETTING_WETFX1,
+    PASSTHROUGH_SETTING_WETFX2,
+    ClipCommand,
+    Operation,
+    TimerCommand,
+)
+from .scheduler import StepRing, midi_clock_due
+from .soundbank import SoundBank
+from .voicestate import VoicePool
+
+
+@dataclasses.dataclass
+class BlockResult:
+    """Host-visible outputs of one processed block."""
+
+    outputs: render_mod.RenderOutputs   # jax or numpy arrays
+    midi_out: list                      # [(frame_offset, bytes), ...]
+    tick_count: int
+
+
+class AudioEngine:
+    def __init__(
+        self,
+        sample_rate: int = DEFAULT_SAMPLE_RATE,
+        block_frames: int = DEFAULT_BLOCK_FRAMES,
+        num_voices: int = DEFAULT_NUM_VOICES,
+        backend: str = "jax",
+        voices_per_lane: Optional[int] = None,
+        quirk_gain: bool = False,
+    ):
+        self.sample_rate = sample_rate
+        self.block_frames = block_frames
+        self.backend = backend
+        self.quirk_gain = quirk_gain
+
+        self.clock = BlockClock(
+            sample_rate=float(sample_rate),
+            block_frames=block_frames,
+            bpm=float(DEFAULT_BPM),
+        )
+        self.ring = StepRing()
+        self.pool = VoicePool(num_voices, block_frames, float(sample_rate))
+        self.allocator = VoiceAllocator(self.pool, voices_per_lane)
+        self.bank = SoundBank()
+        self._bank_version_on_device = -1
+        self._device_sound_data = None
+
+        self.strips = mixer_ops.default_strip_params(render_mod.NUM_STRIPS)
+        # GlobalPlayback strip gets its wets zeroed (lib/MidiRouter.cpp:876-880)
+        self.strips.wet1[0] = 0.0
+        self.strips.wet2[0] = 0.0
+        self.lane_enabled = np.ones(NUM_SAMPLER_CHANNELS, bool)
+
+        self.clips: dict[int, object] = {}
+        self.transport_running = False
+        # callbacks (SyncTimer signals / C callback registry,
+        # lib/SyncTimer.cpp:397-401, libzl.h:74-75)
+        self.timer_callbacks: list[Callable[[int], None]] = []
+        self.timer_command_callbacks: list[Callable[[TimerCommand], None]] = []
+        self.start_playback_callbacks: list[Callable[[], None]] = []
+        self.stop_playback_callbacks: list[Callable[[], None]] = []
+        self.clip_command_sent_callbacks: list[Callable[[ClipCommand], None]] = []
+        self.total_blocks = 0
+
+    # ------------------------------------------------------------ clip admin
+
+    @property
+    def bpm(self) -> float:
+        return self.clock.bpm
+
+    def register_clip(self, clip) -> None:
+        """SamplerSynth::registerClip analog: load the clip's playback buffer
+        into the device sound bank."""
+        clip.slot = self.bank.load(clip.playback_audio)
+        self.clips[clip.id] = clip
+
+    def reload_clip_sound(self, clip) -> None:
+        """playbackFileChanged analog (lib/SamplerSynthSound.cpp:68)."""
+        clip.slot = self.bank.replace(clip.slot.slot, clip.playback_audio)
+
+    def unregister_clip(self, clip) -> None:
+        if clip.id in self.clips:
+            del self.clips[clip.id]
+        if clip.slot is not None:
+            self.bank.unload(clip.slot.slot)
+            clip.slot = None
+
+    # ------------------------------------------------------------ scheduling
+
+    def schedule_clip_command(self, cmd: ClipCommand, delay: int = 0) -> None:
+        self.ring.schedule_clip_command(cmd, delay)
+
+    def schedule_timer_command(self, cmd: TimerCommand, delay: int = 0) -> None:
+        self.ring.schedule_timer_command(cmd, delay)
+
+    def schedule_midi(self, data: bytes, delay: int = 0) -> None:
+        self.ring.schedule_midi(data, delay)
+
+    def queue_clip_to_start(self, clip, midi_channel: int = -1) -> None:
+        """Schedule a looped start at the next bar boundary
+        (lib/SyncTimer.cpp:816-832)."""
+        cmd = ClipCommand.channel(clip.id, midi_channel)
+        cmd.midi_note = 60
+        cmd.start_playback = True
+        cmd.looping = True
+        cmd.change_looping = True
+        delay = (
+            0 if not self.transport_running
+            else next_bar_delay(self.clock.tick_position)
+        )
+        self.schedule_clip_command(cmd, delay)
+
+    def queue_clip_to_stop(self, clip, midi_channel: int = -1) -> None:
+        cmd = ClipCommand.channel(clip.id, midi_channel)
+        cmd.midi_note = 60
+        cmd.stop_playback = True
+        delay = (
+            0 if not self.transport_running
+            else next_bar_delay(self.clock.tick_position)
+        )
+        self.schedule_clip_command(cmd, delay)
+
+    # ------------------------------------------------------------- transport
+
+    def start_transport(self, bpm: Optional[float] = None) -> None:
+        """SyncTimer::start (lib/SyncTimer.cpp:870-879)."""
+        if bpm is not None:
+            self.set_bpm(bpm)
+        self.transport_running = True
+
+    def stop_transport(self) -> None:
+        """SyncTimer::stop with the ring flush (lib/SyncTimer.cpp:881-929)."""
+        self.transport_running = False
+        note_offs, zeroed = self.ring.flush_for_stop()
+        for cmd in zeroed:
+            self.ring.schedule_clip_command(cmd, 0)
+        self._pending_immediate_midi = [ev.data for ev in note_offs]
+        # musical position resets (beat/cumulativeBeat/jackPlayhead zeroing)
+        self.clock.tick_position = 0
+        self.clock.anchor_tick = 0
+        self.clock.anchor_sample = float(self.clock.sample_position)
+
+    def set_bpm(self, bpm: float) -> None:
+        self.clock.set_bpm(float(np.clip(bpm, BPM_MINIMUM, BPM_MAXIMUM)))
+
+    def stop_all_clips(self) -> None:
+        """stopClips C API analog (lib/libzl.cpp:441-449)."""
+        for clip in list(self.clips.values()):
+            clip.stop(-3)
+
+    # ---------------------------------------------------------- passthrough
+
+    def strip_index(self, channel: int) -> int:
+        """C API channel convention: -1 = GlobalPlayback, 0..9 = channels
+        (lib/libzl.cpp:476-575)."""
+        if channel < -1 or channel > 9:
+            raise ValueError(f"passthrough channel out of range: {channel}")
+        return channel + 1
+
+    def set_strip(self, channel: int, **kwargs) -> None:
+        i = self.strip_index(channel)
+        for key, value in kwargs.items():
+            getattr(self.strips, key)[i] = value
+
+    def get_strip(self, channel: int, key: str) -> float:
+        return float(getattr(self.strips, key)[self.strip_index(channel)])
+
+    # -------------------------------------------------------------- commands
+
+    def _apply_timer_command(self, cmd: TimerCommand, tick: int,
+                             frame_offset: int) -> None:
+        """lib/SyncTimer.cpp:563-632."""
+        for cb in self.timer_command_callbacks:
+            cb(cmd)
+        op = cmd.operation
+        if op == Operation.START_PLAYBACK:
+            for cb in self.start_playback_callbacks:
+                cb()
+        elif op == Operation.STOP_PLAYBACK:
+            for cb in self.stop_playback_callbacks:
+                cb()
+        elif op in (Operation.CLIP_COMMAND, Operation.START_CLIP_LOOP,
+                    Operation.STOP_CLIP_LOOP):
+            clip_cmd = cmd.data_parameter
+            if isinstance(clip_cmd, ClipCommand):
+                self._apply_clip_command(clip_cmd, tick, frame_offset)
+        elif op == Operation.SAMPLER_CHANNEL_ENABLED_STATE:
+            lane = channel_to_lane(cmd.parameter)
+            self.lane_enabled[lane] = cmd.parameter2 != 0
+        elif op == Operation.SET_BPM:
+            self.set_bpm(cmd.parameter)
+        elif op == Operation.PASSTHROUGH_CLIENT:
+            self._apply_passthrough_command(cmd)
+        elif op in (Operation.REGISTER_CAS, Operation.UNREGISTER_CAS):
+            clip = cmd.data_parameter
+            if clip is not None:
+                if op == Operation.REGISTER_CAS:
+                    self.register_clip(clip)
+                else:
+                    self.unregister_clip(clip)
+        # START_PART / STOP_PART / AUTOMATION / INVALID: observer-only,
+        # like the reference's default branch
+
+    def _apply_passthrough_command(self, cmd: TimerCommand) -> None:
+        """PassthroughClientOperation value conventions
+        (lib/TimerCommand.h:25): volumes 0..100, pan -100..100, muted 0/1."""
+        i = self.strip_index(cmd.parameter)
+        setting = cmd.parameter2
+        if setting == PASSTHROUGH_SETTING_DRY:
+            self.strips.dry[i] = cmd.parameter3 / 100.0
+        elif setting == PASSTHROUGH_SETTING_WETFX1:
+            self.strips.wet1[i] = cmd.parameter3 / 100.0
+        elif setting == PASSTHROUGH_SETTING_WETFX2:
+            self.strips.wet2[i] = cmd.parameter3 / 100.0
+        elif setting == PASSTHROUGH_SETTING_PAN:
+            self.strips.pan[i] = cmd.parameter3 / 100.0
+        elif setting == PASSTHROUGH_SETTING_MUTED:
+            self.strips.muted[i] = 1.0 if cmd.parameter3 else 0.0
+
+    def _apply_clip_command(self, cmd: ClipCommand, tick: int,
+                            frame_offset: int) -> None:
+        clip = self.clips.get(cmd.clip_id)
+        # speed/pitch/gain changes route to the clip's offline render
+        if clip is not None:
+            if cmd.change_pitch:
+                clip.set_pitch(cmd.pitch_change)
+            if cmd.change_speed:
+                clip.set_speed_ratio(cmd.speed_ratio)
+            if cmd.change_gain_db:
+                clip.set_gain(cmd.gain_db)
+        self.allocator.handle(cmd, clip, tick, frame_offset)
+        for cb in self.clip_command_sent_callbacks:
+            cb(cmd)
+
+    # ------------------------------------------------------------- rendering
+
+    def _sound_data_for_backend(self):
+        if self.backend == "numpy":
+            return self.bank.data
+        import jax
+
+        if self._bank_version_on_device != self.bank.version:
+            self._device_sound_data = jax.device_put(self.bank.data)
+            self._bank_version_on_device = self.bank.version
+        return self._device_sound_data
+
+    def process_block(self) -> BlockResult:
+        """Render one block: drain due ticks, dispatch, advance."""
+        midi_out: list[tuple[int, bytes]] = []
+        pending = getattr(self, "_pending_immediate_midi", None)
+        if pending:
+            midi_out.extend((0, data) for data in pending)
+            self._pending_immediate_midi = []
+
+        ticks = self.clock.ticks_in_next_block()
+        for tick, offset in ticks:
+            if self.transport_running:
+                # sequencer schedule-ahead hook (lib/SyncTimer.cpp:397-401)
+                for cb in self.timer_callbacks:
+                    cb(tick)
+                if midi_clock_due(tick):
+                    midi_out.append((offset, bytes([MIDI_BEAT_CLOCK_BYTE])))
+            step = self.ring.pop_next()
+            for ev in step.midi:
+                midi_out.append((offset, ev.data))
+            for ccmd in step.clip_commands:
+                self._apply_clip_command(ccmd, tick, offset)
+            for tcmd in step.timer_commands:
+                self._apply_timer_command(tcmd, tick, offset)
+
+        prog = self.pool.build_program(
+            block_start_sample=float(self.clock.sample_position),
+            tick_anchor_sample=self.clock.anchor_sample,
+            tick_anchor=self.clock.anchor_tick,
+            samples_per_tick=self.clock.samples_per_tick,
+            lane_enabled=self.lane_enabled,
+        )
+        sound = self._sound_data_for_backend()
+        if self.backend == "numpy":
+            outputs = render_mod.render_block_math(
+                np, sound, prog, self.strips, self.block_frames,
+                quirk_gain=self.quirk_gain,
+            )
+        else:
+            outputs = render_mod.render_block_jit(
+                sound, prog, self.strips,
+                block_frames=self.block_frames, quirk_gain=self.quirk_gain,
+            )
+        adv = self.pool.advance(prog)
+        # dead voices release their playback positions
+        # (lib/SamplerSynthVoice.cpp:156-158)
+        for cid, pid in zip(adv["died_clips"], adv["died_positions"]):
+            clip = self.clips.get(int(cid))
+            if clip is not None:
+                clip.positions_model.remove_position(int(pid))
+        self.clock.advance_block()
+        self.total_blocks += 1
+        return BlockResult(outputs=outputs, midi_out=midi_out,
+                           tick_count=len(ticks))
+
+    # ------------------------------------------------------- session updates
+
+    def update_session(self, result: BlockResult) -> None:
+        """Feed voice peaks/progress back to the clip positions models
+        (lib/SamplerSynthVoice.cpp:264-267). Call at UI cadence — forces a
+        device sync for the [V] peak vector."""
+        peaks = np.asarray(result.outputs.voice_peaks)
+        progress = self.pool.progress()
+        for v in np.flatnonzero(self.pool.active):
+            clip = self.clips.get(int(self.pool.clip_id[v]))
+            if clip is None:
+                continue
+            clip.positions_model.set_gain_and_progress(
+                int(self.pool.position_id[v]),
+                float(peaks[v]) * 0.5,
+                float(progress[v]),
+            )
+        for clip in self.clips.values():
+            clip.positions_model.cleanup()
+            clip.sync_progress()
+            clip.sync_audio_level()

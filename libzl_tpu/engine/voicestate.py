@@ -219,12 +219,20 @@ class VoicePool:
         tick_anchor_sample: float,
         tick_anchor: int,
         samples_per_tick: float,
+        lane_enabled: np.ndarray | None = None,
     ) -> VoiceProgram:
         """Produce the device program for the next block and precompute the
-        wrap schedule. Vectorized over all voices."""
+        wrap schedule. Vectorized over all voices.
+
+        `lane_enabled` (bool [num_lanes]) freezes voices on disabled sampler
+        channels: they neither render nor advance, like a disabled
+        SamplerChannel whose process() returns early (lib/SamplerSynth.cpp:117).
+        """
         B = self.block_frames
         prog = empty_program(self.num_voices, B)
         act = self.active
+        if lane_enabled is not None:
+            act = act & lane_enabled[self.lane]
         if not act.any():
             self._bq_wraps = np.zeros(self.num_voices, np.int64)
             self._bq_boundary = np.zeros(self.num_voices, bool)
@@ -385,7 +393,9 @@ class VoicePool:
         (positions model updates, voices that died).
         """
         B = self.block_frames
-        act = self.active.copy()
+        # voices frozen by a disabled lane were excluded from the program's
+        # active mask and must not advance
+        act = np.asarray(prog.active).astype(bool)
         V = self.num_voices
 
         # position at frame B via the device's own segment formula (unused
@@ -448,7 +458,11 @@ class VoicePool:
             released, np.asarray(prog.env.rel_mode), self.rel_mode
         ).astype(np.int32)
         self.stage = np.where(
-            released, adsr_ops.STAGE_RELEASE, self._ads_stage_after(n_frames)
+            act,
+            np.where(
+                released, adsr_ops.STAGE_RELEASE, self._ads_stage_after(n_frames)
+            ),
+            self.stage,
         ).astype(np.int32)
         self.env = np.where(act, env_last, self.env).astype(np.float32)
 
@@ -465,12 +479,18 @@ class VoicePool:
             | (np.where(released, False, self.stage == adsr_ops.STAGE_IDLE))
         )
         died = np.flatnonzero(dead)
+        died_clips = self.clip_id[died].copy()
+        died_positions = self.position_id[died].copy()
         for v in died:
             self.kill(v)
 
         self.pending_start[:] = -1
         self.pending_release[:] = _BIG
-        return {"died": died}
+        return {
+            "died": died,
+            "died_clips": died_clips,
+            "died_positions": died_positions,
+        }
 
     def _ads_stage_after(self, B) -> np.ndarray:
         """Stage after B frames ([V] array or int) with no release trigger."""

@@ -1,0 +1,316 @@
+"""ClipAudioSource: the session-level clip object model.
+
+Python equivalent of lib/ClipAudioSource.{h,cpp}: one audio file with
+start/length (in beats), speedRatio + pitchChange rendered offline into a
+playback buffer (the tracktion render-then-play design,
+lib/ClipAudioSource.cpp:384-413), gain/volume via the fader curve
+(models/fader.py), pan (M/S, lib/ClipAudioSource.h:210-222), ADSR parameters
+(defaults attack=0, release=0.05, lib/ClipAudioSource.cpp:164-168), 16 slices
+with normalized positions (:490-560), keyzones + root note (:580-617), a
+playback positions model, and progress / audio-level callbacks throttled to
+100 ms / 30 ms (:225-240, 88-113).
+
+The clip registers itself with the engine, which loads its playback buffer
+into the device sound bank (the SamplerSynth registerClip analog,
+lib/ClipAudioSource.cpp:196).
+"""
+
+from __future__ import annotations
+
+import itertools
+import time
+from typing import Callable, Optional
+
+import numpy as np
+
+from ..constants import (
+    BEAT_SUBDIVISIONS,
+    DEFAULT_ADSR_ATTACK,
+    DEFAULT_ADSR_DECAY,
+    DEFAULT_ADSR_RELEASE,
+    DEFAULT_ADSR_SUSTAIN,
+    DEFAULT_KEYZONE_END,
+    DEFAULT_KEYZONE_START,
+    DEFAULT_ROOT_NOTE,
+    DEFAULT_SLICE_COUNT,
+)
+from ..io.wav import AudioData, read_wav
+from ..ops.resample import render_playback
+from ..timebase import ticks_to_seconds
+from .fader import db_to_fader_position, fader_position_to_db
+from .positions import PositionsModel
+
+_ids = itertools.count(1)
+_registry: dict[int, "ClipAudioSource"] = {}
+
+PROGRESS_THROTTLE_S = 0.100   # lib/ClipAudioSource.cpp:237
+LEVEL_THROTTLE_S = 0.030      # lib/ClipAudioSource.cpp:111
+LEVEL_DECAY = 0.94            # positions-model peak fade (lib/ClipAudioSource.cpp:95)
+
+
+def clip_by_id(clip_id: int) -> Optional["ClipAudioSource"]:
+    """ClipAudioSource_byID (lib/libzl.cpp:107-116)."""
+    return _registry.get(clip_id)
+
+
+def all_clips() -> list["ClipAudioSource"]:
+    return list(_registry.values())
+
+
+class ClipAudioSource:
+    def __init__(
+        self,
+        engine,
+        filepath: Optional[str] = None,
+        audio: Optional[AudioData] = None,
+        muted: bool = False,
+    ):
+        if audio is None:
+            if filepath is None:
+                raise ValueError("need filepath or audio")
+            audio = read_wav(filepath)
+        self.id = next(_ids)
+        _registry[self.id] = self
+        self.engine = engine
+        self.filepath = filepath or ""
+        self.source = audio
+
+        # timing
+        self.start_position_seconds = 0.0
+        self.length_seconds = audio.duration_seconds
+        self.length_beats = (
+            audio.duration_seconds
+            / ticks_to_seconds(engine.bpm if engine else 120, BEAT_SUBDIVISIONS)
+            if engine
+            else 0.0
+        )
+        # stretch / pitch / gain
+        self.speed_ratio = 1.0
+        self.pitch_change = 0.0
+        self.gain_db = 0.0
+        # mix
+        self._volume_absolute = 0.0 if muted else db_to_fader_position(0.0)
+        self.pan = 0.0
+        # ADSR
+        self.adsr_attack = DEFAULT_ADSR_ATTACK
+        self.adsr_decay = DEFAULT_ADSR_DECAY
+        self.adsr_sustain = DEFAULT_ADSR_SUSTAIN
+        self.adsr_release = DEFAULT_ADSR_RELEASE
+        # slices / keyzones
+        self.slice_positions: list[float] = []
+        self.slice_base_midi_note = 60
+        self.keyzone_start = DEFAULT_KEYZONE_START
+        self.keyzone_end = DEFAULT_KEYZONE_END
+        self.root_note = DEFAULT_ROOT_NOTE
+        # session plumbing
+        self.positions_model = PositionsModel()
+        self.progress_callback: Optional[Callable[[float], None]] = None
+        self.audio_level_callback: Optional[Callable[[float], None]] = None
+        self._next_progress_time = 0.0
+        self._next_level_time = 0.0
+        self._last_progress = -1.0
+        self._last_level = -400.0
+        self._level_signal = 0.0
+        self.playback_changed_callback: Optional[Callable[[], None]] = None
+
+        self.playback_audio = audio  # replaced by renders
+        self.slot = None
+        if engine is not None:
+            engine.register_clip(self)
+        self.set_slices(DEFAULT_SLICE_COUNT)
+
+    # ------------------------------------------------------------- lifecycle
+
+    def destroy(self) -> None:
+        self.stop(-3)
+        if self.engine is not None:
+            self.engine.unregister_clip(self)
+        _registry.pop(self.id, None)
+
+    # ------------------------------------------------------------ stretching
+
+    def _update_playback(self) -> None:
+        """Re-render the playback buffer (tracktion needsRender analog)."""
+        rendered = render_playback(
+            self.source.samples,
+            speed_ratio=self.speed_ratio,
+            pitch_semitones=self.pitch_change,
+            gain_db=self.gain_db,
+        )
+        self.playback_audio = AudioData(rendered, self.source.sample_rate)
+        if self.engine is not None:
+            self.engine.reload_clip_sound(self)
+        if self.playback_changed_callback is not None:
+            self.playback_changed_callback()
+
+    # -------------------------------------------------------------- timing
+
+    def get_duration(self) -> float:
+        """Edit length in seconds (lib/ClipAudioSource.cpp:367)."""
+        return self.source.duration_seconds
+
+    def set_start_position(self, seconds: float) -> None:
+        self.start_position_seconds = max(0.0, float(seconds))
+
+    def set_length(self, beat: float, bpm: int) -> None:
+        """Length given in beats at a bpm (lib/ClipAudioSource.cpp:352-360)."""
+        self.length_seconds = ticks_to_seconds(bpm, beat * BEAT_SUBDIVISIONS)
+        self.length_beats = float(beat)
+
+    def get_start_position(self, slice_idx: int = -1) -> float:
+        """lib/ClipAudioSource.cpp:261-268."""
+        if 0 <= slice_idx < len(self.slice_positions):
+            return (
+                self.start_position_seconds
+                + self.length_seconds * self.slice_positions[slice_idx]
+            )
+        return self.start_position_seconds
+
+    def get_stop_position(self, slice_idx: int = -1) -> float:
+        """lib/ClipAudioSource.cpp:270-277."""
+        if 0 <= slice_idx and slice_idx + 1 < len(self.slice_positions):
+            return (
+                self.start_position_seconds
+                + self.length_seconds * self.slice_positions[slice_idx + 1]
+            )
+        return self.start_position_seconds + self.length_seconds
+
+    # ---------------------------------------------------------- stretch/pitch
+
+    def set_speed_ratio(self, ratio: float) -> None:
+        if ratio != self.speed_ratio:
+            self.speed_ratio = float(ratio)
+            self._update_playback()
+
+    def set_pitch(self, semitones: float) -> None:
+        if semitones != self.pitch_change:
+            self.pitch_change = float(semitones)
+            self._update_playback()
+
+    def set_gain(self, db: float) -> None:
+        if db != self.gain_db:
+            self.gain_db = float(db)
+            self._update_playback()
+
+    # ----------------------------------------------------------------- mix
+
+    def set_volume(self, db: float) -> None:
+        """setVolume in dB with the -40 dB mute rule (cpp:313-326)."""
+        self._volume_absolute = db_to_fader_position(db)
+
+    def set_volume_absolute(self, pos: float) -> None:
+        self._volume_absolute = min(max(float(pos), 0.0), 1.0)
+
+    @property
+    def volume_absolute(self) -> float:
+        return self._volume_absolute
+
+    def get_volume_db(self) -> float:
+        return fader_position_to_db(self._volume_absolute)
+
+    def set_pan(self, pan: float) -> None:
+        self.pan = min(max(float(pan), -1.0), 1.0)
+
+    # --------------------------------------------------------------- slices
+
+    def set_slices(self, count: int) -> None:
+        """Slice list resizing rules (lib/ClipAudioSource.cpp:495-528)."""
+        current = len(self.slice_positions)
+        if count == current:
+            return
+        if count == 0:
+            self.slice_positions = []
+        elif count < current:
+            del self.slice_positions[count:]
+        else:
+            last = self.slice_positions[-1] if self.slice_positions else 0.0
+            inc = (1.0 - last) / (count - current)
+            if not self.slice_positions:
+                self.slice_positions.append(0.0)
+            pos = last + inc
+            while len(self.slice_positions) < count:
+                self.slice_positions.append(pos)
+                pos += inc
+
+    @property
+    def slices(self) -> int:
+        return len(self.slice_positions)
+
+    def set_slice_position(self, idx: int, pos: float) -> None:
+        if 0 <= idx < len(self.slice_positions):
+            self.slice_positions[idx] = float(pos)
+
+    def slice_for_midi_note(self, midi_note: int) -> int:
+        """Rotation rule (lib/ClipAudioSource.cpp:575-578)."""
+        n = len(self.slice_positions)
+        if n == 0:
+            return -1
+        return ((n - (self.slice_base_midi_note % n)) + midi_note) % n
+
+    # ------------------------------------------------------------ transport
+
+    def play(self, loop: bool = True, midi_channel: int = -2) -> None:
+        """lib/ClipAudioSource.cpp:415-429."""
+        from ..engine.commands import ClipCommand
+
+        cmd = ClipCommand.channel(self.id, midi_channel)
+        cmd.midi_note = 60
+        cmd.change_volume = True
+        cmd.volume = 1.0
+        cmd.looping = loop
+        if loop:
+            cmd.stop_playback = True
+        cmd.start_playback = True
+        self.engine.schedule_clip_command(cmd, 0)
+
+    def stop(self, midi_channel: int = -2) -> None:
+        """lib/ClipAudioSource.cpp:432-455: channel -3 means 'everywhere'."""
+        from ..engine.commands import ClipCommand
+
+        if midi_channel > -3:
+            cmd = ClipCommand.channel(self.id, midi_channel)
+            cmd.midi_note = 60
+            cmd.stop_playback = True
+            self.engine.schedule_clip_command(cmd, 0)
+        else:
+            for ch in [-2, -1, *range(10)]:
+                cmd = ClipCommand.channel(self.id, ch)
+                cmd.midi_note = 60
+                cmd.stop_playback = True
+                self.engine.schedule_clip_command(cmd, 0)
+
+    # ------------------------------------------------------------ callbacks
+
+    def sync_progress(self, now: Optional[float] = None) -> None:
+        """Throttled progress callback (lib/ClipAudioSource.cpp:224-240)."""
+        now = time.monotonic() if now is None else now
+        if now < self._next_progress_time:
+            return
+        progress = self.positions_model.first_progress()
+        if progress < 0:
+            progress = self.start_position_seconds / max(self.get_duration(), 1e-9)
+        if abs(progress - self._last_progress) > 0.001:
+            self._last_progress = progress
+            if self.progress_callback is not None:
+                self.progress_callback(progress * self.get_duration())
+            self._next_progress_time = now + PROGRESS_THROTTLE_S
+
+    def sync_audio_level(self, now: Optional[float] = None) -> None:
+        """Throttled, decay-faded audio level callback
+        (lib/ClipAudioSource.cpp:88-113)."""
+        now = time.monotonic() if now is None else now
+        self._level_signal = max(
+            self.positions_model.peak_gain(), self._level_signal * LEVEL_DECAY
+        )
+        if now < self._next_level_time:
+            return
+        db = (
+            20.0 * np.log10(self._level_signal)
+            if self._level_signal > 0
+            else -400.0
+        )
+        if abs(db - self._last_level) > 0.1:
+            self._last_level = db
+            if self.audio_level_callback is not None:
+                self.audio_level_callback(db)
+            self._next_level_time = now + LEVEL_THROTTLE_S

@@ -1,0 +1,212 @@
+"""Integration tests for the AudioEngine host runtime (numpy backend)."""
+
+import numpy as np
+import pytest
+
+from libzl_tpu.engine.commands import (
+    ClipCommand,
+    Operation,
+    TimerCommand,
+)
+from libzl_tpu.engine.engine import AudioEngine
+from libzl_tpu.io.wav import AudioData
+from libzl_tpu.models.clip import ClipAudioSource
+
+SR = 48000
+
+
+def make_engine(**kw):
+    kw.setdefault("backend", "numpy")
+    kw.setdefault("num_voices", 32)
+    return AudioEngine(sample_rate=SR, **kw)
+
+
+def make_clip(engine, seconds=0.5, freq=440.0):
+    t = np.arange(int(SR * seconds)) / SR
+    samples = (0.4 * np.sin(2 * np.pi * freq * t)).astype(np.float32)[:, None]
+    return ClipAudioSource(engine, audio=AudioData(samples, SR))
+
+
+def render_seconds(engine, seconds):
+    blocks = []
+    n = int(seconds * SR) // engine.block_frames
+    for _ in range(n):
+        res = engine.process_block()
+        blocks.append(np.asarray(res.outputs.master))
+    return np.concatenate(blocks, axis=0)
+
+
+def test_play_produces_audio_and_stop_silences():
+    engine = make_engine()
+    clip = make_clip(engine)
+    clip.play(loop=True, midi_channel=0)
+    audio = render_seconds(engine, 0.25)
+    assert np.abs(audio).max() > 0.05
+    # one voice active on lane 2 (channel 0)
+    assert engine.pool.active.sum() == 1
+    assert engine.pool.lane[engine.pool.active.argmax()] == 2
+
+    clip.stop(0)
+    # default release is 50 ms -> tail then silence
+    render_seconds(engine, 0.2)
+    tail = render_seconds(engine, 0.1)
+    assert np.abs(tail).max() == 0.0
+    assert engine.pool.active.sum() == 0
+
+
+def test_looping_clip_keeps_playing_past_length():
+    engine = make_engine()
+    clip = make_clip(engine, seconds=0.1)
+    clip.play(loop=True, midi_channel=1)
+    audio = render_seconds(engine, 1.0)
+    # still audible in the last 100 ms
+    assert np.abs(audio[-4800:]).max() > 0.05
+
+
+def test_oneshot_clip_ends():
+    engine = make_engine()
+    clip = make_clip(engine, seconds=0.1)
+    clip.play(loop=False, midi_channel=0)
+    audio = render_seconds(engine, 0.5)
+    assert np.abs(audio[:2400]).max() > 0.05
+    assert np.abs(audio[-4800:]).max() == 0.0
+    assert engine.pool.active.sum() == 0
+
+
+def test_equivalent_play_coalesces_and_replaces():
+    engine = make_engine()
+    clip = make_clip(engine)
+    clip.play(loop=True, midi_channel=0)
+    clip.play(loop=True, midi_channel=0)  # same step: coalesces to one command
+    engine.process_block()
+    assert engine.pool.active.sum() == 1
+    # a later looped play stops the old voice and claims a new one
+    clip.play(loop=True, midi_channel=0)
+    render_seconds(engine, 0.2)
+    assert engine.pool.active.sum() == 1
+
+
+def test_queue_clip_to_start_waits_for_bar():
+    engine = make_engine()
+    clip = make_clip(engine)
+    engine.start_transport(bpm=120)
+    # one bar = 384 ticks = 2 s at 120bpm -> 96000 samples
+    engine.queue_clip_to_start(clip, midi_channel=0)
+    pre = render_seconds(engine, 1.9)
+    assert np.abs(pre).max() == 0.0
+    post = render_seconds(engine, 0.3)
+    assert np.abs(post).max() > 0.05
+
+
+def test_set_bpm_via_timer_command():
+    engine = make_engine()
+    engine.start_transport()
+    engine.schedule_timer_command(
+        TimerCommand(operation=Operation.SET_BPM, parameter=73), 0
+    )
+    engine.process_block()
+    assert engine.bpm == 73
+    # clamped
+    engine.schedule_timer_command(
+        TimerCommand(operation=Operation.SET_BPM, parameter=999), 0
+    )
+    render_seconds(engine, 0.05)
+    assert engine.bpm == 200
+
+
+def test_passthrough_command_and_mute():
+    engine = make_engine()
+    clip = make_clip(engine)
+    clip.play(loop=True, midi_channel=0)
+    render_seconds(engine, 0.1)
+    # mute the global strip -> master goes silent, lane mix still live
+    engine.schedule_timer_command(
+        TimerCommand(
+            operation=Operation.PASSTHROUGH_CLIENT,
+            parameter=-1, parameter2=4, parameter3=1,
+        ),
+        0,
+    )
+    res = engine.process_block()
+    assert np.abs(np.asarray(res.outputs.master)).max() == 0.0
+    assert np.abs(np.asarray(res.outputs.lane_mix)).max() > 0.05
+    assert engine.get_strip(-1, "muted") == 1.0
+
+
+def test_channel_disable_freezes_voices():
+    engine = make_engine()
+    clip = make_clip(engine)
+    clip.play(loop=True, midi_channel=3)
+    render_seconds(engine, 0.1)
+    pos_before = engine.pool.pos_int.copy()
+    engine.schedule_timer_command(
+        TimerCommand(
+            operation=Operation.SAMPLER_CHANNEL_ENABLED_STATE,
+            parameter=3, parameter2=0,
+        ),
+        0,
+    )
+    audio = render_seconds(engine, 0.1)
+    assert np.abs(audio).max() == 0.0
+    assert (engine.pool.pos_int == pos_before).all()  # frozen, not advanced
+    # re-enable: playback resumes from where it froze
+    engine.schedule_timer_command(
+        TimerCommand(
+            operation=Operation.SAMPLER_CHANNEL_ENABLED_STATE,
+            parameter=3, parameter2=1,
+        ),
+        0,
+    )
+    audio = render_seconds(engine, 0.1)
+    assert np.abs(audio).max() > 0.05
+
+
+def test_stop_transport_flushes_ring_with_zero_volume():
+    engine = make_engine()
+    clip = make_clip(engine)
+    engine.start_transport(bpm=120)
+    engine.queue_clip_to_start(clip, midi_channel=0)  # a bar away
+    engine.stop_transport()
+    # the queued start is re-issued at delay 0 with volume forced to 0
+    audio = render_seconds(engine, 0.2)
+    assert np.abs(audio).max() == 0.0
+    # the voice exists but renders silently (gain 0), like the reference
+    assert engine.pool.active.sum() == 1
+    assert engine.pool.gain[engine.pool.active.argmax()] == 0.0
+
+
+def test_positions_and_progress_callbacks():
+    engine = make_engine()
+    clip = make_clip(engine, seconds=1.0)
+    seen = []
+    clip.progress_callback = seen.append
+    clip.play(loop=True, midi_channel=0)
+    for _ in range(40):
+        res = engine.process_block()
+        engine.update_session(res)
+    assert len(clip.positions_model) == 1
+    assert clip.positions_model.first_progress() > 0
+    assert seen and seen[-1] > 0
+
+
+def test_midi_clock_emitted_every_third_tick():
+    engine = make_engine()
+    engine.start_transport(bpm=120)
+    clocks = 0
+    ticks = 0
+    for _ in range(100):
+        res = engine.process_block()
+        ticks += res.tick_count
+        clocks += sum(
+            1 for _, data in res.midi_out if data == bytes([0xF8])
+        )
+    assert clocks == (ticks + 2) // 3
+
+
+def test_voices_per_lane_cap():
+    engine = make_engine(voices_per_lane=2)
+    clips = [make_clip(engine) for _ in range(4)]
+    for c in clips:
+        c.play(loop=True, midi_channel=0)
+    engine.process_block()
+    assert engine.pool.active.sum() == 2
