@@ -328,8 +328,11 @@ class AudioEngine:
                 quirk_gain=self.quirk_gain,
             )
         else:
-            outputs = render_mod.render_block_jit(
-                sound, prog, self.strips,
+            from ..ops.voice import pack_program, pack_strips
+
+            prog_i, prog_f = pack_program(prog)
+            outputs = render_mod.render_block_packed(
+                sound, prog_i, prog_f, pack_strips(self.strips),
                 block_frames=self.block_frames, quirk_gain=self.quirk_gain,
             )
         adv = self.pool.advance(prog)

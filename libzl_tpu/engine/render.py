@@ -100,3 +100,26 @@ def render_block_jit(
     return render_block_math(
         jnp, sound_data, prog, strips, block_frames, quirk_gain=quirk_gain
     )
+
+
+@functools.partial(
+    __import__("jax").jit,
+    static_argnames=("block_frames", "quirk_gain"),
+)
+def render_block_packed(
+    sound_data,
+    prog_ints,
+    prog_floats,
+    strips_packed,
+    block_frames: int = DEFAULT_BLOCK_FRAMES,
+    quirk_gain: bool = False,
+) -> RenderOutputs:
+    """Packed-argument variant: exactly three host->device buffers per block
+    (program ints, program floats, strip params) — the hot dispatch path."""
+    import jax.numpy as jnp
+
+    prog = voice_ops.unpack_program(prog_ints, prog_floats)
+    strips = voice_ops.unpack_strips(strips_packed)
+    return render_block_math(
+        jnp, sound_data, prog, strips, block_frames, quirk_gain=quirk_gain
+    )

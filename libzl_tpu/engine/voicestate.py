@@ -431,20 +431,19 @@ class VoicePool:
         self.pos_int = np.where(act, new_pos_int, self.pos_int)
         self.pos_frac = np.where(act, new_pos_frac, self.pos_frac)
 
-        # envelope at the last rendered frame (voice-local frame space)
+        # envelope at the last rendered frame (voice-local frame space);
+        # point evaluation — O(V), not O(V*B)
         start_f = np.asarray(prog.start_frame).astype(np.int64)
         n_frames = B - start_f
-        env_last = adsr_ops.envelope_block(
-            np, prog.env, B, start_frame=np.asarray(prog.start_frame)
-        )[:, -1]
+        env_prog_np = adsr_ops.AdsrProgram(*(np.asarray(f) for f in prog.env))
+        env_last = adsr_ops.envelope_final(np, env_prog_np, n_frames)
         rf = np.asarray(prog.env.release_frame).astype(np.int64)
         released = act & (rf < n_frames)
         # new release rate fixed at trigger (linear mode)
-        e_r_prog = adsr_ops.AdsrProgram(*(np.asarray(f) for f in prog.env))
         e_r = np.where(
             rf > 0,
             adsr_ops.ads_env_at(
-                np, e_r_prog, np.maximum(rf, 1).astype(np.int32) - 1
+                np, env_prog_np, np.maximum(rf, 1).astype(np.int32) - 1
             ),
             np.asarray(prog.env.env0),
         )

@@ -113,47 +113,34 @@ def release_env(xp, e_r, steps, rel_rate, rel_log2, mode):
     return xp.where(mode == RELEASE_MODE_EXPONENTIAL, exponential, linear).astype(f32)
 
 
-def envelope_block(xp, prog: AdsrProgram, block_frames: int, start_frame=None):
-    """Envelope values for a whole block: returns [V, B] f32.
+def envelope_values(xp, prog: AdsrProgram, k):
+    """Envelope at arbitrary voice-local frame indices.
 
-    prog fields are [V]; k runs over [0, B). `start_frame` (optional [V])
-    shifts the envelope origin for voices that start mid-block: the envelope
-    advances in voice-local frames k - start_frame (values at k < start_frame
-    are unused — the render mask gates them). `release_frame` is interpreted
-    in the same voice-local frame space.
+    prog fields and `k` must already be mutually broadcastable (e.g. fields
+    [V,1] with k [1,B], or fields [V] with k [V]). Returns f32 of the
+    broadcast shape.
     """
     f32 = np.float32
-    if xp is np:
-        k = np.arange(block_frames, dtype=np.int32)[None, :]
-    else:
-        import jax
+    stage0 = prog.stage0
+    env0 = prog.env0
+    rf = prog.release_frame
+    mode = prog.rel_mode
 
-        k = jax.lax.broadcasted_iota(np.int32, (1, block_frames), 1)
-    if start_frame is not None:
-        k = xp.maximum(k - start_frame[:, None], 0)
-    col = lambda a: a[:, None]  # noqa: E731
-
-    stage0 = col(prog.stage0)
-    env0 = col(prog.env0)
-    rf = col(prog.release_frame)
-    mode = col(prog.rel_mode)
-
-    prog2 = AdsrProgram(*(col(f) for f in prog))
-    ads = ads_env_at(xp, prog2, k)
+    ads = ads_env_at(xp, prog, k)
 
     # Value just before the newly triggered release (frame rf-1; env0 if rf==0).
-    e_r = xp.where(rf > 0, ads_env_at(xp, prog2, xp.maximum(rf - 1, 0)), env0)
-    new_rel_rate = e_r * col(prog.inv_rel)
+    e_r = xp.where(rf > 0, ads_env_at(xp, prog, xp.maximum(rf - 1, 0)), env0)
+    new_rel_rate = e_r * prog.inv_rel
     # inv_rel == 0 means release<=0: immediate cut to zero (juce noteOff else-branch)
-    immediate = col(prog.inv_rel) <= 0
+    immediate = prog.inv_rel <= 0
     new_release = xp.where(
         immediate,
         f32(0.0),
-        release_env(xp, e_r, k - rf + 1, new_rel_rate, col(prog.rel_log2), mode),
+        release_env(xp, e_r, k - rf + 1, new_rel_rate, prog.rel_log2, mode),
     )
 
     from_release = release_env(
-        xp, env0, k + 1, col(prog.rel_rate), col(prog.rel_log2), mode
+        xp, env0, k + 1, prog.rel_rate, prog.rel_log2, mode
     )
 
     env = xp.where(
@@ -166,6 +153,34 @@ def envelope_block(xp, prog: AdsrProgram, block_frames: int, start_frame=None):
         ),
     )
     return env.astype(f32)
+
+
+def envelope_block(xp, prog: AdsrProgram, block_frames: int, start_frame=None):
+    """Envelope values for a whole block: returns [V, B] f32.
+
+    prog fields are [V]; k runs over [0, B). `start_frame` (optional [V])
+    shifts the envelope origin for voices that start mid-block: the envelope
+    advances in voice-local frames k - start_frame (values at k < start_frame
+    are unused — the render mask gates them). `release_frame` is interpreted
+    in the same voice-local frame space.
+    """
+    if xp is np:
+        k = np.arange(block_frames, dtype=np.int32)[None, :]
+    else:
+        import jax
+
+        k = jax.lax.broadcasted_iota(np.int32, (1, block_frames), 1)
+    if start_frame is not None:
+        k = xp.maximum(k - start_frame[:, None], 0)
+    prog2 = AdsrProgram(*(f[:, None] for f in prog))
+    return envelope_values(xp, prog2, k)
+
+
+def envelope_final(xp, prog: AdsrProgram, n_frames):
+    """Envelope at the last rendered frame (voice-local n_frames-1) per
+    voice: O(V), used by the host state mirror instead of a full block."""
+    k = xp.maximum(n_frames - 1, 0).astype(np.int32)
+    return envelope_values(xp, prog, k)
 
 
 def make_rates(attack: float, decay: float, sustain: float, release: float,

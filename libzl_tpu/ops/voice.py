@@ -67,6 +67,82 @@ class VoiceProgram(NamedTuple):
     env: adsr_ops.AdsrProgram
 
 
+_INT_SCALARS = [
+    "active", "base", "len_minus1", "rate_int", "start_frame", "stop_frame",
+    "lane",
+]
+_INT_ENV = ["stage0", "release_frame", "rel_mode"]
+_F32_SCALARS = ["rate_frac", "gain", "clip_volume", "pan"]
+_F32_ENV = [
+    "env0", "a_rate", "d_rate", "sustain", "rel_rate", "inv_rel", "rel_log2",
+]
+
+
+def pack_program(prog: VoiceProgram):
+    """Pack a VoiceProgram into two dense arrays: (i32 [V, Ki], f32 [V, Kf]).
+
+    The host builds ~27 small per-voice arrays per block; shipping them to the
+    device individually costs one transfer latency each (expensive over a
+    remote PJRT link). Packing makes the per-block host->device traffic
+    exactly two contiguous buffers; `unpack_program` runs inside the jitted
+    graph where slicing is free.
+    """
+    ints = [np.asarray(getattr(prog, n), np.int32)[:, None] for n in _INT_SCALARS]
+    ints += [np.asarray(getattr(prog.env, n), np.int32)[:, None] for n in _INT_ENV]
+    ints += [np.asarray(prog.seg_start, np.int32),
+             np.asarray(prog.seg_pos_int, np.int32)]
+    floats = [np.asarray(getattr(prog, n), np.float32)[:, None]
+              for n in _F32_SCALARS]
+    floats += [np.asarray(getattr(prog.env, n), np.float32)[:, None]
+               for n in _F32_ENV]
+    floats += [np.asarray(prog.seg_pos_frac, np.float32)]
+    return np.concatenate(ints, axis=1), np.concatenate(floats, axis=1)
+
+
+def unpack_program(ints, floats) -> VoiceProgram:
+    """Inverse of pack_program; works on numpy or traced jax arrays."""
+    S = MAX_SEGMENTS_PER_BLOCK
+    ni, ne = len(_INT_SCALARS), len(_INT_ENV)
+    nf, nfe = len(_F32_SCALARS), len(_F32_ENV)
+    int_cols = {n: ints[:, i] for i, n in enumerate(_INT_SCALARS)}
+    env_int = {n: ints[:, ni + i] for i, n in enumerate(_INT_ENV)}
+    seg_start = ints[:, ni + ne : ni + ne + S]
+    seg_pos_int = ints[:, ni + ne + S : ni + ne + 2 * S]
+    f_cols = {n: floats[:, i] for i, n in enumerate(_F32_SCALARS)}
+    env_f = {n: floats[:, nf + i] for i, n in enumerate(_F32_ENV)}
+    seg_pos_frac = floats[:, nf + nfe : nf + nfe + S]
+    env = adsr_ops.AdsrProgram(
+        stage0=env_int["stage0"],
+        release_frame=env_int["release_frame"],
+        rel_mode=env_int["rel_mode"],
+        **env_f,
+    )
+    return VoiceProgram(
+        seg_start=seg_start,
+        seg_pos_int=seg_pos_int,
+        seg_pos_frac=seg_pos_frac,
+        env=env,
+        **int_cols,
+        **f_cols,
+    )
+
+
+def pack_strips(strips) -> np.ndarray:
+    """StripParams -> one [5, K] f32 array (order: dry, wet1, wet2, pan, muted)."""
+    return np.stack(
+        [np.asarray(f, np.float32) for f in strips], axis=0
+    )
+
+
+def unpack_strips(packed):
+    from .mixer import StripParams
+
+    return StripParams(
+        dry=packed[0], wet1=packed[1], wet2=packed[2],
+        pan=packed[3], muted=packed[4],
+    )
+
+
 def empty_program(num_voices: int, block_frames: int) -> VoiceProgram:
     """An all-idle program (host fills in active voices per block)."""
     V, S = num_voices, MAX_SEGMENTS_PER_BLOCK

@@ -1,0 +1,92 @@
+"""Multi-chip scaling: shard the voice axis over a device mesh.
+
+The reference scales by handing each sampler channel its own JACK client so
+the OS can schedule them in parallel (lib/SamplerSynth.cpp:88-114). The TPU
+equivalent (SURVEY.md §2 "Distributed communication backend") shards the
+*voice axis* of the render grid across chips with jax.sharding: every chip
+renders V/n voices, and the only cross-device traffic is the per-lane
+mixdown contraction — XLA lowers the one-hot [C,V] x [V,B*2] matmul over a
+sharded V to a local matmul + psum over ICI, the moral equivalent of JACK's
+additive port mixing.
+
+Sound memory is replicated (every chip may need any sample); per-voice
+program arrays are sharded; mixes/meters come back replicated; per-voice
+peaks stay sharded.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..constants import DEFAULT_BLOCK_FRAMES
+from ..engine import render as render_mod
+from ..ops import mixer as mixer_ops
+from ..ops import voice as voice_ops
+
+VOICE_AXIS = "voices"
+
+
+def make_mesh(n_devices: Optional[int] = None) -> Mesh:
+    devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return Mesh(np.array(devices), (VOICE_AXIS,))
+
+
+def program_sharding(mesh: Mesh) -> voice_ops.VoiceProgram:
+    """NamedShardings for each VoiceProgram leaf: sharded on the voice axis."""
+    v = NamedSharding(mesh, P(VOICE_AXIS))
+    vs = NamedSharding(mesh, P(VOICE_AXIS, None))
+    from ..ops.adsr import AdsrProgram
+
+    env = AdsrProgram(
+        stage0=v, env0=v, a_rate=v, d_rate=v, sustain=v, rel_rate=v,
+        inv_rel=v, rel_log2=v, release_frame=v, rel_mode=v,
+    )
+    return voice_ops.VoiceProgram(
+        active=v, base=v, len_minus1=v,
+        seg_start=vs, seg_pos_int=vs, seg_pos_frac=vs,
+        rate_int=v, rate_frac=v, start_frame=v, stop_frame=v,
+        gain=v, clip_volume=v, pan=v, lane=v, env=env,
+    )
+
+
+def make_sharded_render(
+    mesh: Mesh,
+    block_frames: int = DEFAULT_BLOCK_FRAMES,
+    quirk_gain: bool = False,
+):
+    """A jitted render_block with the voice axis sharded over `mesh`.
+
+    Outputs: mixes/meters replicated; voice_peaks sharded on the voice axis.
+    """
+    repl = NamedSharding(mesh, P())
+    vshard = NamedSharding(mesh, P(VOICE_AXIS))
+
+    prog_in = program_sharding(mesh)
+    strips_in = mixer_ops.StripParams(
+        dry=repl, wet1=repl, wet2=repl, pan=repl, muted=repl
+    )
+    out_shardings = render_mod.RenderOutputs(
+        master=repl, lane_mix=repl, strip_dry=repl, strip_wet1=repl,
+        strip_wet2=repl, lane_peaks=repl, master_peak=repl,
+        voice_peaks=vshard,
+    )
+
+    import jax.numpy as jnp
+
+    def fn(sound_data, prog, strips):
+        return render_mod.render_block_math(
+            jnp, sound_data, prog, strips, block_frames, quirk_gain=quirk_gain
+        )
+
+    return jax.jit(
+        fn,
+        in_shardings=(repl, prog_in, strips_in),
+        out_shardings=out_shardings,
+    )
