@@ -73,11 +73,20 @@ class AudioEngine:
         backend: str = "jax",
         voices_per_lane: Optional[int] = None,
         quirk_gain: bool = False,
+        fetch: str = "auto",
     ):
         self.sample_rate = sample_rate
         self.block_frames = block_frames
         self.backend = backend
         self.quirk_gain = quirk_gain
+        if fetch == "auto":
+            if backend == "numpy":
+                fetch = "gather"
+            else:
+                import jax
+
+                fetch = "windows" if jax.default_backend() == "tpu" else "gather"
+        self.fetch = fetch
 
         self.clock = BlockClock(
             sample_rate=float(sample_rate),
@@ -98,6 +107,25 @@ class AudioEngine:
         self.lane_enabled = np.ones(NUM_SAMPLER_CHANNELS, bool)
 
         self.clips: dict[int, object] = {}
+        from ..midi.router import MidiRouter
+        from ..midi.transport import TransportManager
+        from ..models.sampler_map import SamplerNoteMapper
+
+        self.router = MidiRouter()
+        self.transport = TransportManager(self)
+        self.sampler_map = SamplerNoteMapper(self)
+        # When True (default), Start/StopPlayback timer commands drive the
+        # engine transport directly; the reference instead emits
+        # pleaseStart/StopPlayback for the UI to act on — callbacks fire
+        # either way.
+        self.transport_commands_control_engine = True
+        from ..models.audio_levels import AudioLevels
+
+        self.levels = AudioLevels(self)
+        # 50 ms analysis cadence in blocks (lib/AudioLevels.cpp:325)
+        self._levels_every = max(
+            int(0.05 * sample_rate / block_frames), 1
+        )
         self.transport_running = False
         # callbacks (SyncTimer signals / C callback registry,
         # lib/SyncTimer.cpp:397-401, libzl.h:74-75)
@@ -222,9 +250,13 @@ class AudioEngine:
         if op == Operation.START_PLAYBACK:
             for cb in self.start_playback_callbacks:
                 cb()
+            if self.transport_commands_control_engine:
+                self.start_transport()
         elif op == Operation.STOP_PLAYBACK:
             for cb in self.stop_playback_callbacks:
                 cb()
+            if self.transport_commands_control_engine:
+                self.stop_transport()
         elif op in (Operation.CLIP_COMMAND, Operation.START_CLIP_LOOP,
                     Operation.STOP_CLIP_LOOP):
             clip_cmd = cmd.data_parameter
@@ -314,6 +346,18 @@ class AudioEngine:
             for tcmd in step.timer_commands:
                 self._apply_timer_command(tcmd, tick, offset)
 
+        # MIDI routing fabric: transport ticks, internal + hardware routing,
+        # transport control, note->sampler mapping (all sample-offset aware)
+        self.transport.emit_ticks(
+            self.clock.sample_position, self.block_frames, midi_out
+        )
+        self.router.begin_block()
+        self.router.route_internal(midi_out)
+        self.router.route_hardware()
+        self.transport.handle_passthrough(self.router.passthrough_out)
+        self.sampler_map.handle(self.router, self.router.passthrough_out)
+        self.router.flush_external()
+
         prog = self.pool.build_program(
             block_start_sample=float(self.clock.sample_position),
             tick_anchor_sample=self.clock.anchor_sample,
@@ -334,6 +378,7 @@ class AudioEngine:
             outputs = render_mod.render_block_packed(
                 sound, prog_i, prog_f, pack_strips(self.strips),
                 block_frames=self.block_frames, quirk_gain=self.quirk_gain,
+                fetch=self.fetch,
             )
         adv = self.pool.advance(prog)
         # dead voices release their playback positions
@@ -351,8 +396,13 @@ class AudioEngine:
 
     def update_session(self, result: BlockResult) -> None:
         """Feed voice peaks/progress back to the clip positions models
-        (lib/SamplerSynthVoice.cpp:264-267). Call at UI cadence — forces a
-        device sync for the [V] peak vector."""
+        (lib/SamplerSynthVoice.cpp:264-267), the AudioLevels meters and any
+        active disk recorders. Call at UI cadence — forces a device sync."""
+        self.levels.ingest_block(result.outputs)
+        if self.total_blocks % self._levels_every == 0:
+            self.levels.analyze()
+        if self.levels.is_recording:
+            self.levels.feed_recorders(result.outputs)
         peaks = np.asarray(result.outputs.voice_peaks)
         progress = self.pool.progress()
         for v in np.flatnonzero(self.pool.active):

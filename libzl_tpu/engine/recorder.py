@@ -1,0 +1,111 @@
+"""Threaded WAV disk recording (the DiskWriter/ThreadedWriter equivalent).
+
+The reference records via a juce ThreadedWriter with a 32768-sample FIFO on a
+TimeSliceThread (lib/AudioLevels.cpp:35-119): the RT callback pushes blocks,
+a worker thread drains to a 16-bit WAV. Here the engine's host loop pushes
+rendered blocks (already on host) into a queue drained by a writer thread.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+import time
+from pathlib import Path
+from typing import Optional
+
+import numpy as np
+
+from ..constants import RECORDER_BIT_DEPTH, RECORDER_FIFO_SAMPLES
+
+
+def timestamped_filename(prefix: str, suffix: str = ".wav") -> str:
+    """Reference naming rule: the prefix is used verbatim when it already
+    ends in .wav, otherwise a timestamp is appended
+    (lib/AudioLevels.cpp:539-547)."""
+    if prefix.endswith(".wav"):
+        return prefix
+    stamp = time.strftime("%Y%m%d-%H%M") + f"{time.time() % 60:06.3f}"
+    return f"{prefix}{stamp}{suffix}"
+
+
+class DiskRecorder:
+    """One recording target: a WAV file fed from a bounded queue."""
+
+    def __init__(self, bit_depth: int = RECORDER_BIT_DEPTH):
+        self.bit_depth = bit_depth
+        self._queue: Optional[queue.Queue] = None
+        self._thread: Optional[threading.Thread] = None
+        self._file: Optional[Path] = None
+        self._wave = None
+        self._recording = False
+        self.frames_written = 0
+
+    @property
+    def is_recording(self) -> bool:
+        return self._recording
+
+    @property
+    def file_path(self) -> Optional[Path]:
+        return self._file
+
+    def start(self, path: str | Path, sample_rate: int,
+              channels: int = 2) -> None:
+        if self._recording:
+            self.stop()
+        import wave
+
+        path = Path(path)
+        path.parent.mkdir(parents=True, exist_ok=True)
+        self._file = path
+        self._wave = wave.open(str(path), "wb")
+        self._wave.setnchannels(channels)
+        self._wave.setsampwidth(self.bit_depth // 8)
+        self._wave.setframerate(int(sample_rate))
+        # bound the queue like the reference FIFO (blocks if the writer falls
+        # behind rather than exhausting memory)
+        max_blocks = max(RECORDER_FIFO_SAMPLES // 128, 4)
+        self._queue = queue.Queue(maxsize=max_blocks)
+        self._recording = True
+        self.frames_written = 0
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+
+    def push(self, block: np.ndarray) -> None:
+        """Append [frames, channels] float32 audio."""
+        if self._recording and self._queue is not None:
+            self._queue.put(np.asarray(block))
+
+    def stop(self) -> None:
+        if not self._recording:
+            return
+        self._recording = False
+        self._queue.put(None)  # sentinel
+        if self._thread is not None:
+            self._thread.join(timeout=10.0)
+        self._thread = None
+
+    def _run(self) -> None:
+        scale = float((1 << (self.bit_depth - 1)) - 1)
+        width = self.bit_depth // 8
+        while True:
+            block = self._queue.get()
+            if block is None:
+                break
+            clipped = np.clip(block, -1.0, 1.0)
+            ints = np.round(clipped * scale)
+            if width == 2:
+                raw = ints.astype("<i2").tobytes()
+            elif width == 3:
+                i32 = ints.astype(np.int32).reshape(-1)
+                b = np.empty((i32.size, 3), np.uint8)
+                b[:, 0] = i32 & 0xFF
+                b[:, 1] = (i32 >> 8) & 0xFF
+                b[:, 2] = (i32 >> 16) & 0xFF
+                raw = b.tobytes()
+            else:
+                raw = ints.astype("<i4").tobytes()
+            self._wave.writeframes(raw)
+            self.frames_written += block.shape[0]
+        self._wave.close()
+        self._wave = None

@@ -55,10 +55,11 @@ def render_block_math(
     strips: mixer_ops.StripParams,
     block_frames: int,
     quirk_gain: bool = False,
+    fetch: str = "gather",
 ) -> RenderOutputs:
     """Backend-generic render math (numpy golden mirror + jax device path)."""
     lane_mix, voice_peaks = voice_ops.render_voices(
-        xp, sound_data, prog, block_frames, quirk_gain=quirk_gain
+        xp, sound_data, prog, block_frames, quirk_gain=quirk_gain, fetch=fetch
     )
     master_raw = lane_mix.sum(axis=0)  # the JACK system:playback additive sum
 
@@ -104,7 +105,7 @@ def render_block_jit(
 
 @functools.partial(
     __import__("jax").jit,
-    static_argnames=("block_frames", "quirk_gain"),
+    static_argnames=("block_frames", "quirk_gain", "fetch"),
 )
 def render_block_packed(
     sound_data,
@@ -113,6 +114,7 @@ def render_block_packed(
     strips_packed,
     block_frames: int = DEFAULT_BLOCK_FRAMES,
     quirk_gain: bool = False,
+    fetch: str = "gather",
 ) -> RenderOutputs:
     """Packed-argument variant: exactly three host->device buffers per block
     (program ints, program floats, strip params) — the hot dispatch path."""
@@ -121,5 +123,6 @@ def render_block_packed(
     prog = voice_ops.unpack_program(prog_ints, prog_floats)
     strips = voice_ops.unpack_strips(strips_packed)
     return render_block_math(
-        jnp, sound_data, prog, strips, block_frames, quirk_gain=quirk_gain
+        jnp, sound_data, prog, strips, block_frames, quirk_gain=quirk_gain,
+        fetch=fetch,
     )

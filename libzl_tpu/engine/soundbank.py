@@ -38,6 +38,10 @@ class SoundSlot:
 # One guard frame past the end so `pos+1` of the final valid fetch index is
 # in-bounds without branching (the kernel masks `pos < length-1` anyway).
 _GUARD_FRAMES = 8
+# The Pallas fetch kernel reads 1024-row blocks anchored at any allocated
+# offset plus one following block; keep a 2048-row tail so window DMA never
+# runs off the array (ops/fetch_pallas.py).
+_TAIL_GUARD = 2048
 
 
 class SoundBank:
@@ -67,8 +71,8 @@ class SoundBank:
         samples = to_stereo(np.asarray(audio.samples, dtype=np.float32))
         length = samples.shape[0]
         padded = length + _GUARD_FRAMES
-        if self._used + padded > self.capacity_frames:
-            self._grow(self._used + padded)
+        if self._used + padded > self.capacity_frames - _TAIL_GUARD:
+            self._grow(self._used + padded + _TAIL_GUARD)
         base = self._used
         self._data[base : base + length] = samples
         self._data[base + length : base + padded] = 0.0
@@ -102,8 +106,8 @@ class SoundBank:
             self._data[base + length : base + padded] = 0.0
         else:
             padded = length + _GUARD_FRAMES
-            if self._used + padded > self.capacity_frames:
-                self._grow(self._used + padded)
+            if self._used + padded > self.capacity_frames - _TAIL_GUARD:
+                self._grow(self._used + padded + _TAIL_GUARD)
             base = self._used
             self._data[base : base + length] = samples
             self._used += padded
@@ -128,6 +132,8 @@ class SoundBank:
         new_cap = self.capacity_frames
         while new_cap < min_frames:
             new_cap *= 2
+        # keep the flat array a multiple of the fetch-window block size
+        new_cap = ((new_cap + 1023) // 1024) * 1024
         grown = np.zeros((new_cap, 2), dtype=np.float32)
         grown[: self._used] = self._data[: self._used]
         self._data = grown

@@ -151,6 +151,13 @@ class VoicePool:
         self.source_rate[v] = source_rate
 
         ratio = pitch_ratio(midi_note, root_note, source_rate, self.output_rate)
+        # clamp so a block's position span stays inside one fetch window
+        # (ops/fetch_pallas.MAX_SPAN). At 128-frame blocks this allows ~+2
+        # octaves of upward transposition; beyond that is outside the
+        # groovebox's musical envelope.
+        from ..ops.fetch_pallas import MAX_SPAN
+
+        ratio = min(ratio, MAX_SPAN / self.block_frames)
         self.rate_int[v] = int(ratio)
         self.rate_frac[v] = np.float32(ratio - int(ratio))
         self.istart[v] = int(start_sec * source_rate)
@@ -343,11 +350,21 @@ class VoicePool:
         # ops/adsr.envelope_block)
         release_frames_local = np.clip(release_frames - start_f, 0, _BIG)
 
+        # fetch-window anchors for the Pallas streaming kernel
+        # (ops/fetch_pallas.py): A around the current segment position, B
+        # around the loop-reset target
+        from ..ops.fetch_pallas import SOUND_BLOCK as _WBLK
+
+        win_blk_a = (self.base + seg_pos_int[:, 0]) // _WBLK
+        win_blk_b = (self.base + istart64) // _WBLK
+
         # --- fill program arrays ---
         prog = prog._replace(
             active=act.astype(np.int32),
             base=self.base.astype(np.int32),
             len_minus1=np.maximum(self.length - 1, 1).astype(np.int32),
+            win_blk_a=np.maximum(win_blk_a, 0).astype(np.int32),
+            win_blk_b=np.maximum(win_blk_b, 0).astype(np.int32),
             seg_start=np.minimum(seg_start, B).astype(np.int32),
             seg_pos_int=seg_pos_int.astype(np.int32),
             seg_pos_frac=seg_pos_frac,

@@ -1,0 +1,215 @@
+"""AudioLevels: system-wide metering + multi-track recording orchestration.
+
+Python equivalent of lib/AudioLevels.{h,cpp}. The reference runs 13 JACK
+tap clients (SystemCapture, SystemPlayback, SystemRecorder, Channel1-10,
+lib/AudioLevels.cpp:279-318) and scans their buffers on a 50 ms timer with a
+fixed-point x2^17 peak trick, dBFS conversion with a -200 floor, and a x0.9
+peak-hold decay (:330-412). In the TPU build the per-block peaks arrive free
+from the render graph (ops/meters.py); this object reproduces the fixed-point
+accumulation, decay cadence and dBFS outputs, and owns the disk recorders:
+
+- global playback recorder (record what the master plays, :514-534)
+- port recorder with an editable port list (:462-499) — ports here are the
+  engine's output taps, named "master", "lane:<n>", "strip:<n>:dry" etc.
+- 10 per-channel recorders
+
+Channel index map (reference ordering, lib/AudioLevels.cpp:347-412):
+0 = capture, 1 = playback (with peak-hold), 2 = recorder, 3..12 = channels.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Optional
+
+import numpy as np
+
+from ..constants import (
+    METER_DBFS_FLOOR,
+    NUM_SAMPLER_CHANNELS,
+    PEAK_HOLD_DECAY,
+    PEAK_INT_DECAY_PER_TICK,
+    PEAK_INT_SCALE,
+    PEAK_INT_TO_FLOAT,
+)
+from ..engine.recorder import DiskRecorder, timestamped_filename
+from ..ops.meters import add_dbfs, to_dbfs
+
+NUM_METER_CHANNELS = 13
+IDX_CAPTURE = 0
+IDX_PLAYBACK = 1
+IDX_RECORDER = 2
+IDX_FIRST_CHANNEL = 3
+NUM_TRACKS = 10
+
+
+class AudioLevels:
+    def __init__(self, engine):
+        self.engine = engine
+        self._peak_int = np.zeros((NUM_METER_CHANNELS, 2), np.int64)
+        self._hold_signal = np.zeros(2, np.float64)  # playback peak-hold
+        # published properties (dBFS)
+        self.capture_a = self.capture_b = METER_DBFS_FLOOR
+        self.playback_a = self.playback_b = METER_DBFS_FLOOR
+        self.playback = METER_DBFS_FLOOR
+        self.playback_a_hold = self.playback_b_hold = METER_DBFS_FLOOR
+        self.recording_a = self.recording_b = METER_DBFS_FLOOR
+        self.channels_a = [METER_DBFS_FLOOR] * NUM_TRACKS
+        self.channels_b = [METER_DBFS_FLOOR] * NUM_TRACKS
+        self.channels = [METER_DBFS_FLOOR] * NUM_TRACKS
+        # recording state
+        self.record_global_playback = False
+        self.should_record_ports = False
+        self.global_playback_prefix = ""
+        self.ports_prefix = ""
+        self.record_ports: list[tuple[str, int]] = []
+        self._global_recorder = DiskRecorder()
+        self._ports_recorder = DiskRecorder()
+        self._channel_recorders = [DiskRecorder() for _ in range(NUM_TRACKS)]
+        self.channels_to_record: list[int] = []
+
+    # ------------------------------------------------------------- metering
+
+    def ingest_block(self, outputs) -> None:
+        """Fold one block's peaks into the fixed-point accumulators
+        (replaces the reference's buffer re-scan, lib/AudioLevels.cpp:356-383).
+        """
+        lane_peaks = np.asarray(outputs.lane_peaks)       # [12, 2]
+        master_peak = np.asarray(outputs.master_peak)     # [2]
+        ints = np.zeros((NUM_METER_CHANNELS, 2), np.int64)
+        ints[IDX_PLAYBACK] = np.abs(master_peak * PEAK_INT_SCALE).astype(np.int64)
+        ints[IDX_RECORDER] = ints[IDX_PLAYBACK]
+        # sketchpad channels sit on lanes 2..11 (constants.channel_to_lane)
+        ints[IDX_FIRST_CHANNEL:] = np.abs(
+            lane_peaks[2 : 2 + NUM_TRACKS] * PEAK_INT_SCALE
+        ).astype(np.int64)
+        self._peak_int = np.maximum(self._peak_int, ints)
+
+    def analyze(self) -> None:
+        """The 50 ms analysis pass (lib/AudioLevels.cpp:347-412): decay the
+        integer peaks, convert to dBFS, update the playback peak-hold."""
+        self._peak_int = np.maximum(self._peak_int - PEAK_INT_DECAY_PER_TICK, 0)
+        peaks = self._peak_int.astype(np.float64) * PEAK_INT_TO_FLOAT
+        db = np.array(
+            [[to_dbfs(p) for p in row] for row in peaks], np.float64
+        )
+        self.capture_a, self.capture_b = db[IDX_CAPTURE]
+        self.playback_a, self.playback_b = db[IDX_PLAYBACK]
+        self.playback = add_dbfs(self.playback_a, self.playback_b)
+        pa, pb = peaks[IDX_PLAYBACK]
+        self._hold_signal[0] = (
+            pa if pa >= self._hold_signal[0]
+            else self._hold_signal[0] * PEAK_HOLD_DECAY
+        )
+        self._hold_signal[1] = (
+            pb if pb >= self._hold_signal[1]
+            else self._hold_signal[1] * PEAK_HOLD_DECAY
+        )
+        self.playback_a_hold = to_dbfs(self._hold_signal[0])
+        self.playback_b_hold = to_dbfs(self._hold_signal[1])
+        self.recording_a, self.recording_b = db[IDX_RECORDER]
+        for i in range(NUM_TRACKS):
+            a, b = db[IDX_FIRST_CHANNEL + i]
+            self.channels_a[i] = a
+            self.channels_b[i] = b
+            self.channels[i] = add_dbfs(a, b)
+
+    # ------------------------------------------------------------ recording
+
+    @property
+    def is_recording(self) -> bool:
+        return (
+            self._global_recorder.is_recording
+            or self._ports_recorder.is_recording
+            or any(r.is_recording for r in self._channel_recorders)
+        )
+
+    def set_record_global_playback(self, should: bool) -> None:
+        self.record_global_playback = bool(should)
+
+    def set_global_playback_filename_prefix(self, prefix: str) -> None:
+        self.global_playback_prefix = prefix
+
+    def set_record_ports_filename_prefix(self, prefix: str) -> None:
+        self.ports_prefix = prefix
+
+    def add_record_port(self, port_name: str, channel: int) -> None:
+        """lib/AudioLevels.cpp:462-481: (port, 0|1) pairs feed the stereo
+        ports recorder."""
+        pair = (port_name, int(channel))
+        if pair not in self.record_ports:
+            self.record_ports.append(pair)
+
+    def remove_record_port(self, port_name: str, channel: int) -> None:
+        pair = (port_name, int(channel))
+        if pair in self.record_ports:
+            self.record_ports.remove(pair)
+
+    def clear_record_ports(self) -> None:
+        self.record_ports.clear()
+
+    def set_should_record_ports(self, should: bool) -> None:
+        self.should_record_ports = bool(should)
+
+    def set_channels_to_record(self, channels: list[int]) -> None:
+        self.channels_to_record = [c for c in channels if 0 <= c < NUM_TRACKS]
+
+    def start_recording(self) -> None:
+        """lib/AudioLevels.cpp:514-560."""
+        sr = self.engine.sample_rate
+        if self.record_global_playback:
+            self._global_recorder.start(
+                timestamped_filename(self.global_playback_prefix), sr
+            )
+        if self.should_record_ports and self.record_ports:
+            self._ports_recorder.start(
+                timestamped_filename(self.ports_prefix), sr
+            )
+        for c in self.channels_to_record:
+            self._channel_recorders[c].start(
+                timestamped_filename(f"{self.ports_prefix}channel{c + 1}-"), sr
+            )
+
+    def stop_recording(self) -> None:
+        self._global_recorder.stop()
+        self._ports_recorder.stop()
+        for r in self._channel_recorders:
+            r.stop()
+
+    def _resolve_port(self, outputs, port_name: str, channel: int) -> np.ndarray:
+        """Map a record-port name to one mono stream [B]."""
+        master = np.asarray(outputs.master)
+        if port_name == "master" or port_name.startswith("system:playback"):
+            return master[:, channel % 2]
+        if port_name.startswith("lane:"):
+            lane = int(port_name.split(":")[1])
+            return np.asarray(outputs.lane_mix)[lane][:, channel % 2]
+        if port_name.startswith("strip:"):
+            _, idx, which = port_name.split(":")
+            arr = {
+                "dry": outputs.strip_dry,
+                "wet1": outputs.strip_wet1,
+                "wet2": outputs.strip_wet2,
+            }[which]
+            return np.asarray(arr)[int(idx)][:, channel % 2]
+        return master[:, channel % 2]
+
+    def feed_recorders(self, outputs) -> None:
+        """Push one rendered block into every active recorder."""
+        if self._global_recorder.is_recording:
+            self._global_recorder.push(np.asarray(outputs.master))
+        if self._ports_recorder.is_recording and self.record_ports:
+            left = self._resolve_port(outputs, *self.record_ports[0])
+            right = (
+                self._resolve_port(outputs, *self.record_ports[1])
+                if len(self.record_ports) > 1
+                else left
+            )
+            self._ports_recorder.push(np.stack([left, right], axis=1))
+        lane_mix = None
+        for c in self.channels_to_record:
+            rec = self._channel_recorders[c]
+            if rec.is_recording:
+                if lane_mix is None:
+                    lane_mix = np.asarray(outputs.lane_mix)
+                rec.push(lane_mix[2 + c])

@@ -53,6 +53,8 @@ class VoiceProgram(NamedTuple):
     active: Any          # int32 0/1: voice renders this block
     base: Any            # int32: sound base offset in the flat sample array
     len_minus1: Any      # int32: sound length - 1 ("sampleDuration")
+    win_blk_a: Any       # int32: fetch window A anchor (1024-row block index)
+    win_blk_b: Any       # int32: fetch window B anchor (loop-reset target)
     seg_start: Any       # int32 [V, S]: first frame of each segment
     seg_pos_int: Any     # int32 [V, S]: whole sample position at segment start
     seg_pos_frac: Any    # f32   [V, S]: fractional sample position at segment start
@@ -68,8 +70,8 @@ class VoiceProgram(NamedTuple):
 
 
 _INT_SCALARS = [
-    "active", "base", "len_minus1", "rate_int", "start_frame", "stop_frame",
-    "lane",
+    "active", "base", "len_minus1", "win_blk_a", "win_blk_b", "rate_int",
+    "start_frame", "stop_frame", "lane",
 ]
 _INT_ENV = ["stage0", "release_frame", "rel_mode"]
 _F32_SCALARS = ["rate_frac", "gain", "clip_volume", "pan"]
@@ -152,6 +154,8 @@ def empty_program(num_voices: int, block_frames: int) -> VoiceProgram:
         active=zi(),
         base=zi(),
         len_minus1=np.ones(V, np.int32),
+        win_blk_a=zi(),
+        win_blk_b=zi(),
         seg_start=np.full((V, S), block_frames, np.int32),
         seg_pos_int=zi(V, S),
         seg_pos_frac=zf(V, S),
@@ -201,7 +205,7 @@ def positions_block(xp, prog: VoiceProgram, block_frames: int):
     carry = xp.floor(frac_full)
     pos_int = s_int + jc * prog.rate_int[:, None] + carry.astype(np.int32)
     alpha = (frac_full - carry).astype(f32)
-    return pos_int, alpha, j
+    return pos_int, alpha, seg_idx
 
 
 def render_voices(
@@ -212,9 +216,12 @@ def render_voices(
     quirk_gain: bool = False,
     num_lanes: int = NUM_SAMPLER_CHANNELS,
     return_contrib: bool = False,
+    fetch: str = "gather",
 ):
     """Render all voices for one block.
 
+    fetch: "gather" (XLA gather / numpy indexing) or "windows" (the Pallas
+    streaming-window kernel, TPU only — see ops/fetch_pallas.py).
     Returns (mix [C, B, 2] f32, voice_peak [V] f32[, contrib [V, B, 2]]).
     """
     f32 = np.float32
@@ -226,7 +233,7 @@ def render_voices(
 
         k = jax.lax.broadcasted_iota(np.int32, (1, B), 1)
 
-    pos_int, alpha, _ = positions_block(xp, prog, B)
+    pos_int, alpha, seg_idx = positions_block(xp, prog, B)
     env = adsr_ops.envelope_block(
         xp, prog.env, B, start_frame=prog.start_frame
     )  # [V, B], voice-local frame origin
@@ -240,28 +247,53 @@ def render_voices(
     # (lib/SamplerSynthVoice.cpp:204); otherwise the frame contributes 0.
     valid = renders & (pos_int >= 0) & (pos_int < prog.len_minus1[:, None])
 
-    # Both taps are clamped into the sound's own region; lanes where the
-    # clamp changed anything are masked off by `valid` above.
-    lm1 = prog.len_minus1[:, None]
-    safe_pos0 = xp.clip(pos_int, 0, lm1) + prog.base[:, None]
-    safe_pos1 = xp.clip(pos_int + 1, 0, lm1) + prog.base[:, None]
-    if xp is np:
-        tap0 = sound_data[safe_pos0]         # [V, B, 2]
-        tap1 = sound_data[safe_pos1]
-    else:
-        tap0 = xp.take(sound_data, safe_pos0, axis=0)
-        tap1 = xp.take(sound_data, safe_pos1, axis=0)
-
     g = (prog.gain[:, None] * env * prog.clip_volume[:, None]).astype(f32)
     inv_alpha = f32(1.0) - alpha
-    if quirk_gain:
-        # Reference-exact expression: gain chain on the second tap only
-        # (lib/SamplerSynthVoice.cpp:204-205).
-        l = tap0[..., 0] * inv_alpha + tap1[..., 0] * alpha * g
-        r = tap0[..., 1] * inv_alpha + tap1[..., 1] * alpha * g
+
+    if fetch == "windows" and quirk_gain:
+        # the reference-exact parity expression needs the taps separately;
+        # parity testing is not a hot path — use the gather fetch
+        fetch = "gather"
+    if fetch == "windows":
+        from .fetch_pallas import REGION, SOUND_BLOCK, fetch_interp
+
+        # window-relative addressing: segment 0 -> window A ([0, REGION)),
+        # wrap segments -> window B (offset REGION)
+        in_a = seg_idx == 0
+        anchor = xp.where(in_a, prog.win_blk_a[:, None], prog.win_blk_b[:, None])
+        pos_local = (
+            pos_int
+            + prog.base[:, None]
+            - anchor * SOUND_BLOCK
+            + xp.where(in_a, 0, REGION)
+        ).astype(np.int32)
+        interp = fetch_interp(
+            sound_data, pos_local, alpha,
+            prog.win_blk_a, prog.win_blk_b, block_frames=B,
+        )
+        l = interp[..., 0] * g
+        r = interp[..., 1] * g
     else:
-        l = (tap0[..., 0] * inv_alpha + tap1[..., 0] * alpha) * g
-        r = (tap0[..., 1] * inv_alpha + tap1[..., 1] * alpha) * g
+        # Both taps are clamped into the sound's own region; lanes where the
+        # clamp changed anything are masked off by `valid` above.
+        lm1 = prog.len_minus1[:, None]
+        safe_pos0 = xp.clip(pos_int, 0, lm1) + prog.base[:, None]
+        safe_pos1 = xp.clip(pos_int + 1, 0, lm1) + prog.base[:, None]
+        if xp is np:
+            tap0 = sound_data[safe_pos0]         # [V, B, 2]
+            tap1 = sound_data[safe_pos1]
+        else:
+            tap0 = xp.take(sound_data, safe_pos0, axis=0)
+            tap1 = xp.take(sound_data, safe_pos1, axis=0)
+
+        if quirk_gain:
+            # Reference-exact expression: gain chain on the second tap only
+            # (lib/SamplerSynthVoice.cpp:204-205).
+            l = tap0[..., 0] * inv_alpha + tap1[..., 0] * alpha * g
+            r = tap0[..., 1] * inv_alpha + tap1[..., 1] * alpha * g
+        else:
+            l = (tap0[..., 0] * inv_alpha + tap1[..., 0] * alpha) * g
+            r = (tap0[..., 1] * inv_alpha + tap1[..., 1] * alpha) * g
     zero = f32(0.0)
     l = xp.where(valid, l, zero)
     r = xp.where(valid, r, zero)

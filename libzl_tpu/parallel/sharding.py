@@ -49,7 +49,7 @@ def program_sharding(mesh: Mesh) -> voice_ops.VoiceProgram:
         inv_rel=v, rel_log2=v, release_frame=v, rel_mode=v,
     )
     return voice_ops.VoiceProgram(
-        active=v, base=v, len_minus1=v,
+        active=v, base=v, len_minus1=v, win_blk_a=v, win_blk_b=v,
         seg_start=vs, seg_pos_int=vs, seg_pos_frac=vs,
         rate_int=v, rate_frac=v, start_frame=v, stop_frame=v,
         gain=v, clip_volume=v, pan=v, lane=v, env=env,

@@ -1,0 +1,116 @@
+"""AudioLevels metering + recording tests."""
+
+import numpy as np
+import pytest
+
+from libzl_tpu.engine.engine import AudioEngine
+from libzl_tpu.io.wav import AudioData, read_wav
+from libzl_tpu.models.clip import ClipAudioSource
+from libzl_tpu.ops.meters import add_dbfs, to_dbfs
+
+SR = 48000
+
+
+def make_session():
+    engine = AudioEngine(sample_rate=SR, backend="numpy", num_voices=16)
+    t = np.arange(SR) / SR
+    samples = (0.5 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)[:, None]
+    clip = ClipAudioSource(engine, audio=AudioData(samples, SR))
+    return engine, clip
+
+
+def run_blocks(engine, n):
+    for _ in range(n):
+        res = engine.process_block()
+        engine.update_session(res)
+    return res
+
+
+def test_dbfs_semantics():
+    assert to_dbfs(0.0) == -200.0
+    assert to_dbfs(-1.0) == -200.0
+    assert to_dbfs(1.0) == pytest.approx(0.0)
+    assert to_dbfs(0.5) == pytest.approx(-6.0206, abs=1e-3)
+    # power sum of two equal levels is +10*log10(2) ~ +3.01 dB
+    assert add_dbfs(-6.0, -6.0) == pytest.approx(-6.0 + 10 * np.log10(2))
+
+
+def test_meters_track_playback():
+    engine, clip = make_session()
+    run_blocks(engine, 25)
+    assert engine.levels.playback_a == -200.0  # silence
+    clip.play(loop=True, midi_channel=2)
+    run_blocks(engine, 40)
+    # mono sine at 0.5 through M/S pan halves to 0.25 per side = -12 dBFS,
+    # plus the reference's deliberate x0.2 int->float factor (-14 dB,
+    # lib/AudioLevels.cpp:348) => ~ -26 dB displayed
+    assert -35 < engine.levels.playback_a < -20
+    assert -35 < engine.levels.channels_a[2] < -20
+    assert engine.levels.channels_a[5] == -200.0
+    assert engine.levels.playback_a_hold >= engine.levels.playback_a - 1e-6
+
+
+def test_peak_hold_decays_after_stop():
+    engine, clip = make_session()
+    clip.play(loop=True, midi_channel=0)
+    run_blocks(engine, 40)
+    peak_during = engine.levels.playback_a_hold
+    clip.stop(0)
+    run_blocks(engine, 500)
+    assert engine.levels.playback_a == -200.0
+    assert engine.levels.playback_a_hold < peak_during - 10
+
+
+def test_global_playback_recording(tmp_path):
+    engine, clip = make_session()
+    target = tmp_path / "take.wav"
+    engine.levels.set_record_global_playback(True)
+    engine.levels.set_global_playback_filename_prefix(str(target))
+    clip.play(loop=True, midi_channel=0)
+    engine.levels.start_recording()
+    assert engine.levels.is_recording
+    run_blocks(engine, 80)
+    engine.levels.stop_recording()
+    assert not engine.levels.is_recording
+    back = read_wav(target)
+    assert back.num_frames == 80 * 128
+    assert np.abs(back.samples).max() > 0.05
+
+
+def test_port_recording_lane_tap(tmp_path):
+    engine, clip = make_session()
+    prefix = str(tmp_path / "ports.wav")
+    engine.levels.set_should_record_ports(True)
+    engine.levels.set_record_ports_filename_prefix(prefix)
+    engine.levels.add_record_port("lane:2", 0)
+    engine.levels.add_record_port("lane:2", 1)
+    clip.play(loop=True, midi_channel=0)  # lane 2
+    engine.levels.start_recording()
+    run_blocks(engine, 40)
+    engine.levels.stop_recording()
+    back = read_wav(prefix)
+    assert back.num_frames == 40 * 128
+    assert np.abs(back.samples).max() > 0.05
+
+
+def test_channel_recording(tmp_path):
+    engine, clip = make_session()
+    engine.levels.set_record_ports_filename_prefix(str(tmp_path) + "/")
+    engine.levels.set_channels_to_record([3])
+    clip.play(loop=True, midi_channel=3)
+    engine.levels.start_recording()
+    run_blocks(engine, 30)
+    engine.levels.stop_recording()
+    files = list(tmp_path.glob("channel4-*.wav"))
+    assert len(files) == 1
+    assert read_wav(files[0]).num_frames == 30 * 128
+
+
+def test_timestamped_vs_exact_filenames(tmp_path):
+    from libzl_tpu.engine.recorder import timestamped_filename
+
+    exact = str(tmp_path / "exact.wav")
+    assert timestamped_filename(exact) == exact
+    stamped = timestamped_filename(str(tmp_path / "take-"))
+    assert stamped.startswith(str(tmp_path / "take-"))
+    assert stamped.endswith(".wav") and stamped != str(tmp_path / "take-")

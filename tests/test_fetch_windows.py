@@ -1,0 +1,79 @@
+"""Windows (Pallas) fetch path vs gather path — interpret mode on CPU."""
+
+import numpy as np
+
+from libzl_tpu.engine.voicestate import VoicePool
+from libzl_tpu.ops.voice import render_voices
+
+SR = 48000.0
+B = 128
+
+
+def _make_pool_with_wraps():
+    frames = 5000
+    t = np.arange(frames) / SR
+    sound = np.stack(
+        [0.5 * np.sin(2 * np.pi * 440 * t), 0.5 * np.sin(2 * np.pi * 441 * t)],
+        axis=1,
+    ).astype(np.float32)
+    # pad like the soundbank would (guard + block alignment)
+    padded = np.zeros((8192, 2), np.float32)
+    padded[:frames] = sound
+    pool = VoicePool(16, B, SR)
+    rng = np.random.default_rng(3)
+    for v in range(12):
+        pool.note_on(
+            v, clip_id=v, midi_note=int(rng.integers(48, 73)),
+            midi_channel=v % 10, lane=2 + v % 10,
+            base=1024, length=frames, source_rate=SR, root_note=60,
+            start_sec=0.0, stop_sec=frames / SR,
+            gain=0.8, clip_volume=0.9, pan=float(rng.uniform(-1, 1)),
+            attack=0.002, decay=0.05, sustain=0.6, release=0.05,
+            looping=bool(v % 2), length_beats=1.0 + (v % 3) * 0.3,
+            start_tick=0,
+        )
+    return padded, pool
+
+
+def test_windows_matches_gather_over_blocks():
+    import jax.numpy as jnp
+
+    padded, pool = _make_pool_with_wraps()
+    for b in range(40):  # crosses positional loop wraps for short loops
+        prog = pool.build_program(
+            block_start_sample=b * B, tick_anchor_sample=0.0,
+            tick_anchor=0, samples_per_tick=250.0,
+        )
+        mix_g, peak_g, c_g = render_voices(
+            jnp, padded, prog, B, return_contrib=True, fetch="gather"
+        )
+        mix_w, peak_w, c_w = render_voices(
+            jnp, padded, prog, B, return_contrib=True, fetch="windows"
+        )
+        np.testing.assert_allclose(
+            np.asarray(c_w), np.asarray(c_g), atol=2e-6,
+            err_msg=f"block {b}",
+        )
+        np.testing.assert_allclose(
+            np.asarray(peak_w), np.asarray(peak_g), atol=2e-6
+        )
+        pool.advance(prog)
+
+
+def test_windows_quirk_gain_matches():
+    import jax.numpy as jnp
+
+    padded, pool = _make_pool_with_wraps()
+    prog = pool.build_program(
+        block_start_sample=0, tick_anchor_sample=0.0,
+        tick_anchor=0, samples_per_tick=250.0,
+    )
+    _, _, c_g = render_voices(
+        jnp, padded, prog, B, return_contrib=True, fetch="gather",
+        quirk_gain=True,
+    )
+    _, _, c_w = render_voices(
+        jnp, padded, prog, B, return_contrib=True, fetch="windows",
+        quirk_gain=True,
+    )
+    np.testing.assert_allclose(np.asarray(c_w), np.asarray(c_g), atol=2e-6)

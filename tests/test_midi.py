@@ -1,0 +1,168 @@
+"""MIDI router / transport / sampler-mapping tests."""
+
+import numpy as np
+import pytest
+
+from libzl_tpu.engine.engine import AudioEngine
+from libzl_tpu.io.wav import AudioData
+from libzl_tpu.midi import messages as mm
+from libzl_tpu.midi.devices import VirtualMidiPort
+from libzl_tpu.midi.router import Destination, MidiRouter
+from libzl_tpu.midi.translations import apply_cc_translation, translations_for_device
+from libzl_tpu.models.clip import ClipAudioSource
+
+SR = 48000
+
+
+def test_internal_routing_destinations():
+    r = MidiRouter()
+    r.set_channel_destination(0, Destination.ZYNTHIAN, zynthian_channels=[3, 4])
+    r.set_channel_destination(1, Destination.EXTERNAL, external_channel=9)
+    r.set_channel_destination(2, Destination.SAMPLER)
+    r.set_channel_destination(3, Destination.NONE)
+    r.begin_block()
+    r.route_internal([
+        (0, mm.note_on(60, 100, ch=0)),
+        (5, mm.note_on(61, 100, ch=1)),
+        (7, mm.note_on(62, 100, ch=2)),
+        (9, mm.note_on(63, 100, ch=3)),
+    ])
+    # zynthian fan-out to channels 3 and 4
+    assert (0, mm.note_on(60, 100, ch=3)) in r.zynthian_out
+    assert (0, mm.note_on(60, 100, ch=4)) in r.zynthian_out
+    # external remap to channel 9
+    assert (5, mm.note_on(61, 100, ch=9)) in r.external_out
+    # sampler + zynthian + external all hit passthrough; NONE does not
+    pass_chans = [mm.channel(d) for _, d in r.passthrough_out]
+    assert sorted(pass_chans) == [0, 1, 2]
+
+
+def test_hardware_note_stickiness():
+    r = MidiRouter()
+    for c in range(16):
+        r.set_channel_destination(c, Destination.SAMPLER)
+    port = VirtualMidiPort("input-test")
+    entry = r.registry.add_input(port)
+    r.current_channel = 5
+    r.begin_block()
+    port.feed(mm.note_on(60, 100, ch=0))
+    r.route_hardware()
+    assert r.passthrough_out[-1][1] == mm.note_on(60, 100, ch=5)
+    # channel switch mid-note: the off must follow the on's channel
+    r.current_channel = 8
+    port.feed(mm.note_off(60, ch=0), mm.note_on(61, 90, ch=0))
+    r.route_hardware()
+    offs = [d for _, d in r.passthrough_out if mm.is_note_off(d)]
+    ons = [d for _, d in r.passthrough_out if mm.is_note_on(d)]
+    assert offs[-1] == mm.note_off(60, ch=5)     # sticky
+    assert ons[-1] == mm.note_on(61, 90, ch=8)   # new note on new channel
+
+
+def test_device_cc_translations():
+    table = translations_for_device("PreSonus ATM SQ ATM SQ")
+    assert apply_cc_translation(table, mm.cc(85, 127)) == bytes([0xFC])
+    assert apply_cc_translation(table, mm.cc(86, 127)) == bytes([0xFA])
+    assert apply_cc_translation(table, mm.cc(7, 100)) == mm.cc(7, 100)
+    assert translations_for_device("Some Other Device") == {}
+
+
+def test_env_config_reload(monkeypatch):
+    monkeypatch.setenv(
+        "ZYNTHIAN_MIDI_PORTS",
+        "DISABLED_IN=input-bad\\nENABLED_OUT=out-good\\nENABLED_FB=",
+    )
+    monkeypatch.setenv("ZYNTHIAN_MIDI_FILTER_OUTPUT", "1")
+    r = MidiRouter()
+    assert r.filter_midi_out is True
+    bad = VirtualMidiPort("input-bad")
+    good_in = VirtualMidiPort("input-good")
+    out_good = VirtualMidiPort("out-good")
+    out_other = VirtualMidiPort("out-other")
+    r.registry.add_input(bad)
+    r.registry.add_input(good_in)
+    r.registry.add_output(out_good)
+    r.registry.add_output(out_other)
+    assert not bad.enabled and good_in.enabled
+    assert out_good.enabled and not out_other.enabled
+
+
+def test_external_flush_to_enabled_outputs(monkeypatch):
+    monkeypatch.setenv(
+        "ZYNTHIAN_MIDI_PORTS", "DISABLED_IN=\\nENABLED_OUT=hw-out\\nENABLED_FB="
+    )
+    r = MidiRouter()
+    r.set_channel_destination(0, Destination.EXTERNAL)
+    hw = VirtualMidiPort("hw-out")
+    r.registry.add_output(hw)
+    r.begin_block()
+    r.route_internal([(0, mm.note_on(64, 80, ch=0))])
+    r.flush_external()
+    assert hw.written == [mm.note_on(64, 80, ch=0)]
+
+
+def test_transport_via_hardware_start_stop():
+    engine = AudioEngine(sample_rate=SR, backend="numpy", num_voices=8)
+    port = VirtualMidiPort("pads")
+    engine.router.registry.add_input(port)
+    assert not engine.transport_running
+    port.feed(bytes([0xFA]))
+    engine.process_block()  # routes + schedules the command
+    engine.process_block()  # consumes it
+    assert engine.transport_running
+    port.feed(bytes([0xFC]))
+    engine.process_block()
+    engine.process_block()
+    assert not engine.transport_running
+
+
+def test_atom_sq_transport_buttons_control_engine():
+    engine = AudioEngine(sample_rate=SR, backend="numpy", num_voices=8)
+    port = VirtualMidiPort("pads", human_name="PreSonus ATM SQ ATM SQ")
+    engine.router.registry.add_input(port)
+    port.feed(mm.cc(86, 127))  # translated to MIDI start
+    engine.process_block()
+    engine.process_block()
+    assert engine.transport_running
+
+
+def test_midi_tick_cadence():
+    engine = AudioEngine(sample_rate=SR, backend="numpy", num_voices=8)
+    ticks = 0
+    blocks = 400  # ~1.07 s
+    for _ in range(blocks):
+        res = engine.process_block()
+        ticks += sum(1 for _, d in res.midi_out if d == bytes([0xF9]))
+    seconds = blocks * 128 / SR
+    assert ticks == pytest.approx(seconds / 0.010, abs=2)
+
+
+def test_note_to_sampler_keyzone_end_to_end():
+    engine = AudioEngine(sample_rate=SR, backend="numpy", num_voices=8)
+    t = np.arange(SR // 2) / SR
+    samples = (0.5 * np.sin(2 * np.pi * 220 * t)).astype(np.float32)[:, None]
+    clip = ClipAudioSource(engine, audio=AudioData(samples, SR))
+    clip.keyzone_start, clip.keyzone_end = 60, 72
+    engine.router.set_channel_destination(3, Destination.SAMPLER)
+    engine.sampler_map.assign(3, clip)
+    pads = VirtualMidiPort("pads")
+    engine.router.registry.add_input(pads)
+    engine.router.current_channel = 3
+
+    # in-zone note triggers a voice at velocity-scaled gain
+    pads.feed(mm.note_on(67, 127, ch=0))
+    res = engine.process_block()
+    assert engine.pool.active.sum() == 1
+    v = engine.pool.active.argmax()
+    assert engine.pool.midi_note[v] == 67
+    assert np.abs(np.asarray(res.outputs.master)).max() > 0.01
+
+    # note-off releases it
+    pads.feed(mm.note_off(67, ch=0))
+    for _ in range(80):
+        engine.process_block()
+    assert engine.pool.active.sum() == 0
+
+    # out-of-zone note does nothing
+    pads.feed(mm.note_on(40, 127, ch=0))
+    engine.process_block()
+    assert engine.pool.active.sum() == 0
