@@ -1,0 +1,414 @@
+"""Python side of the C ABI bridge (lib/libzl.cpp equivalent).
+
+The reference exposes an extern "C" surface (lib/libzl.h) that a ctypes/QML
+client drives; every mutating call is marshalled onto the JUCE message thread
+and global singletons own the engine (lib/libzl.cpp:39-42,107-116,132-135).
+Here the same surface is implemented in two layers:
+
+- native/libzl_shim.cpp: a C++ shared library exporting the exact libzl.h
+  symbols, embedding CPython and forwarding each call to this module.
+- this module: owns the singleton EngineRuntime (AudioEngine + a pump thread
+  that renders blocks paced to the wall clock — the JACK-callback cadence
+  analog) and implements each C entry point as a plain function.
+
+Handles: clips cross the ABI as integer ids packed into the opaque pointer
+(ClipAudioSource_byID registry analog). C callbacks arrive as raw function
+pointers and are wrapped with ctypes.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import threading
+import time
+from typing import Optional
+
+import numpy as np
+
+_PROGRESS_CB = ctypes.CFUNCTYPE(None, ctypes.c_float)
+_LEVEL_CB = ctypes.CFUNCTYPE(None, ctypes.c_float)
+_TIMER_CB = ctypes.CFUNCTYPE(None, ctypes.c_int)
+
+
+class EngineRuntime:
+    """The process-wide engine singleton + block pump thread."""
+
+    def __init__(self, sample_rate: int = 48000, block_frames: int = 128,
+                 num_voices: int = 256, backend: str = "auto"):
+        from ..engine.engine import AudioEngine
+
+        if backend == "auto":
+            import jax
+
+            backend = "jax" if jax.default_backend() == "tpu" else "numpy"
+        self.engine = AudioEngine(
+            sample_rate=sample_rate,
+            block_frames=block_frames,
+            num_voices=num_voices,
+            backend=backend,
+        )
+        self._pump: Optional[threading.Thread] = None
+        self._running = False
+        self._timer_callbacks: list = []
+        self.engine.timer_callbacks.append(self._fan_timer_callbacks)
+        self._lock = threading.RLock()
+
+    # ------------------------------------------------------------- pumping
+
+    def start_pump(self) -> None:
+        if self._pump is not None:
+            return
+        self._running = True
+        self._pump = threading.Thread(target=self._run, daemon=True)
+        self._pump.start()
+
+    def stop_pump(self) -> None:
+        self._running = False
+        if self._pump is not None:
+            self._pump.join(timeout=5.0)
+            self._pump = None
+
+    def _run(self) -> None:
+        """Render paced to the wall clock, a few blocks ahead (the JACK
+        period callback + latency analog; schedule-ahead per SURVEY.md §2)."""
+        spb = self.engine.block_frames / self.engine.sample_rate
+        ahead = 4 * spb
+        start = time.monotonic()
+        rendered = 0.0
+        while self._running:
+            now = time.monotonic() - start
+            if rendered - now > ahead:
+                time.sleep(spb / 2)
+                continue
+            with self._lock:
+                res = self.engine.process_block()
+                self.engine.update_session(res)
+            rendered += spb
+
+    def _fan_timer_callbacks(self, tick: int) -> None:
+        for cb in list(self._timer_callbacks):
+            cb(tick)
+
+
+_runtime: Optional[EngineRuntime] = None
+
+
+def _rt() -> EngineRuntime:
+    if _runtime is None:
+        raise RuntimeError("initJuce() has not been called")
+    return _runtime
+
+
+# ---------------------------------------------------------------- lifecycle
+
+def init_engine(sample_rate: int = 48000, block_frames: int = 128,
+                num_voices: int = 256, backend: str = "auto",
+                pump: bool = True) -> None:
+    """initJuce (lib/libzl.cpp:358-410): construct the engine singletons.
+
+    Env overrides for embedding hosts (no Python API available there):
+    LIBZL_TPU_BACKEND=numpy|jax, LIBZL_TPU_VOICES, LIBZL_TPU_BLOCK,
+    LIBZL_TPU_RATE, LIBZL_TPU_NO_PUMP=1.
+    """
+    import os
+
+    global _runtime
+    if _runtime is None:
+        backend = os.environ.get("LIBZL_TPU_BACKEND", backend)
+        num_voices = int(os.environ.get("LIBZL_TPU_VOICES", num_voices))
+        block_frames = int(os.environ.get("LIBZL_TPU_BLOCK", block_frames))
+        sample_rate = int(os.environ.get("LIBZL_TPU_RATE", sample_rate))
+        if os.environ.get("LIBZL_TPU_NO_PUMP"):
+            pump = False
+        _runtime = EngineRuntime(sample_rate, block_frames, num_voices, backend)
+        if pump:
+            _runtime.start_pump()
+
+
+def shutdown_engine() -> None:
+    """shutdownJuce (lib/libzl.cpp:412-415)."""
+    global _runtime
+    if _runtime is not None:
+        _runtime.stop_pump()
+        _runtime = None
+
+
+def reload_zynthian_configuration() -> None:
+    """reloadZynthianConfiguration (lib/libzl.cpp:417-419)."""
+    _rt().engine.router.reload_configuration()
+
+
+def db_from_volume(vol: float) -> float:
+    """dBFromVolume (lib/libzl.cpp:429)."""
+    from ..models.fader import fader_position_to_db
+
+    return fader_position_to_db(vol)
+
+
+def stop_clips(clip_ids: list[int]) -> None:
+    """stopClips (lib/libzl.cpp:441-449)."""
+    from ..models.clip import clip_by_id
+
+    for cid in clip_ids:
+        clip = clip_by_id(cid)
+        if clip is not None:
+            clip.stop(-3)
+
+
+# ------------------------------------------------------- ClipAudioSource API
+
+def clip_new(filepath: str, muted: bool = False) -> int:
+    from ..models.clip import ClipAudioSource
+
+    rt = _rt()
+    with rt._lock:
+        clip = ClipAudioSource(rt.engine, filepath=filepath, muted=muted)
+    return clip.id
+
+
+def clip_by_id(clip_id: int):
+    from ..models.clip import clip_by_id as _by_id
+
+    return _by_id(clip_id)
+
+
+def _clip(clip_id: int):
+    clip = clip_by_id(clip_id)
+    if clip is None:
+        raise KeyError(f"no clip with id {clip_id}")
+    return clip
+
+
+def clip_destroy(clip_id: int) -> None:
+    rt = _rt()
+    with rt._lock:
+        _clip(clip_id).destroy()
+
+
+def clip_play(clip_id: int, loop: bool, midi_channel: int = -2) -> None:
+    rt = _rt()
+    with rt._lock:
+        _clip(clip_id).play(loop, midi_channel)
+
+
+def clip_stop(clip_id: int, midi_channel: int = -2) -> None:
+    rt = _rt()
+    with rt._lock:
+        _clip(clip_id).stop(midi_channel)
+
+
+def clip_get_duration(clip_id: int) -> float:
+    return _clip(clip_id).get_duration()
+
+
+def clip_get_filename(clip_id: int) -> str:
+    import os
+
+    return os.path.basename(_clip(clip_id).filepath)
+
+
+def clip_set_start_position(clip_id: int, seconds: float) -> None:
+    _clip(clip_id).set_start_position(seconds)
+
+
+def clip_set_length(clip_id: int, beat: float, bpm: int) -> None:
+    _clip(clip_id).set_length(beat, bpm)
+
+
+def clip_set_pan(clip_id: int, pan: float) -> None:
+    _clip(clip_id).set_pan(pan)
+
+
+def clip_set_speed_ratio(clip_id: int, ratio: float) -> None:
+    _clip(clip_id).set_speed_ratio(ratio)
+
+
+def clip_set_pitch(clip_id: int, semitones: float) -> None:
+    _clip(clip_id).set_pitch(semitones)
+
+
+def clip_set_gain(clip_id: int, db: float) -> None:
+    _clip(clip_id).set_gain(db)
+
+
+def clip_set_volume(clip_id: int, vol: float) -> None:
+    _clip(clip_id).set_volume(vol)
+
+
+def clip_set_slices(clip_id: int, count: int) -> None:
+    _clip(clip_id).set_slices(count)
+
+
+def clip_keyzone_start(clip_id: int) -> int:
+    return _clip(clip_id).keyzone_start
+
+
+def clip_set_keyzone_start(clip_id: int, v: int) -> None:
+    _clip(clip_id).keyzone_start = int(v)
+
+
+def clip_keyzone_end(clip_id: int) -> int:
+    return _clip(clip_id).keyzone_end
+
+
+def clip_set_keyzone_end(clip_id: int, v: int) -> None:
+    _clip(clip_id).keyzone_end = int(v)
+
+
+def clip_root_note(clip_id: int) -> int:
+    return _clip(clip_id).root_note
+
+
+def clip_set_root_note(clip_id: int, v: int) -> None:
+    _clip(clip_id).root_note = int(v)
+
+
+def clip_adsr_attack(clip_id: int) -> float:
+    return _clip(clip_id).adsr_attack
+
+
+def clip_set_adsr_attack(clip_id: int, v: float) -> None:
+    _clip(clip_id).adsr_attack = float(v)
+
+
+def clip_adsr_decay(clip_id: int) -> float:
+    return _clip(clip_id).adsr_decay
+
+
+def clip_set_adsr_decay(clip_id: int, v: float) -> None:
+    _clip(clip_id).adsr_decay = float(v)
+
+
+def clip_adsr_sustain(clip_id: int) -> float:
+    return _clip(clip_id).adsr_sustain
+
+
+def clip_set_adsr_sustain(clip_id: int, v: float) -> None:
+    _clip(clip_id).adsr_sustain = float(v)
+
+
+def clip_adsr_release(clip_id: int) -> float:
+    return _clip(clip_id).adsr_release
+
+
+def clip_set_adsr_release(clip_id: int, v: float) -> None:
+    _clip(clip_id).adsr_release = float(v)
+
+
+def clip_set_progress_callback(clip_id: int, fn_ptr: int) -> None:
+    cb = _PROGRESS_CB(fn_ptr)
+    _clip(clip_id).progress_callback = lambda v: cb(float(v))
+
+
+def clip_set_audio_level_callback(clip_id: int, fn_ptr: int) -> None:
+    cb = _LEVEL_CB(fn_ptr)
+    _clip(clip_id).audio_level_callback = lambda v: cb(float(v))
+
+
+# -------------------------------------------------------------- SyncTimer API
+
+def timer_start(bpm_interval_ms: int) -> None:
+    """SyncTimer_startTimer: the reference receives the tick interval in ms
+    (lib/libzl.cpp:313, getInterval semantics)."""
+    from ..constants import BEAT_SUBDIVISIONS
+
+    bpm = 60000 / (max(bpm_interval_ms, 1) * BEAT_SUBDIVISIONS)
+    _rt().engine.start_transport(bpm=bpm)
+
+
+def timer_stop() -> None:
+    _rt().engine.stop_transport()
+
+
+def timer_set_bpm(bpm: float) -> None:
+    _rt().engine.set_bpm(bpm)
+
+
+def timer_get_multiplier() -> int:
+    from ..constants import BEAT_SUBDIVISIONS
+
+    return BEAT_SUBDIVISIONS
+
+
+def timer_register_callback(fn_ptr: int) -> None:
+    rt = _rt()
+    cb = _TIMER_CB(fn_ptr)
+    wrapper = lambda beat: cb(int(beat % 128))  # noqa: E731
+    wrapper._fn_ptr = fn_ptr
+    rt._timer_callbacks.append(wrapper)
+
+
+def timer_deregister_callback(fn_ptr: int) -> None:
+    rt = _rt()
+    rt._timer_callbacks = [
+        cb for cb in rt._timer_callbacks
+        if getattr(cb, "_fn_ptr", None) != fn_ptr
+    ]
+
+
+def timer_queue_clip_to_start(clip_id: int, midi_channel: int = -1) -> None:
+    rt = _rt()
+    with rt._lock:
+        rt.engine.queue_clip_to_start(_clip(clip_id), midi_channel)
+
+
+def timer_queue_clip_to_stop(clip_id: int, midi_channel: int = -1) -> None:
+    rt = _rt()
+    with rt._lock:
+        rt.engine.queue_clip_to_stop(_clip(clip_id), midi_channel)
+
+
+# ------------------------------------------------------------ AudioLevels API
+
+def levels_is_recording() -> bool:
+    return _rt().engine.levels.is_recording
+
+
+def levels_set_record_global_playback(should: bool) -> None:
+    _rt().engine.levels.set_record_global_playback(should)
+
+
+def levels_set_global_playback_filename_prefix(prefix: str) -> None:
+    _rt().engine.levels.set_global_playback_filename_prefix(prefix)
+
+
+def levels_start_recording() -> None:
+    _rt().engine.levels.start_recording()
+
+
+def levels_stop_recording() -> None:
+    _rt().engine.levels.stop_recording()
+
+
+def levels_set_record_ports_filename_prefix(prefix: str) -> None:
+    _rt().engine.levels.set_record_ports_filename_prefix(prefix)
+
+
+def levels_add_record_port(port: str, channel: int) -> None:
+    _rt().engine.levels.add_record_port(port, channel)
+
+
+def levels_remove_record_port(port: str, channel: int) -> None:
+    _rt().engine.levels.remove_record_port(port, channel)
+
+
+def levels_clear_record_ports() -> None:
+    _rt().engine.levels.clear_record_ports()
+
+
+def levels_set_should_record_ports(should: bool) -> None:
+    _rt().engine.levels.set_should_record_ports(should)
+
+
+# -------------------------------------------------------- JackPassthrough API
+
+_STRIP_KEYS = {"pan": "pan", "dry": "dry", "wet1": "wet1", "wet2": "wet2",
+               "muted": "muted"}
+
+
+def passthrough_set(channel: int, key: str, value: float) -> None:
+    _rt().engine.set_strip(channel, **{_STRIP_KEYS[key]: value})
+
+
+def passthrough_get(channel: int, key: str) -> float:
+    return _rt().engine.get_strip(channel, _STRIP_KEYS[key])

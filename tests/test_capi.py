@@ -1,0 +1,115 @@
+"""C ABI integration: build native/libzl.so and drive it via ctypes the way
+the reference's test clients do (SURVEY.md §4) — in a subprocess, since the
+shim owns process-global engine state."""
+
+import os
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+REPO = Path(__file__).resolve().parent.parent
+NATIVE = REPO / "native"
+
+CLIENT = r"""
+import ctypes, os, sys, time
+import numpy as np
+sys.path.insert(0, os.environ["ZL_REPO"])
+
+# make a test clip first (pure python, before loading the shim)
+from libzl_tpu.io.wav import write_wav, read_wav
+sr = 48000
+t = np.arange(sr) / sr
+write_wav(os.environ["ZL_WAV"], (0.5*np.sin(2*np.pi*330*t)).astype(np.float32), sr)
+
+zl = ctypes.CDLL(os.environ["ZL_SO"])
+zl.ClipAudioSource_new.restype = ctypes.c_void_p
+zl.ClipAudioSource_new.argtypes = [ctypes.c_char_p, ctypes.c_bool]
+zl.ClipAudioSource_byID.restype = ctypes.c_void_p
+zl.ClipAudioSource_getDuration.restype = ctypes.c_float
+zl.ClipAudioSource_getDuration.argtypes = [ctypes.c_void_p]
+zl.ClipAudioSource_getFileName.restype = ctypes.c_char_p
+zl.ClipAudioSource_getFileName.argtypes = [ctypes.c_void_p]
+zl.ClipAudioSource_id.argtypes = [ctypes.c_void_p]
+zl.ClipAudioSource_play.argtypes = [ctypes.c_void_p, ctypes.c_bool]
+zl.ClipAudioSource_stop.argtypes = [ctypes.c_void_p]
+zl.ClipAudioSource_setVolume.argtypes = [ctypes.c_void_p, ctypes.c_float]
+zl.ClipAudioSource_setProgressCallback.argtypes = [ctypes.c_void_p, ctypes.c_void_p]
+zl.dBFromVolume.restype = ctypes.c_float
+zl.dBFromVolume.argtypes = [ctypes.c_float]
+zl.JackPassthrough_getDryAmount.restype = ctypes.c_float
+
+zl.initJuce()
+clip = zl.ClipAudioSource_new(os.environ["ZL_WAV"].encode(), False)
+assert clip, "clip creation failed"
+cid = zl.ClipAudioSource_id(clip)
+assert zl.ClipAudioSource_byID(cid) == clip
+dur = zl.ClipAudioSource_getDuration(clip)
+assert abs(dur - 1.0) < 1e-3, dur
+name = zl.ClipAudioSource_getFileName(clip).decode()
+assert name.endswith(".wav"), name
+
+progress_hits = []
+@ctypes.CFUNCTYPE(None, ctypes.c_float)
+def on_progress(v):
+    progress_hits.append(v)
+zl.ClipAudioSource_setProgressCallback(clip, ctypes.cast(on_progress, ctypes.c_void_p))
+
+# record the global playback while playing the clip via the C API
+zl.AudioLevels_setRecordGlobalPlayback(True)
+zl.AudioLevels_setGlobalPlaybackFilenamePrefix(os.environ["ZL_OUT"].encode())
+zl.AudioLevels_startRecording()
+assert zl.AudioLevels_isRecording()
+
+zl.SyncTimer_startTimer(int(60000 / (120 * 96)))
+zl.ClipAudioSource_play(clip, True)
+time.sleep(1.0)
+zl.ClipAudioSource_stop(clip)
+time.sleep(0.3)
+zl.AudioLevels_stopRecording()
+zl.SyncTimer_stopTimer()
+
+# passthrough API round trip
+zl.JackPassthrough_setDryAmount(3, ctypes.c_float(0.5))
+assert abs(zl.JackPassthrough_getDryAmount(3) - 0.5) < 1e-6
+assert abs(zl.dBFromVolume(ctypes.c_float(1.0))) < 1e-6
+
+out = read_wav(os.environ["ZL_OUT"])
+peak = float(np.abs(out.samples).max())
+assert out.num_frames > 20000, out.num_frames
+assert peak > 0.05, peak
+assert progress_hits, "no progress callbacks fired"
+zl.shutdownJuce()
+print("CAPI-OK frames=%d peak=%.3f progress_hits=%d" % (out.num_frames, peak, len(progress_hits)))
+"""
+
+
+@pytest.fixture(scope="module")
+def libzl_so():
+    so = NATIVE / "libzl.so"
+    subprocess.run(["make", "-C", str(NATIVE)], check=True,
+                   capture_output=True)
+    assert so.exists()
+    return so
+
+
+def test_ctypes_client_end_to_end(libzl_so, tmp_path):
+    env = dict(os.environ)
+    env.update(
+        ZL_REPO=str(REPO),
+        ZL_SO=str(libzl_so),
+        ZL_WAV=str(tmp_path / "in.wav"),
+        ZL_OUT=str(tmp_path / "out.wav"),
+        LIBZL_TPU_BACKEND="numpy",
+        LIBZL_TPU_VOICES="32",  # numpy fallback pace on CI hosts
+        JAX_PLATFORMS="cpu",
+        PYTHONPATH=str(REPO),
+    )
+    proc = subprocess.run(
+        [sys.executable, "-c", CLIENT],
+        env=env, capture_output=True, text=True, timeout=300,
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    assert "CAPI-OK" in proc.stdout
