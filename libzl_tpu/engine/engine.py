@@ -135,6 +135,13 @@ class AudioEngine:
         self.stop_playback_callbacks: list[Callable[[], None]] = []
         self.clip_command_sent_callbacks: list[Callable[[ClipCommand], None]] = []
         self.total_blocks = 0
+        # observability (utils/profiling; SURVEY.md §5 tracing/xrun analogs)
+        from ..utils.profiling import BlockProfiler, DspLoad, SloCounter
+
+        period = block_frames / sample_rate
+        self.profiler = BlockProfiler()
+        self.slo = SloCounter(budget_seconds=period)
+        self.dsp_load = DspLoad(period_seconds=period)
 
     # ------------------------------------------------------------ clip admin
 
@@ -324,6 +331,9 @@ class AudioEngine:
 
     def process_block(self) -> BlockResult:
         """Render one block: drain due ticks, dispatch, advance."""
+        import time as _time
+
+        _t0 = _time.perf_counter()
         midi_out: list[tuple[int, bytes]] = []
         pending = getattr(self, "_pending_immediate_midi", None)
         if pending:
@@ -389,6 +399,10 @@ class AudioEngine:
                 clip.positions_model.remove_position(int(pid))
         self.clock.advance_block()
         self.total_blocks += 1
+        busy = _time.perf_counter() - _t0
+        self.profiler.record("process_block", busy)
+        self.slo.observe(busy)
+        self.dsp_load.observe(busy)
         return BlockResult(outputs=outputs, midi_out=midi_out,
                            tick_count=len(ticks))
 

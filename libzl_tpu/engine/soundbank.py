@@ -38,10 +38,10 @@ class SoundSlot:
 # One guard frame past the end so `pos+1` of the final valid fetch index is
 # in-bounds without branching (the kernel masks `pos < length-1` anyway).
 _GUARD_FRAMES = 8
-# The Pallas fetch kernel reads 1024-row blocks anchored at any allocated
-# offset plus one following block; keep a 2048-row tail so window DMA never
-# runs off the array (ops/fetch_pallas.py).
-_TAIL_GUARD = 2048
+# The Pallas fetch kernel DMAs whole fetch regions anchored at any allocated
+# 512-row boundary; keep a tail covering the largest region so the DMA never
+# runs off the array (ops/fetch_pallas.region_rows; 5120 rows at B=1024).
+_TAIL_GUARD = 6144
 
 
 class SoundBank:

@@ -151,13 +151,12 @@ class VoicePool:
         self.source_rate[v] = source_rate
 
         ratio = pitch_ratio(midi_note, root_note, source_rate, self.output_rate)
-        # clamp so a block's position span stays inside one fetch window
-        # (ops/fetch_pallas.MAX_SPAN). At 128-frame blocks this allows ~+2
-        # octaves of upward transposition; beyond that is outside the
-        # groovebox's musical envelope.
-        from ..ops.fetch_pallas import MAX_SPAN
+        # clamp so a block's position span stays inside one fetch region
+        # (ops/fetch_pallas.R_MAX): two octaves of upward transposition;
+        # beyond that is outside the groovebox's musical envelope.
+        from ..ops.fetch_pallas import max_ratio
 
-        ratio = min(ratio, MAX_SPAN / self.block_frames)
+        ratio = min(ratio, max_ratio())
         self.rate_int[v] = int(ratio)
         self.rate_frac[v] = np.float32(ratio - int(ratio))
         self.istart[v] = int(start_sec * source_rate)

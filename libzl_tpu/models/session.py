@@ -1,0 +1,128 @@
+"""Session checkpoint / resume.
+
+The reference has no checkpointing (SURVEY.md §5: "Session state lives in
+the Python UI above this library"); its closest artifacts are the cached
+stretch renders and WAV recordings. This module makes session state
+first-class: every clip's parameters, the strip fabric, MIDI routing table,
+tempo and transport state serialize to a JSON document and restore into a
+fresh engine — the groovebox "save project" the reference delegates to
+zynthbox.
+
+Audio payloads are referenced by file path (sources re-read on load;
+playback buffers re-render from parameters), so checkpoints stay small and
+diff-friendly.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+SESSION_FORMAT_VERSION = 1
+
+
+def save_session(engine, path: str | Path) -> None:
+    from .clip import all_clips
+
+    clips = []
+    for clip in all_clips():
+        if clip.engine is not engine:
+            continue
+        clips.append(
+            dict(
+                id=clip.id,
+                filepath=clip.filepath,
+                start_position_seconds=clip.start_position_seconds,
+                length_seconds=clip.length_seconds,
+                length_beats=clip.length_beats,
+                speed_ratio=clip.speed_ratio,
+                pitch_change=clip.pitch_change,
+                gain_db=clip.gain_db,
+                volume_absolute=clip.volume_absolute,
+                pan=clip.pan,
+                adsr=[clip.adsr_attack, clip.adsr_decay,
+                      clip.adsr_sustain, clip.adsr_release],
+                slice_positions=list(clip.slice_positions),
+                slice_base_midi_note=clip.slice_base_midi_note,
+                keyzone=[clip.keyzone_start, clip.keyzone_end],
+                root_note=clip.root_note,
+            )
+        )
+    routing = [
+        dict(
+            channel=out.input_channel,
+            destination=int(out.destination),
+            external_channel=out.external_channel,
+            zynthian_channels=list(out.zynthian_channels),
+        )
+        for out in engine.router.outputs
+    ]
+    doc = dict(
+        format_version=SESSION_FORMAT_VERSION,
+        sample_rate=engine.sample_rate,
+        block_frames=engine.block_frames,
+        bpm=engine.bpm,
+        transport_running=engine.transport_running,
+        tick_position=int(engine.clock.tick_position),
+        strips=dict(
+            dry=engine.strips.dry.tolist(),
+            wet1=engine.strips.wet1.tolist(),
+            wet2=engine.strips.wet2.tolist(),
+            pan=engine.strips.pan.tolist(),
+            muted=engine.strips.muted.tolist(),
+        ),
+        lane_enabled=engine.lane_enabled.tolist(),
+        clips=clips,
+        routing=routing,
+    )
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    path.write_text(json.dumps(doc, indent=2))
+
+
+def load_session(engine, path: str | Path) -> dict:
+    """Restore a checkpoint into `engine`. Returns {old_clip_id: new_clip}
+    so callers can re-wire references."""
+    from ..midi.router import Destination
+    from .clip import ClipAudioSource
+
+    doc = json.loads(Path(path).read_text())
+    if doc.get("format_version", 0) > SESSION_FORMAT_VERSION:
+        raise ValueError(
+            f"session format {doc['format_version']} is newer than supported"
+        )
+    engine.set_bpm(doc["bpm"])
+    for key, values in doc["strips"].items():
+        getattr(engine.strips, key)[:] = values
+    engine.lane_enabled[:] = doc["lane_enabled"]
+    for entry in doc.get("routing", []):
+        engine.router.set_channel_destination(
+            entry["channel"],
+            Destination(entry["destination"]),
+            external_channel=entry["external_channel"],
+            zynthian_channels=entry["zynthian_channels"],
+        )
+    id_map: dict[int, ClipAudioSource] = {}
+    for c in doc["clips"]:
+        clip = ClipAudioSource(engine, filepath=c["filepath"])
+        clip.start_position_seconds = c["start_position_seconds"]
+        clip.length_seconds = c["length_seconds"]
+        clip.length_beats = c["length_beats"]
+        clip.set_volume_absolute(c["volume_absolute"])
+        clip.set_pan(c["pan"])
+        (clip.adsr_attack, clip.adsr_decay,
+         clip.adsr_sustain, clip.adsr_release) = c["adsr"]
+        clip.slice_positions = list(c["slice_positions"])
+        clip.slice_base_midi_note = c["slice_base_midi_note"]
+        clip.keyzone_start, clip.keyzone_end = c["keyzone"]
+        clip.root_note = c["root_note"]
+        # stretch/pitch/gain re-render once, after all parameters are set
+        clip.speed_ratio = c["speed_ratio"]
+        clip.pitch_change = c["pitch_change"]
+        clip.gain_db = c["gain_db"]
+        if (c["speed_ratio"], c["pitch_change"], c["gain_db"]) != (1.0, 0.0, 0.0):
+            clip._update_playback()
+        id_map[c["id"]] = clip
+    if doc.get("transport_running"):
+        engine.start_transport()
+    return id_map

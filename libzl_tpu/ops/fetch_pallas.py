@@ -1,49 +1,46 @@
 """Pallas TPU kernel for the voice sample fetch.
 
-Why this exists: the voice render needs `sound[pos[v, b]]` for ~262k
+Why this exists: the voice render needs `sound[pos[v, b]]` for V*B
 (voice, frame) pairs per block. XLA lowers that to a generic gather —
 per-element random access into the multi-megabyte sample bank in HBM —
-measured at ~5 ms per 128-frame block for 1024 voices (2x slower than
+measured at ~5.6 ms per 128-frame block for 1024 voices (2x slower than
 realtime by itself). But the access pattern is not random: within a block,
-each voice reads a *contiguous window* (positions advance by a fixed ratio;
-loop wraps jump to one other contiguous window). This kernel exploits that:
+each voice reads one or two *contiguous windows* (positions advance by a
+fixed ratio; loop wraps jump to the loop start,
+lib/SamplerSynthVoice.cpp:223-247). This kernel exploits that structure:
 
-- The host anchors two 1024-sample fetch windows per voice on 512-sample
-  boundaries: window A around the current playback segment, window B around
-  the loop-reset target (lib/SamplerSynthVoice.cpp:225-247 semantics).
-- Pallas streams the four 512-row blocks per voice HBM->VMEM through the
-  automatic block pipeline (double-buffered DMA, not per-element access);
-  block indices come from scalar-prefetched window tables.
-- In VMEM, the interpolated fetch becomes one weighted one-hot matmul on the
-  MXU: rows are frames, columns are window positions, and each row carries
-  the two linear-interpolation coefficients (invAlpha at idx, alpha at
-  idx+1, lib/SamplerSynthVoice.cpp:197-205):
+1. **Streaming windows.** For each voice the host anchors two fetch regions
+   on 512-row boundaries: region A around the current playback segment and
+   region B around the loop-reset target. The kernel DMAs each region with
+   ONE descriptor (tens of KB, double-buffered across grid steps) — scattered
+   HBM access at descriptor granularity, not element granularity.
 
-      out[b, c] = sum_w W[b, w] * window[w, c],
-      W[b, w] = (w == idx_b) * (1 - alpha_b) + (w == idx_b + 1) * alpha_b
+2. **Interpolation as transposed MXU matmuls.** Per 128-frame chunk the
+   kernel derives a 640-column slab offset from the chunk's minimum index,
+   builds the banded interpolation weights
 
-  With at most two nonzeros per row and HIGHEST precision the result is
-  exact f32 interpolation. Output is the pre-gain interpolated sample pair
-  [V, B, 2]; gain/envelope/pan stay fused in XLA. (The reference's
-  quirk-gain parity mode needs the two taps separately and uses the gather
-  path instead — parity testing is not a hot path.)
+       W[u, b] = (u == idx_b - off) * (1 - alpha_b)
+               + (u == idx_b - off + 1) * alpha_b
 
-Grid layout: (V / GROUP, GROUP) — the inner grid dimension walks voices one
-at a time so live temporaries stay ~1 MB (an unrolled per-voice loop would
-multiply them past the scoped-VMEM limit), while the [GROUP, B] input and
-output blocks satisfy TPU tile divisibility and stay VMEM-resident across
-the inner steps (their index maps ignore the inner index).
+   and computes `out[2, 128] = slab^T[2, 640] @ W[640, 128]` — the frame
+   axis lands on the 128-lane axis of the MXU (an untransposed layout would
+   waste 126/128 output lanes on the stereo axis). Two dots per chunk (one
+   per region) sum to the final interpolated pair; each frame's index lives
+   in exactly one region's slab, the other contributes zero. HIGHEST
+   precision keeps the result exact f32 (<= 2 nonzeros per column).
 
-Position encoding (computed in XLA by ops/voice.py): `pos_local` in
-[0, 1024) addresses window A, [1024, 2048) addresses window B; anything
-outside is clamped here and masked to zero by the caller's validity mask.
+Output is the pre-gain interpolated sample pair [V, B, 2]; gain, envelope,
+pan and mixdown stay fused in XLA. (The reference's quirk-gain parity mode
+needs the two taps separately and uses the gather path instead.)
 
-The host guarantees (engine/soundbank.py, engine/voicestate.py):
-- the flat sample array length is a multiple of 512 with a guard tail, so
-  window block indices never run off the end;
-- per-voice position spans within a block stay under MAX_SPAN samples
-  (pitch ratios clamped to MAX_SPAN/B, ~+2 octaves at 128-frame blocks;
-  higher transpositions are clamped — outside the musical envelope).
+Host guarantees (engine/soundbank.py, engine/voicestate.py):
+- the flat sample array length is a multiple of 512 with a tail guard of at
+  least `region_rows(B)` rows, so region DMAs never run off the end;
+- pitch ratios are clamped to R_MAX (= 4.0, two octaves up — beyond the
+  musical envelope), so a block's position span fits one region;
+- `pos_local` is window-relative: [0, region) addresses region A,
+  [region, 2*region) addresses region B; out-of-range values are masked to
+  zero by the caller's validity mask and clamped here.
 """
 
 from __future__ import annotations
@@ -56,82 +53,146 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-SOUND_BLOCK = 512       # window anchor granularity (rows of the flat bank)
-BLOCKS_PER_WINDOW = 2   # each region = 2 anchored blocks = 1024 rows
-REGION = BLOCKS_PER_WINDOW * SOUND_BLOCK
-WINDOW_BLOCKS = 4       # A0, A1, B0, B1
-WINDOW = WINDOW_BLOCKS * SOUND_BLOCK
-GROUP = 8               # voices per block-spec tile (not per grid step)
-MAX_SPAN = REGION - SOUND_BLOCK - 3  # position span a block may cover (509)
+SOUND_BLOCK = 512     # region anchor granularity (rows of the flat bank)
+R_MAX = 4.0           # max pitch ratio (span per block = R_MAX * B)
+GROUP = 8             # voices per grid step (tile divisibility on [G, B])
+CHUNK = 128           # frames per inner compute chunk
+SLAB = 640            # slab columns per chunk dot (>= R_MAX*CHUNK + 2, x128)
 
 
-def _fetch_kernel(wa_ref, wb_ref, w0, w1, w2, w3, pos_ref, alpha_ref, out_ref):
-    g = pl.program_id(1)
-    window = jnp.concatenate(
-        [w0[...], w1[...], w2[...], w3[...]], axis=0
-    )  # [WINDOW, 2]
-    idx = pos_ref[g, :]              # [B] int32 in [0, WINDOW)
-    alpha = alpha_ref[g, :]          # [B] f32
-    in_range = (idx >= 0) & (idx < WINDOW - 1)
-    safe = jnp.clip(idx, 0, WINDOW - 2)[:, None]
-    inv = jnp.where(in_range, 1.0 - alpha, 0.0)[:, None]
-    al = jnp.where(in_range, alpha, 0.0)[:, None]
-    col_ids = jax.lax.broadcasted_iota(jnp.int32, (1, WINDOW), 1)
-    weights = (
-        (col_ids == safe).astype(jnp.float32) * inv
-        + (col_ids == safe + 1).astype(jnp.float32) * al
-    )
-    out_ref[g] = jnp.dot(
-        weights, window,
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )
+def region_rows(block_frames: int) -> int:
+    """Rows per fetch region: anchor slack + max span, 512-aligned."""
+    span = int(R_MAX * block_frames) + 2
+    return ((span + SOUND_BLOCK - 1) // SOUND_BLOCK) * SOUND_BLOCK + SOUND_BLOCK
+
+
+def max_ratio() -> float:
+    return R_MAX
+
+
+def _make_kernel(block_frames: int, region: int):
+    n_chunks = block_frames // CHUNK
+    window_rows = 2 * region
+
+    def kernel(wa_ref, wb_ref, sound_ref, pos_ref, alpha_ref, out_ref,
+               win_scratch, sems):
+        i = pl.program_id(0)
+        n_steps = pl.num_programs(0)
+
+        def issue(slot, step):
+            for g in range(GROUP):
+                for r, tbl in ((0, wa_ref), (1, wb_ref)):
+                    pltpu.make_async_copy(
+                        sound_ref.at[
+                            pl.ds(tbl[step * GROUP + g] * SOUND_BLOCK, region),
+                            :,
+                        ],
+                        win_scratch.at[slot, g, pl.ds(r * region, region), :],
+                        sems.at[slot, g, r],
+                    ).start()
+
+        def wait(slot, step):
+            for g in range(GROUP):
+                for r, tbl in ((0, wa_ref), (1, wb_ref)):
+                    pltpu.make_async_copy(
+                        sound_ref.at[
+                            pl.ds(tbl[step * GROUP + g] * SOUND_BLOCK, region),
+                            :,
+                        ],
+                        win_scratch.at[slot, g, pl.ds(r * region, region), :],
+                        sems.at[slot, g, r],
+                    ).wait()
+
+        @pl.when(i == 0)
+        def _():
+            issue(0, 0)
+
+        @pl.when(i + 1 < n_steps)
+        def _():
+            issue((i + 1) % 2, i + 1)
+
+        slot = i % 2
+        wait(slot, i)
+
+        row_ids = jax.lax.broadcasted_iota(jnp.int32, (SLAB, 1), 0)
+        big = jnp.int32(window_rows)
+
+        def chunk_body(t, _):
+            g = t // n_chunks
+            c = t % n_chunks
+            idx = pos_ref[g, pl.ds(c * CHUNK, CHUNK)]       # [CHUNK] i32
+            alpha = alpha_ref[g, pl.ds(c * CHUNK, CHUNK)]   # [CHUNK] f32
+            valid = (idx >= 0) & (idx < window_rows - 1)
+            inv = jnp.where(valid, 1.0 - alpha, 0.0)[None, :]
+            al = jnp.where(valid, alpha, 0.0)[None, :]
+
+            def region_dot(r):
+                lo, hi = r * region, (r + 1) * region
+                in_r = valid & (idx >= lo) & (idx < hi)
+                any_r = in_r.any()
+                off = jnp.min(jnp.where(in_r, idx, big))
+                off = jnp.clip(off, lo, hi - SLAB)
+                rel = idx - off                              # [CHUNK]
+                wmask = in_r[None, :]
+                w = (
+                    (row_ids == rel[None, :]).astype(jnp.float32) * inv
+                    + (row_ids == rel[None, :] + 1).astype(jnp.float32) * al
+                ) * wmask.astype(jnp.float32)                # [SLAB, CHUNK]
+                slab = win_scratch[slot, g, pl.ds(off, SLAB), :]  # [SLAB, 2]
+                part = jax.lax.dot_general(
+                    slab, w,
+                    dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
+                )                                            # [2, CHUNK]
+                return jnp.where(any_r, part, 0.0)
+
+            outc = region_dot(0) + region_dot(1)             # [2, CHUNK]
+            out_ref[g, pl.ds(c * CHUNK, CHUNK), :] = outc.T
+            return 0
+
+        jax.lax.fori_loop(0, GROUP * n_chunks, chunk_body, 0, unroll=False)
+
+    return kernel
 
 
 @functools.partial(jax.jit, static_argnames=("block_frames",))
 def fetch_interp(
-    sound_data,      # [N, 2] f32, N % 512 == 0, guard tail >= 1536 rows
+    sound_data,      # [N, 2] f32, N % 512 == 0, guard tail >= region_rows(B)
     pos_local,       # [V, B] int32 (window-relative; see module docstring)
     alpha,           # [V, B] f32
-    win_blk_a,       # [V] int32: window A anchor (512-row block index)
-    win_blk_b,       # [V] int32: window B anchor (loop-reset target)
+    win_blk_a,       # [V] int32: region A anchor (512-row block index)
+    win_blk_b,       # [V] int32: region B anchor (loop-reset target)
     block_frames: int = 128,
 ):
     """Returns interp [V, B, 2] f32: linear-interpolated, pre-gain samples."""
     V, B = pos_local.shape
     assert V % GROUP == 0, f"voice count {V} must be a multiple of {GROUP}"
+    assert B % CHUNK == 0, f"block size {B} must be a multiple of {CHUNK}"
+    region = region_rows(B)
     n_steps = V // GROUP
-
-    def win_spec(j: int):
-        use_b = j >= BLOCKS_PER_WINDOW
-        off = j % BLOCKS_PER_WINDOW
-
-        def index_map(i, g, wa, wb):
-            tbl = wb if use_b else wa
-            return (tbl[i * GROUP + g] + off, 0)
-
-        return pl.BlockSpec((SOUND_BLOCK, 2), index_map)
-
-    in_specs = [win_spec(j) for j in range(WINDOW_BLOCKS)]
-    in_specs.append(pl.BlockSpec((GROUP, B), lambda i, g, wa, wb: (i, 0)))
-    in_specs.append(pl.BlockSpec((GROUP, B), lambda i, g, wa, wb: (i, 0)))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(n_steps, GROUP),
-        in_specs=in_specs,
-        out_specs=pl.BlockSpec(
-            (GROUP, B, 2), lambda i, g, wa, wb: (i, 0, 0)
-        ),
+        grid=(n_steps,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),      # sound stays in HBM
+            pl.BlockSpec((GROUP, B), lambda i, wa, wb: (i, 0)),
+            pl.BlockSpec((GROUP, B), lambda i, wa, wb: (i, 0)),
+        ],
+        out_specs=pl.BlockSpec((GROUP, B, 2), lambda i, wa, wb: (i, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((2, GROUP, 2 * region, 2), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, GROUP, 2)),
+        ],
     )
     out_shape = jax.ShapeDtypeStruct((V, B, 2), jnp.float32)
-    sound_inputs = [sound_data] * WINDOW_BLOCKS
     # off-TPU (CI, CPU dev) the kernel runs in interpreter mode so the
     # windows path stays testable everywhere
     interpret = jax.default_backend() != "tpu"
     return pl.pallas_call(
-        _fetch_kernel,
+        _make_kernel(B, region),
         grid_spec=grid_spec,
         out_shape=out_shape,
         interpret=interpret,
-    )(win_blk_a, win_blk_b, *sound_inputs, pos_local, alpha)
+    )(win_blk_a, win_blk_b, sound_data, pos_local, alpha)

@@ -255,17 +255,18 @@ def render_voices(
         # parity testing is not a hot path — use the gather fetch
         fetch = "gather"
     if fetch == "windows":
-        from .fetch_pallas import REGION, SOUND_BLOCK, fetch_interp
+        from .fetch_pallas import SOUND_BLOCK, fetch_interp, region_rows
 
-        # window-relative addressing: segment 0 -> window A ([0, REGION)),
-        # wrap segments -> window B (offset REGION)
+        # window-relative addressing: segment 0 -> region A ([0, region)),
+        # wrap segments -> region B (offset region)
+        region = region_rows(B)
         in_a = seg_idx == 0
         anchor = xp.where(in_a, prog.win_blk_a[:, None], prog.win_blk_b[:, None])
         pos_local = (
             pos_int
             + prog.base[:, None]
             - anchor * SOUND_BLOCK
-            + xp.where(in_a, 0, REGION)
+            + xp.where(in_a, 0, region)
         ).astype(np.int32)
         interp = fetch_interp(
             sound_data, pos_local, alpha,

@@ -1,0 +1,131 @@
+"""Per-block timing, SLO accounting and xrun-analog failure detection.
+
+The reference's observability is ad-hoc: commented chrono probes with a
+0.2 ms budget in the RT callbacks (lib/SyncTimer.cpp:693-699,
+lib/MidiRouter.cpp:590-596), xrun callbacks that count and ignore
+(lib/SyncTimer.cpp:704-709,762), and JackD DSP load printed once per bar
+(lib/SamplerSynth.cpp:142-145,320-326). This module makes those first-class:
+
+- BlockProfiler: wall-time per pipeline stage per block, percentile summary.
+- SLO counter: blocks whose host+dispatch time exceeded the realtime budget
+  (the xrun analog for a block engine).
+- DspLoad: smoothed ratio of busy time to block period (JackD cpu-load
+  analog).
+
+Deeper device-side tracing hooks into jax.profiler (start_trace/stop_trace)
+via `device_trace`.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import time
+from collections import defaultdict, deque
+from typing import Optional
+
+import numpy as np
+
+
+class BlockProfiler:
+    def __init__(self, window: int = 2048):
+        self._samples: dict[str, deque] = defaultdict(
+            lambda: deque(maxlen=window)
+        )
+        self._open: dict[str, float] = {}
+
+    @contextlib.contextmanager
+    def span(self, name: str):
+        t0 = time.perf_counter()
+        try:
+            yield
+        finally:
+            self._samples[name].append(time.perf_counter() - t0)
+
+    def record(self, name: str, seconds: float) -> None:
+        self._samples[name].append(seconds)
+
+    def summary(self) -> dict[str, dict[str, float]]:
+        out = {}
+        for name, values in self._samples.items():
+            if not values:
+                continue
+            a = np.asarray(values) * 1e3
+            out[name] = {
+                "p50_ms": float(np.percentile(a, 50)),
+                "p90_ms": float(np.percentile(a, 90)),
+                "p99_ms": float(np.percentile(a, 99)),
+                "max_ms": float(a.max()),
+                "count": int(a.size),
+            }
+        return out
+
+
+class SloCounter:
+    """Counts block deadline misses (the xrun counter analog)."""
+
+    def __init__(self, budget_seconds: float):
+        self.budget = budget_seconds
+        self.total_blocks = 0
+        self.missed_blocks = 0
+        self.worst_overrun = 0.0
+
+    def observe(self, seconds: float) -> bool:
+        self.total_blocks += 1
+        if seconds > self.budget:
+            self.missed_blocks += 1
+            self.worst_overrun = max(self.worst_overrun, seconds - self.budget)
+            return False
+        return True
+
+    @property
+    def miss_rate(self) -> float:
+        return self.missed_blocks / self.total_blocks if self.total_blocks else 0.0
+
+
+class DspLoad:
+    """Smoothed processing-time / period ratio (jack_cpu_load analog)."""
+
+    def __init__(self, period_seconds: float, smoothing: float = 0.9):
+        self.period = period_seconds
+        self.smoothing = smoothing
+        self.load = 0.0
+
+    def observe(self, busy_seconds: float) -> float:
+        instantaneous = busy_seconds / self.period
+        self.load = self.smoothing * self.load + (1 - self.smoothing) * instantaneous
+        return self.load
+
+
+@contextlib.contextmanager
+def device_trace(log_dir: str):
+    """jax.profiler trace around a region (TPU timeline in TensorBoard)."""
+    import jax
+
+    jax.profiler.start_trace(log_dir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
+
+
+class EventWatchdog:
+    """Delivered-vs-expected event accounting (MidiRouterWatchdog analog,
+    lib/MidiRouter.cpp:135-188 — compile-time disabled there; first-class
+    here). Report mismatches instead of silently dropping events."""
+
+    def __init__(self):
+        self.scheduled = 0
+        self.delivered = 0
+        self.mismatches = 0
+
+    def on_scheduled(self, n: int = 1) -> None:
+        self.scheduled += n
+
+    def on_delivered(self, n: int = 1) -> None:
+        self.delivered += n
+
+    def check(self) -> bool:
+        ok = self.scheduled == self.delivered
+        if not ok:
+            self.mismatches += 1
+        return ok

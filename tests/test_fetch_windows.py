@@ -60,6 +60,50 @@ def test_windows_matches_gather_over_blocks():
         pool.advance(prog)
 
 
+def test_superblock_windows_matches_gather():
+    """B=1024 super-block rendering (throughput mode) through the stream
+    kernel, including loop wraps inside the super-block."""
+    import jax.numpy as jnp
+
+    B_SUPER = 1024
+    frames = 6000
+    t = np.arange(frames) / SR
+    sound = np.stack(
+        [0.4 * np.sin(2 * np.pi * 330 * t), 0.4 * np.sin(2 * np.pi * 331 * t)],
+        axis=1,
+    ).astype(np.float32)
+    padded = np.zeros((16384, 2), np.float32)
+    padded[512 : 512 + frames] = sound
+    pool = VoicePool(8, B_SUPER, SR)
+    rng = np.random.default_rng(5)
+    for v in range(8):
+        pool.note_on(
+            v, clip_id=v, midi_note=int(rng.integers(50, 74)),
+            midi_channel=v % 10, lane=2 + v % 10,
+            base=512, length=frames, source_rate=SR, root_note=62,
+            start_sec=0.0, stop_sec=frames / SR,
+            gain=0.9, clip_volume=1.0, pan=0.0,
+            attack=0.0, decay=0.1, sustain=1.0, release=0.05,
+            looping=True, length_beats=1.0 if v % 2 else 0.37,
+            start_tick=0,
+        )
+    for b in range(6):
+        prog = pool.build_program(
+            block_start_sample=b * B_SUPER, tick_anchor_sample=0.0,
+            tick_anchor=0, samples_per_tick=250.0,
+        )
+        _, _, c_g = render_voices(
+            jnp, padded, prog, B_SUPER, return_contrib=True, fetch="gather"
+        )
+        _, _, c_w = render_voices(
+            jnp, padded, prog, B_SUPER, return_contrib=True, fetch="windows"
+        )
+        np.testing.assert_allclose(
+            np.asarray(c_w), np.asarray(c_g), atol=2e-6, err_msg=f"block {b}"
+        )
+        pool.advance(prog)
+
+
 def test_windows_quirk_gain_matches():
     import jax.numpy as jnp
 
