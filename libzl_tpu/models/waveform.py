@@ -102,3 +102,33 @@ class WaveFormItem:
     def _repaint(self) -> None:
         if self.repaint_callback is not None:
             self.repaint_callback()
+
+    # ------------------------------------------------------------- painting
+    # The reference bridges juce painting into Qt via a QPainter-backed
+    # LowLevelGraphicsContext (lib/QPainterContext.{h,cpp}; fillRect/clip
+    # implemented, paths stubbed). The TPU build is renderer-agnostic: these
+    # methods emit ready-to-draw geometry instead of binding a toolkit.
+
+    def to_polygon(self, width: float, height: float):
+        """Waveform outline as an [2*buckets, 2] float array of (x, y)
+        points (top edge left-to-right, bottom edge back), mono-mixed."""
+        mins, maxs = self.envelope()
+        lo = mins.mean(axis=1)
+        hi = maxs.mean(axis=1)
+        n = len(lo)
+        xs = np.linspace(0.0, width, n)
+        mid, half = height / 2.0, height / 2.0
+        top = np.stack([xs, mid - hi * half], axis=1)
+        bottom = np.stack([xs[::-1], mid - lo[::-1] * half], axis=1)
+        return np.concatenate([top, bottom], axis=0)
+
+    def to_svg(self, width: int = 512, height: int = 128) -> str:
+        """Self-contained SVG rendering of the current zoom window (the
+        WaveFormItem::paint equivalent, lib/WaveFormItem.cpp:130-143)."""
+        pts = self.to_polygon(float(width), float(height))
+        path = " ".join(f"{x:.1f},{y:.1f}" for x, y in pts)
+        return (
+            f'<svg xmlns="http://www.w3.org/2000/svg" width="{width}" '
+            f'height="{height}" viewBox="0 0 {width} {height}">'
+            f'<polygon points="{path}" fill="{self.color}"/></svg>'
+        )

@@ -89,7 +89,11 @@ def time_stretch(
             pos = m * syn_hop
             out[pos : pos + fft_size] += y
             norm[pos : pos + fft_size] += win * win
-        out /= np.maximum(norm, 1e-8)
+        # normalize by the window overlap; where coverage collapses (the
+        # first/last partial frames) output silence instead of amplifying
+        # rounding noise by 1/norm
+        floor = 0.05 * max(norm.max(), 1e-8)
+        out = np.where(norm > floor, out / np.maximum(norm, floor), 0.0)
         out_ch.append(out)
     result = np.stack(out_ch, axis=1)
     target = max(int(round(n_in * stretch)), 1)
