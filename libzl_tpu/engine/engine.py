@@ -74,6 +74,7 @@ class AudioEngine:
         voices_per_lane: Optional[int] = None,
         quirk_gain: bool = False,
         fetch: str = "auto",
+        host_core: str = "auto",
     ):
         self.sample_rate = sample_rate
         self.block_frames = block_frames
@@ -87,6 +88,16 @@ class AudioEngine:
 
                 fetch = "windows" if jax.default_backend() == "tpu" else "gather"
         self.fetch = fetch
+        # native host core (native/zl_hostcore.cpp): one-pass program build +
+        # state advance; numpy path remains the reference implementation
+        self.use_native_host = False
+        if host_core in ("auto", "native"):
+            from . import hostcore as _hostcore
+
+            if _hostcore.available():
+                self.use_native_host = True
+            elif host_core == "native":
+                raise RuntimeError("native host core requested but unavailable")
 
         self.clock = BlockClock(
             sample_rate=float(sample_rate),
@@ -368,32 +379,56 @@ class AudioEngine:
         self.sampler_map.handle(self.router, self.router.passthrough_out)
         self.router.flush_external()
 
-        prog = self.pool.build_program(
+        clock_args = dict(
             block_start_sample=float(self.clock.sample_position),
             tick_anchor_sample=self.clock.anchor_sample,
             tick_anchor=self.clock.anchor_tick,
             samples_per_tick=self.clock.samples_per_tick,
-            lane_enabled=self.lane_enabled,
         )
         sound = self._sound_data_for_backend()
-        if self.backend == "numpy":
-            outputs = render_mod.render_block_math(
-                np, sound, prog, self.strips, self.block_frames,
-                quirk_gain=self.quirk_gain,
-            )
-        else:
-            from ..ops.voice import pack_program, pack_strips
+        from ..ops.voice import pack_strips, unpack_program
 
-            prog_i, prog_f = pack_program(prog)
-            outputs = render_mod.render_block_packed(
-                sound, prog_i, prog_f, pack_strips(self.strips),
-                block_frames=self.block_frames, quirk_gain=self.quirk_gain,
-                fetch=self.fetch,
+        if self.use_native_host:
+            from . import hostcore as _hostcore
+
+            prog_i, prog_f, died_info = _hostcore.voice_update(
+                self.pool, lane_enabled=self.lane_enabled, **clock_args
             )
-        adv = self.pool.advance(prog)
+            if self.backend == "numpy":
+                outputs = render_mod.render_block_math(
+                    np, sound, unpack_program(prog_i, prog_f), self.strips,
+                    self.block_frames, quirk_gain=self.quirk_gain,
+                )
+            else:
+                outputs = render_mod.render_block_packed(
+                    sound, prog_i, prog_f, pack_strips(self.strips),
+                    block_frames=self.block_frames,
+                    quirk_gain=self.quirk_gain, fetch=self.fetch,
+                )
+            died_pairs = [(cid, pid) for _, cid, pid in died_info]
+        else:
+            prog = self.pool.build_program(
+                lane_enabled=self.lane_enabled, **clock_args
+            )
+            if self.backend == "numpy":
+                outputs = render_mod.render_block_math(
+                    np, sound, prog, self.strips, self.block_frames,
+                    quirk_gain=self.quirk_gain,
+                )
+            else:
+                from ..ops.voice import pack_program
+
+                prog_i, prog_f = pack_program(prog)
+                outputs = render_mod.render_block_packed(
+                    sound, prog_i, prog_f, pack_strips(self.strips),
+                    block_frames=self.block_frames,
+                    quirk_gain=self.quirk_gain, fetch=self.fetch,
+                )
+            adv = self.pool.advance(prog)
+            died_pairs = list(zip(adv["died_clips"], adv["died_positions"]))
         # dead voices release their playback positions
         # (lib/SamplerSynthVoice.cpp:156-158)
-        for cid, pid in zip(adv["died_clips"], adv["died_positions"]):
+        for cid, pid in died_pairs:
             clip = self.clips.get(int(cid))
             if clip is not None:
                 clip.positions_model.remove_position(int(pid))

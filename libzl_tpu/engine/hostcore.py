@@ -1,0 +1,150 @@
+"""ctypes binding for the native host core (native/zl_hostcore.cpp).
+
+`voice_update(pool, ...)` replaces the numpy `build_program` + `advance`
+pair with one native pass, writing the packed device-program matrices
+directly. The numpy path remains the reference implementation;
+tests/test_hostcore.py asserts bitwise agreement.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import subprocess
+from pathlib import Path
+from typing import Optional
+
+import numpy as np
+
+_NATIVE_DIR = Path(__file__).resolve().parent.parent.parent / "native"
+
+NUM_INT_COLS = 20
+NUM_F32_COLS = 15
+
+
+class _Params(ctypes.Structure):
+    _fields_ = [
+        ("num_voices", ctypes.c_int64),
+        ("block_frames", ctypes.c_int64),
+        ("block_start_sample", ctypes.c_double),
+        ("tick_anchor_sample", ctypes.c_double),
+        ("tick_anchor", ctypes.c_int64),
+        ("samples_per_tick", ctypes.c_double),
+    ]
+
+
+_STATE_FIELDS = [
+    "active", "clip_id", "pos_int", "pos_frac", "rate_int", "rate_frac",
+    "istart", "stop", "looping", "beat_quantized", "loop_len_ticks",
+    "next_loop_tick", "gain", "clip_volume", "pan", "lane", "stage", "env",
+    "a_rate", "d_rate", "sustain", "rel_rate", "inv_rel", "rel_log2",
+    "rel_mode", "release_sec", "pending_start", "pending_release",
+    "position_id", "base", "length", "source_rate", "lane_enabled",
+]
+
+
+class _State(ctypes.Structure):
+    _fields_ = [(name, ctypes.c_void_p) for name in _STATE_FIELDS]
+
+
+_lib: Optional[ctypes.CDLL] = None
+_load_failed = False
+
+
+def _build() -> Optional[Path]:
+    so = _NATIVE_DIR / "zl_hostcore.so"
+    src = _NATIVE_DIR / "zl_hostcore.cpp"
+    if so.exists() and so.stat().st_mtime >= src.stat().st_mtime:
+        return so
+    try:
+        subprocess.run(
+            ["g++", "-O2", "-fPIC", "-shared", "-std=c++17",
+             "-o", str(so), str(src)],
+            check=True, capture_output=True, timeout=120,
+        )
+        return so
+    except Exception:
+        return None
+
+
+def load() -> Optional[ctypes.CDLL]:
+    """Load (building if needed) the native core; None if unavailable."""
+    global _lib, _load_failed
+    if _lib is not None or _load_failed:
+        return _lib
+    so = _build()
+    if so is None:
+        _load_failed = True
+        return None
+    lib = ctypes.CDLL(str(so))
+    if lib.zl_hostcore_abi_version() != 1:
+        _load_failed = True
+        return None
+    lib.zl_voice_update.restype = ctypes.c_int64
+    lib.zl_voice_update.argtypes = [
+        ctypes.POINTER(_Params), ctypes.POINTER(_State),
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_int64),
+    ]
+    _lib = lib
+    return _lib
+
+
+def available() -> bool:
+    return load() is not None
+
+
+def voice_update(
+    pool,
+    block_start_sample: float,
+    tick_anchor_sample: float,
+    tick_anchor: int,
+    samples_per_tick: float,
+    lane_enabled: np.ndarray,
+):
+    """Native build_program + advance in one pass.
+
+    Returns (prog_i [V,20] i32, prog_f [V,15] f32, died_info) where
+    died_info is a list of (voice, clip_id, position_id); the caller must
+    finish the kill (this function already read the ids, then kills).
+    """
+    lib = load()
+    assert lib is not None, "native host core unavailable"
+    V = pool.num_voices
+    prog_i = np.empty((V, NUM_INT_COLS), np.int32)
+    prog_f = np.empty((V, NUM_F32_COLS), np.float32)
+    died = np.empty(V, np.int64)
+    lane_enabled = np.ascontiguousarray(lane_enabled, dtype=np.bool_)
+
+    params = _Params(
+        num_voices=V,
+        block_frames=pool.block_frames,
+        block_start_sample=float(block_start_sample),
+        tick_anchor_sample=float(tick_anchor_sample),
+        tick_anchor=int(tick_anchor),
+        samples_per_tick=float(samples_per_tick),
+    )
+    state = _State()
+    keepalive = [lane_enabled]
+    for name in _STATE_FIELDS[:-1]:
+        a = getattr(pool, name)
+        if not a.flags["C_CONTIGUOUS"]:
+            raise RuntimeError(f"pool array {name} must be contiguous")
+        keepalive.append(a)
+        setattr(state, name, a.ctypes.data_as(ctypes.c_void_p).value)
+    setattr(
+        state, "lane_enabled",
+        lane_enabled.ctypes.data_as(ctypes.c_void_p).value,
+    )
+
+    n_died = lib.zl_voice_update(
+        ctypes.byref(params), ctypes.byref(state),
+        prog_i.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        prog_f.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        died.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+    )
+    died_info = []
+    for v in died[:n_died]:
+        v = int(v)
+        died_info.append((v, int(pool.clip_id[v]), int(pool.position_id[v])))
+        pool.kill(v)
+    return prog_i, prog_f, died_info

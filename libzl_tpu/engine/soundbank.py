@@ -3,12 +3,18 @@
 The reference keeps one decoded juce::AudioBuffer per clip
 (lib/SamplerSynthSound.cpp:28-59, preferring a memory-mapped reader) and the
 voice loop reads it with raw pointers. The TPU build packs every loaded sound
-into ONE flat float32 array `data[total_len, 2]` resident in HBM; each sound
-is a slot with a base offset. Voices address samples as `base + position`, so
-the render kernel does a single gather into one array regardless of how many
-sounds are loaded — no per-sound control flow, no recompiles when sounds are
-added (capacity is pre-allocated; growth doubles capacity and recompiles at
-most O(log n) times).
+into ONE flat float32 array resident in HBM; each sound is a slot with a
+base offset. Voices address samples as `base + position`, so the render
+kernel does a single gather into one array regardless of how many sounds are
+loaded — no per-sound control flow, no recompiles when sounds are added
+(capacity is pre-allocated; growth doubles capacity and recompiles at most
+O(log n) times).
+
+The array is stored channel-major ("planar", shape [2, N]): on TPU the last
+axis maps to the 128-lane dimension, so the fetch kernel's window DMAs and
+slab slices are lane-aligned runs along the sample axis — an interleaved
+[N, 2] layout would put the 2-wide channel axis on the lanes and violate
+Mosaic's slice-alignment rules (and waste 126/128 of each lane fetch).
 
 Mono sources are duplicated to stereo on load: the reference computes the
 right channel of mono material from the identical expression as the left
@@ -45,10 +51,10 @@ _TAIL_GUARD = 6144
 
 
 class SoundBank:
-    """Packs sounds into one flat [N, 2] float32 buffer + slot table."""
+    """Packs sounds into one planar [2, N] float32 buffer + slot table."""
 
     def __init__(self, capacity_frames: int = 1 << 22):
-        self._data = np.zeros((capacity_frames, 2), dtype=np.float32)
+        self._data = np.zeros((2, capacity_frames), dtype=np.float32)
         self._used = 0
         self._slots: list[SoundSlot] = []
         self._free: list[int] = []  # recycled slot ids
@@ -56,12 +62,12 @@ class SoundBank:
 
     @property
     def data(self) -> np.ndarray:
-        """The flat sample array [capacity, 2]; upload to device as-is."""
+        """The planar sample array [2, capacity]; upload to device as-is."""
         return self._data
 
     @property
     def capacity_frames(self) -> int:
-        return self._data.shape[0]
+        return self._data.shape[1]
 
     def slot(self, slot_id: int) -> SoundSlot:
         return self._slots[slot_id]
@@ -74,8 +80,8 @@ class SoundBank:
         if self._used + padded > self.capacity_frames - _TAIL_GUARD:
             self._grow(self._used + padded + _TAIL_GUARD)
         base = self._used
-        self._data[base : base + length] = samples
-        self._data[base + length : base + padded] = 0.0
+        self._data[:, base : base + length] = samples.T
+        self._data[:, base + length : base + padded] = 0.0
         self._used += padded
         if self._free:
             slot_id = self._free.pop()
@@ -102,14 +108,14 @@ class SoundBank:
         length = samples.shape[0]
         if old is not None and length + _GUARD_FRAMES <= old.padded_length:
             base, padded = old.base, old.padded_length
-            self._data[base : base + length] = samples
-            self._data[base + length : base + padded] = 0.0
+            self._data[:, base : base + length] = samples.T
+            self._data[:, base + length : base + padded] = 0.0
         else:
             padded = length + _GUARD_FRAMES
             if self._used + padded > self.capacity_frames - _TAIL_GUARD:
                 self._grow(self._used + padded + _TAIL_GUARD)
             base = self._used
-            self._data[base : base + length] = samples
+            self._data[:, base : base + length] = samples.T
             self._used += padded
         s = SoundSlot(
             slot=slot_id,
@@ -134,7 +140,7 @@ class SoundBank:
             new_cap *= 2
         # keep the flat array a multiple of the fetch-window block size
         new_cap = ((new_cap + 1023) // 1024) * 1024
-        grown = np.zeros((new_cap, 2), dtype=np.float32)
-        grown[: self._used] = self._data[: self._used]
+        grown = np.zeros((2, new_cap), dtype=np.float32)
+        grown[:, : self._used] = self._data[:, : self._used]
         self._data = grown
         self.version += 1

@@ -10,32 +10,34 @@ fixed ratio; loop wraps jump to the loop start,
 lib/SamplerSynthVoice.cpp:223-247). This kernel exploits that structure:
 
 1. **Streaming windows.** For each voice the host anchors two fetch regions
-   on 512-row boundaries: region A around the current playback segment and
-   region B around the loop-reset target. The kernel DMAs each region with
-   ONE descriptor (tens of KB, double-buffered across grid steps) — scattered
-   HBM access at descriptor granularity, not element granularity.
+   on 512-sample boundaries: region A around the current playback segment
+   and region B around the loop-reset target. The kernel DMAs each region
+   with ONE descriptor (tens of KB, double-buffered across grid steps) —
+   scattered HBM access at descriptor granularity, not element granularity.
+   The bank is planar [2, N] (engine/soundbank.py) so every DMA and slab
+   slice is a lane-aligned run along the sample axis.
 
-2. **Interpolation as transposed MXU matmuls.** Per 128-frame chunk the
-   kernel derives a 640-column slab offset from the chunk's minimum index,
-   builds the banded interpolation weights
+2. **Interpolation as planar MXU matmuls.** Per 128-frame chunk the kernel
+   derives a lane-aligned 768-column slab offset from the chunk's minimum
+   index, builds the banded interpolation weights
 
        W[u, b] = (u == idx_b - off) * (1 - alpha_b)
                + (u == idx_b - off + 1) * alpha_b
 
-   and computes `out[2, 128] = slab^T[2, 640] @ W[640, 128]` — the frame
-   axis lands on the 128-lane axis of the MXU (an untransposed layout would
-   waste 126/128 output lanes on the stereo axis). Two dots per chunk (one
-   per region) sum to the final interpolated pair; each frame's index lives
-   in exactly one region's slab, the other contributes zero. HIGHEST
-   precision keeps the result exact f32 (<= 2 nonzeros per column).
+   and computes `out[2, 128] = slab[2, 768] @ W[768, 128]` — the frame axis
+   lands on the 128-lane axis of the MXU (placing the stereo axis there
+   would waste 126/128 output lanes). Two dots per chunk (one per region)
+   sum to the final interpolated pair; each frame's index lives in exactly
+   one region's slab, the other contributes zero. HIGHEST precision keeps
+   the result exact f32 (<= 2 nonzeros per column).
 
-Output is the pre-gain interpolated sample pair [V, B, 2]; gain, envelope,
+Output is the planar pre-gain interpolated pair [V, 2, B]; gain, envelope,
 pan and mixdown stay fused in XLA. (The reference's quirk-gain parity mode
 needs the two taps separately and uses the gather path instead.)
 
 Host guarantees (engine/soundbank.py, engine/voicestate.py):
-- the flat sample array length is a multiple of 512 with a tail guard of at
-  least `region_rows(B)` rows, so region DMAs never run off the end;
+- the planar bank's sample axis is a multiple of 512 with a tail guard of
+  at least `region_rows(B)` samples, so region DMAs never run off the end;
 - pitch ratios are clamped to R_MAX (= 4.0, two octaves up — beyond the
   musical envelope), so a block's position span fits one region;
 - `pos_local` is window-relative: [0, region) addresses region A,
@@ -53,15 +55,17 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-SOUND_BLOCK = 512     # region anchor granularity (rows of the flat bank)
+SOUND_BLOCK = 512     # window anchor granularity (samples, lane-aligned)
 R_MAX = 4.0           # max pitch ratio (span per block = R_MAX * B)
 GROUP = 8             # voices per grid step (tile divisibility on [G, B])
 CHUNK = 128           # frames per inner compute chunk
-SLAB = 640            # slab columns per chunk dot (>= R_MAX*CHUNK + 2, x128)
+# slab columns per chunk dot: covers R_MAX*CHUNK + 2 plus up to 127 samples
+# of 128-alignment slack on the slab offset; multiple of 128 lanes
+SLAB = 768
 
 
 def region_rows(block_frames: int) -> int:
-    """Rows per fetch region: anchor slack + max span, 512-aligned."""
+    """Samples per fetch region: anchor slack + max span, 512-aligned."""
     span = int(R_MAX * block_frames) + 2
     return ((span + SOUND_BLOCK - 1) // SOUND_BLOCK) * SOUND_BLOCK + SOUND_BLOCK
 
@@ -79,29 +83,26 @@ def _make_kernel(block_frames: int, region: int):
         i = pl.program_id(0)
         n_steps = pl.num_programs(0)
 
+        # One DMA per (voice, region): a contiguous lane-aligned run of the
+        # planar bank. win_scratch holds both regions back to back per voice.
+        def dma(slot, step, g, r, tbl):
+            return pltpu.make_async_copy(
+                sound_ref.at[
+                    :, pl.ds(tbl[step * GROUP + g] * SOUND_BLOCK, region)
+                ],
+                win_scratch.at[slot, g, :, pl.ds(r * region, region)],
+                sems.at[slot, g, r],
+            )
+
         def issue(slot, step):
             for g in range(GROUP):
-                for r, tbl in ((0, wa_ref), (1, wb_ref)):
-                    pltpu.make_async_copy(
-                        sound_ref.at[
-                            pl.ds(tbl[step * GROUP + g] * SOUND_BLOCK, region),
-                            :,
-                        ],
-                        win_scratch.at[slot, g, pl.ds(r * region, region), :],
-                        sems.at[slot, g, r],
-                    ).start()
+                dma(slot, step, g, 0, wa_ref).start()
+                dma(slot, step, g, 1, wb_ref).start()
 
         def wait(slot, step):
             for g in range(GROUP):
-                for r, tbl in ((0, wa_ref), (1, wb_ref)):
-                    pltpu.make_async_copy(
-                        sound_ref.at[
-                            pl.ds(tbl[step * GROUP + g] * SOUND_BLOCK, region),
-                            :,
-                        ],
-                        win_scratch.at[slot, g, pl.ds(r * region, region), :],
-                        sems.at[slot, g, r],
-                    ).wait()
+                dma(slot, step, g, 0, wa_ref).wait()
+                dma(slot, step, g, 1, wb_ref).wait()
 
         @pl.when(i == 0)
         def _():
@@ -130,25 +131,27 @@ def _make_kernel(block_frames: int, region: int):
                 lo, hi = r * region, (r + 1) * region
                 in_r = valid & (idx >= lo) & (idx < hi)
                 any_r = in_r.any()
+                # slab offset: chunk minimum, aligned down to the lane tile
                 off = jnp.min(jnp.where(in_r, idx, big))
+                off = (off // CHUNK) * CHUNK
                 off = jnp.clip(off, lo, hi - SLAB)
                 rel = idx - off                              # [CHUNK]
-                wmask = in_r[None, :]
+                wmask = in_r[None, :].astype(jnp.float32)
                 w = (
                     (row_ids == rel[None, :]).astype(jnp.float32) * inv
                     + (row_ids == rel[None, :] + 1).astype(jnp.float32) * al
-                ) * wmask.astype(jnp.float32)                # [SLAB, CHUNK]
-                slab = win_scratch[slot, g, pl.ds(off, SLAB), :]  # [SLAB, 2]
+                ) * wmask                                    # [SLAB, CHUNK]
+                slab = win_scratch[slot, g, :, pl.ds(off, SLAB)]  # [2, SLAB]
                 part = jax.lax.dot_general(
                     slab, w,
-                    dimension_numbers=(((0,), (0,)), ((), ())),
+                    dimension_numbers=(((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
                     precision=jax.lax.Precision.HIGHEST,
                 )                                            # [2, CHUNK]
                 return jnp.where(any_r, part, 0.0)
 
             outc = region_dot(0) + region_dot(1)             # [2, CHUNK]
-            out_ref[g, pl.ds(c * CHUNK, CHUNK), :] = outc.T
+            out_ref[g, :, pl.ds(c * CHUNK, CHUNK)] = outc
             return 0
 
         jax.lax.fori_loop(0, GROUP * n_chunks, chunk_body, 0, unroll=False)
@@ -158,14 +161,14 @@ def _make_kernel(block_frames: int, region: int):
 
 @functools.partial(jax.jit, static_argnames=("block_frames",))
 def fetch_interp(
-    sound_data,      # [N, 2] f32, N % 512 == 0, guard tail >= region_rows(B)
+    sound_data,      # [2, N] f32 planar; N % 512 == 0, tail >= region_rows(B)
     pos_local,       # [V, B] int32 (window-relative; see module docstring)
     alpha,           # [V, B] f32
-    win_blk_a,       # [V] int32: region A anchor (512-row block index)
+    win_blk_a,       # [V] int32: region A anchor (512-sample block index)
     win_blk_b,       # [V] int32: region B anchor (loop-reset target)
     block_frames: int = 128,
 ):
-    """Returns interp [V, B, 2] f32: linear-interpolated, pre-gain samples."""
+    """Returns interp [V, 2, B] f32: linear-interpolated, pre-gain samples."""
     V, B = pos_local.shape
     assert V % GROUP == 0, f"voice count {V} must be a multiple of {GROUP}"
     assert B % CHUNK == 0, f"block size {B} must be a multiple of {CHUNK}"
@@ -176,17 +179,17 @@ def fetch_interp(
         num_scalar_prefetch=2,
         grid=(n_steps,),
         in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),      # sound stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),   # sound stays in HBM
             pl.BlockSpec((GROUP, B), lambda i, wa, wb: (i, 0)),
             pl.BlockSpec((GROUP, B), lambda i, wa, wb: (i, 0)),
         ],
-        out_specs=pl.BlockSpec((GROUP, B, 2), lambda i, wa, wb: (i, 0, 0)),
+        out_specs=pl.BlockSpec((GROUP, 2, B), lambda i, wa, wb: (i, 0, 0)),
         scratch_shapes=[
-            pltpu.VMEM((2, GROUP, 2 * region, 2), jnp.float32),
+            pltpu.VMEM((2, GROUP, 2, 2 * region), jnp.float32),
             pltpu.SemaphoreType.DMA((2, GROUP, 2)),
         ],
     )
-    out_shape = jax.ShapeDtypeStruct((V, B, 2), jnp.float32)
+    out_shape = jax.ShapeDtypeStruct((V, 2, B), jnp.float32)
     # off-TPU (CI, CPU dev) the kernel runs in interpreter mode so the
     # windows path stays testable everywhere
     interpret = jax.default_backend() != "tpu"

@@ -210,7 +210,7 @@ def positions_block(xp, prog: VoiceProgram, block_frames: int):
 
 def render_voices(
     xp,
-    sound_data,           # [N, 2] f32 flat sample memory
+    sound_data,           # [2, N] f32 planar sample memory (SoundBank.data)
     prog: VoiceProgram,
     block_frames: int,
     quirk_gain: bool = False,
@@ -271,9 +271,9 @@ def render_voices(
         interp = fetch_interp(
             sound_data, pos_local, alpha,
             prog.win_blk_a, prog.win_blk_b, block_frames=B,
-        )
-        l = interp[..., 0] * g
-        r = interp[..., 1] * g
+        )  # [V, 2, B] planar
+        l = interp[:, 0, :] * g
+        r = interp[:, 1, :] * g
     else:
         # Both taps are clamped into the sound's own region; lanes where the
         # clamp changed anything are masked off by `valid` above.
@@ -281,20 +281,22 @@ def render_voices(
         safe_pos0 = xp.clip(pos_int, 0, lm1) + prog.base[:, None]
         safe_pos1 = xp.clip(pos_int + 1, 0, lm1) + prog.base[:, None]
         if xp is np:
-            tap0 = sound_data[safe_pos0]         # [V, B, 2]
-            tap1 = sound_data[safe_pos1]
+            t0l, t0r = sound_data[0, safe_pos0], sound_data[1, safe_pos0]
+            t1l, t1r = sound_data[0, safe_pos1], sound_data[1, safe_pos1]
         else:
-            tap0 = xp.take(sound_data, safe_pos0, axis=0)
-            tap1 = xp.take(sound_data, safe_pos1, axis=0)
+            t0l = xp.take(sound_data[0], safe_pos0, axis=0)
+            t0r = xp.take(sound_data[1], safe_pos0, axis=0)
+            t1l = xp.take(sound_data[0], safe_pos1, axis=0)
+            t1r = xp.take(sound_data[1], safe_pos1, axis=0)
 
         if quirk_gain:
             # Reference-exact expression: gain chain on the second tap only
             # (lib/SamplerSynthVoice.cpp:204-205).
-            l = tap0[..., 0] * inv_alpha + tap1[..., 0] * alpha * g
-            r = tap0[..., 1] * inv_alpha + tap1[..., 1] * alpha * g
+            l = t0l * inv_alpha + t1l * alpha * g
+            r = t0r * inv_alpha + t1r * alpha * g
         else:
-            l = (tap0[..., 0] * inv_alpha + tap1[..., 0] * alpha) * g
-            r = (tap0[..., 1] * inv_alpha + tap1[..., 1] * alpha) * g
+            l = (t0l * inv_alpha + t1l * alpha) * g
+            r = (t0r * inv_alpha + t1r * alpha) * g
     zero = f32(0.0)
     l = xp.where(valid, l, zero)
     r = xp.where(valid, r, zero)

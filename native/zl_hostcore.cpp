@@ -1,0 +1,394 @@
+/*
+ * zl_hostcore.cpp — native implementation of the per-block voice update.
+ *
+ * The block scheduler's hottest host path is the voice machine
+ * (libzl_tpu/engine/voicestate.py): converting per-voice state into the
+ * device program (position segments, loop-wrap schedules, envelope programs,
+ * stop/release frames) and mirroring state past the block. The numpy
+ * implementation is vectorized but overhead-bound (~100 array ops per
+ * block, ~1.6 ms at 1024 voices); this C++ core does the same math in one
+ * pass over the voices (~tens of microseconds), the way the reference keeps
+ * its scheduler core native (lib/SyncTimer.cpp's process loop).
+ *
+ * The Python VoicePool remains the owner of all state arrays; this library
+ * receives raw pointers to them (ctypes) and must match
+ * engine/voicestate.py's formulas EXACTLY — tests/test_hostcore.py asserts
+ * bit-equality of every produced array against the numpy path.
+ *
+ * Layout contract (see libzl_tpu/engine/hostcore.py):
+ *   - all [V] state arrays passed individually (int64/int32/float32/f64/bool)
+ *   - program outputs are the packed int32/float32 matrices of
+ *     ops/voice.pack_program, written directly (no repacking on the host).
+ */
+
+#include <algorithm>
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+
+namespace {
+
+constexpr int kSegments = 4;           // MAX_SEGMENTS_PER_BLOCK
+constexpr int64_t kBig = 1LL << 30;
+
+// envelope stages (ops/adsr.py)
+constexpr int kIdle = 0, kAttack = 1, kDecay = 2, kSustain = 3, kRelease = 4;
+constexpr int kRelModeLinear = 0, kRelModeExp = 1;
+
+// packed program column layout (ops/voice.pack_program)
+// ints: active, base, len_minus1, win_blk_a, win_blk_b, rate_int,
+//       start_frame, stop_frame, lane, stage0, release_frame, rel_mode,
+//       seg_start[4], seg_pos_int[4]                          -> 20 columns
+// floats: rate_frac, gain, clip_volume, pan, env0, a_rate, d_rate, sustain,
+//         rel_rate, inv_rel, rel_log2, seg_pos_frac[4]        -> 15 columns
+constexpr int kNI = 20;
+constexpr int kNF = 15;
+
+struct State {
+  // in/out state (mirrors VoicePool's arrays)
+  uint8_t *active;
+  int64_t *clip_id;
+  int64_t *pos_int;
+  float *pos_frac;
+  int32_t *rate_int;
+  float *rate_frac;
+  int64_t *istart;
+  int64_t *stop;
+  uint8_t *looping;
+  uint8_t *beat_quantized;
+  int64_t *loop_len_ticks;
+  int64_t *next_loop_tick;
+  float *gain;
+  float *clip_volume;
+  float *pan;
+  int32_t *lane;
+  int32_t *stage;
+  float *env;
+  float *a_rate;
+  float *d_rate;
+  float *sustain;
+  float *rel_rate;
+  float *inv_rel;
+  float *rel_log2;
+  int32_t *rel_mode;
+  float *release_sec;
+  int64_t *pending_start;
+  int64_t *pending_release;
+  int64_t *position_id;
+  int32_t *base;
+  int32_t *length;
+  double *source_rate;
+  uint8_t *lane_enabled;  // [num_lanes]
+};
+
+struct Params {
+  int64_t num_voices;
+  int64_t block_frames;
+  double block_start_sample;
+  double tick_anchor_sample;
+  int64_t tick_anchor;
+  double samples_per_tick;
+};
+
+// juce-compatible ADS envelope value at voice-local frame k (f32 arithmetic,
+// matching ops/adsr.ads_env_at exactly)
+inline float ads_env_at(int stage0, float env0, float a_rate, float d_rate,
+                        float sustain, int64_t k) {
+  bool in_attack = stage0 == kAttack;
+  int64_t ka = 0;
+  if (in_attack && a_rate > 0.0f) {
+    ka = (int64_t)std::max(std::ceil((1.0f - env0) / a_rate), 0.0f);
+  }
+  float e_d = in_attack ? 1.0f : env0;
+  bool has_decay = (in_attack && d_rate > 0.0f) || stage0 == kDecay;
+  int64_t kd = 0;
+  if (has_decay && d_rate > 0.0f) {
+    kd = (int64_t)std::max(std::ceil((e_d - sustain) / d_rate), 0.0f);
+  }
+  float e_s = has_decay ? sustain : e_d;
+  if (k < ka) {
+    return std::min(env0 + (float)(k + 1) * a_rate, 1.0f);
+  }
+  if (k < ka + kd) {
+    return std::max(e_d - (float)(k - ka + 1) * d_rate, sustain);
+  }
+  return e_s;
+}
+
+// full envelope value at voice-local frame k with a release trigger at rf
+// (matching ops/adsr.envelope_values)
+inline float envelope_at(int stage0, float env0, float a_rate, float d_rate,
+                         float sustain, float rel_rate, float inv_rel,
+                         float rel_log2, int64_t rf, int rel_mode, int64_t k) {
+  if (stage0 == kIdle) return 0.0f;
+  if (stage0 == kRelease) {
+    float sf = (float)std::max(k + 1, (int64_t)0);
+    if (rel_mode == kRelModeExp) return env0 * std::exp2(sf * rel_log2);
+    return std::max(env0 - sf * rel_rate, 0.0f);
+  }
+  if (k < rf) {
+    return ads_env_at(stage0, env0, a_rate, d_rate, sustain, k);
+  }
+  float e_r = rf > 0
+                  ? ads_env_at(stage0, env0, a_rate, d_rate, sustain,
+                               std::max(rf - 1, (int64_t)0))
+                  : env0;
+  if (inv_rel <= 0.0f) return 0.0f;
+  float sf = (float)std::max(k - rf + 1, (int64_t)0);
+  if (rel_mode == kRelModeExp) return e_r * std::exp2(sf * rel_log2);
+  float new_rate = e_r * inv_rel;
+  return std::max(e_r - sf * new_rate, 0.0f);
+}
+
+}  // namespace
+
+extern "C" {
+
+/*
+ * One-pass build_program + advance for all voices.
+ *
+ * Writes the packed program matrices (prog_i [V, 20] int32,
+ * prog_f [V, 15] float32) for the device dispatch, then advances the state
+ * arrays past the block exactly as engine/voicestate.VoicePool.advance()
+ * does. `died_out` receives indices of voices that stopped (count returned).
+ */
+int64_t zl_voice_update(const Params *p, State *s, int32_t *prog_i,
+                        float *prog_f, int64_t *died_out) {
+  const int64_t V = p->num_voices;
+  const int64_t B = p->block_frames;
+  int64_t died_count = 0;
+
+  for (int64_t v = 0; v < V; ++v) {
+    int32_t *pi = prog_i + v * kNI;
+    float *pf = prog_f + v * kNF;
+    std::memset(pi, 0, sizeof(int32_t) * kNI);
+    std::memset(pf, 0, sizeof(float) * kNF);
+    // inactive program row defaults
+    pi[2] = 1;                       // len_minus1
+    pi[7] = (int32_t)B;              // stop_frame
+    pi[10] = (int32_t)B;             // release_frame
+    for (int j = 0; j < kSegments; ++j) pi[12 + j] = (int32_t)B;
+
+    bool act = s->active[v] && s->lane_enabled[s->lane[v]];
+    if (!act) {
+      // pending events are consumed per block regardless (the numpy
+      // mirror clears them globally in advance())
+      s->pending_start[v] = -1;
+      s->pending_release[v] = kBig;
+      continue;
+    }
+
+    const double posf = (double)s->pos_int[v] + (double)s->pos_frac[v];
+    const double rate = (double)s->rate_int[v] + (double)s->rate_frac[v];
+    const double rate_safe = rate > 0.0 ? rate : 1.0;
+    const int64_t start_f =
+        s->pending_start[v] >= 0 ? s->pending_start[v] : 0;
+
+    // --- segments / wrap schedule (voicestate.build_program) ---
+    int64_t seg_start[kSegments], seg_pos_int[kSegments];
+    float seg_pos_frac[kSegments];
+    for (int j = 0; j < kSegments; ++j) {
+      seg_start[j] = B;
+      seg_pos_int[j] = 0;
+      seg_pos_frac[j] = 0.0f;
+    }
+    seg_start[0] = start_f;
+    seg_pos_int[0] = s->pos_int[v];
+    seg_pos_frac[0] = s->pos_frac[v];
+
+    const int64_t n1 = std::max(
+        (int64_t)std::ceil(((double)s->stop[v] - posf) / rate_safe),
+        (int64_t)1);
+    const int64_t pos_period = std::max(
+        (int64_t)std::ceil((double)(s->stop[v] - s->istart[v]) / rate_safe),
+        (int64_t)1);
+    const double next_loop_sample =
+        p->tick_anchor_sample +
+        (double)(s->next_loop_tick[v] - p->tick_anchor) * p->samples_per_tick;
+    const double bq_diff = next_loop_sample - p->block_start_sample;
+    const double bq_period =
+        std::max((double)s->loop_len_ticks[v] * p->samples_per_tick, 1.0);
+
+    const bool is_bq = s->looping[v] && s->beat_quantized[v];
+    const bool is_pos = s->looping[v] && !s->beat_quantized[v];
+    int64_t bq_wraps = 0;
+    bool bq_boundary = false;
+    for (int sI = 1; sI < kSegments; ++sI) {
+      int64_t r;
+      if (is_bq) {
+        int64_t k0 = (int64_t)std::max(
+            std::ceil(bq_diff + (double)(sI - 1) * bq_period), 0.0);
+        r = k0 + 1;
+        if (k0 < B) ++bq_wraps;
+        if (r == B) bq_boundary = true;
+      } else if (is_pos) {
+        r = start_f + n1 + (int64_t)(sI - 1) * pos_period;
+      } else {
+        continue;
+      }
+      if (r < B && r >= start_f) {
+        seg_start[sI] = r;
+        seg_pos_int[sI] = s->istart[v];
+        seg_pos_frac[sI] = 0.0f;
+      }
+    }
+
+    // --- stop frame (hard stop / ADSR death) ---
+    int64_t stop_frame = B;
+    if (!s->looping[v]) {
+      int64_t end_frame =
+          start_f +
+          (int64_t)std::ceil(((double)s->stop[v] - posf) / rate_safe);
+      stop_frame = std::min(std::max(end_frame, (int64_t)0), B);
+    }
+
+    // --- release triggers ---
+    int64_t release_frame = s->pending_release[v];
+    bool release_is_auto = false;
+    const double thr =
+        (double)s->stop[v] - (double)s->release_sec[v] * s->source_rate[v];
+    int64_t k_ar =
+        start_f + (int64_t)std::ceil((thr - posf) / rate_safe) + 1;
+    k_ar = std::max(k_ar, (int64_t)0);
+    if (!s->looping[v] && s->stage[v] != kRelease && s->stage[v] != kIdle &&
+        k_ar < std::min(release_frame, B)) {
+      release_is_auto = true;
+      release_frame = k_ar;
+    }
+    if (s->stage[v] == kRelease && s->rel_mode[v] == kRelModeLinear &&
+        s->rel_rate[v] > 0.0f) {
+      int64_t death = (int64_t)std::ceil((double)s->env[v] /
+                                         (double)s->rel_rate[v]);
+      stop_frame = std::min(
+          stop_frame,
+          std::min(std::max(start_f + death, (int64_t)0), B));
+    }
+    int64_t release_local =
+        std::min(std::max(release_frame - start_f, (int64_t)0), kBig);
+    int32_t rel_mode_prog =
+        release_is_auto ? kRelModeExp : s->rel_mode[v];
+
+    // --- fill the packed program row ---
+    pi[0] = 1;                                  // active
+    pi[1] = s->base[v];
+    pi[2] = std::max(s->length[v] - 1, (int32_t)1);
+    pi[3] = (int32_t)std::max(
+        (s->base[v] + seg_pos_int[0]) / 512, (int64_t)0);  // win_blk_a
+    pi[4] = (int32_t)std::max(
+        (s->base[v] + s->istart[v]) / 512, (int64_t)0);    // win_blk_b
+    pi[5] = s->rate_int[v];
+    pi[6] = (int32_t)start_f;
+    pi[7] = (int32_t)stop_frame;
+    pi[8] = s->lane[v];
+    pi[9] = s->stage[v];
+    pi[10] = (int32_t)release_local;
+    pi[11] = rel_mode_prog;
+    for (int j = 0; j < kSegments; ++j) {
+      pi[12 + j] = (int32_t)std::min(seg_start[j], B);
+      pi[16 + j] = (int32_t)seg_pos_int[j];
+    }
+    pf[0] = s->rate_frac[v];
+    pf[1] = s->gain[v];
+    pf[2] = s->clip_volume[v];
+    pf[3] = s->pan[v];
+    pf[4] = s->env[v];
+    pf[5] = s->a_rate[v];
+    pf[6] = s->d_rate[v];
+    pf[7] = s->sustain[v];
+    pf[8] = s->rel_rate[v];
+    pf[9] = s->inv_rel[v];
+    pf[10] = s->rel_log2[v];
+    for (int j = 0; j < kSegments; ++j) pf[11 + j] = seg_pos_frac[j];
+
+    // ================= advance (voicestate.VoicePool.advance) =============
+    // position at frame B via the device's own segment formula
+    int last = 0;
+    for (int j = kSegments - 1; j >= 0; --j) {
+      if (seg_start[j] < B) {
+        last = j;
+        break;
+      }
+    }
+    int64_t jframes = std::max(B - seg_start[last], (int64_t)0);
+    float frac_full =
+        seg_pos_frac[last] + (float)jframes * s->rate_frac[v];
+    float carry = std::floor(frac_full);
+    int64_t new_pos_int =
+        seg_pos_int[last] + jframes * (int64_t)s->rate_int[v] +
+        (int64_t)carry;
+    float new_pos_frac = frac_full - carry;
+    bool pos_wrap =
+        is_pos && ((double)new_pos_int + (double)new_pos_frac >=
+                   (double)s->stop[v]);
+    if (pos_wrap || bq_boundary) {
+      new_pos_int = s->istart[v];
+      new_pos_frac = 0.0f;
+    }
+    s->pos_int[v] = new_pos_int;
+    s->pos_frac[v] = new_pos_frac;
+
+    // envelope at the last rendered frame (voice-local)
+    int64_t n_frames = B - start_f;
+    float env_last = envelope_at(
+        s->stage[v], s->env[v], s->a_rate[v], s->d_rate[v], s->sustain[v],
+        s->rel_rate[v], s->inv_rel[v], s->rel_log2[v], release_local,
+        rel_mode_prog, std::max(n_frames - 1, (int64_t)0));
+    bool released = release_local < n_frames;
+    if (released && rel_mode_prog == kRelModeLinear) {
+      float e_r = release_local > 0
+                      ? ads_env_at(s->stage[v], s->env[v], s->a_rate[v],
+                                   s->d_rate[v], s->sustain[v],
+                                   release_local - 1)
+                      : s->env[v];
+      s->rel_rate[v] = e_r * s->inv_rel[v];
+    }
+    if (released) {
+      s->rel_mode[v] = rel_mode_prog;
+      s->stage[v] = kRelease;
+    } else if (s->stage[v] == kAttack || s->stage[v] == kDecay) {
+      // stage after n_frames with no release (closed form)
+      int64_t ka = 0, kd = 0;
+      bool in_attack = s->stage[v] == kAttack;
+      if (in_attack && s->a_rate[v] > 0.0f) {
+        ka = (int64_t)std::max(
+            std::ceil((1.0f - s->env[v]) / s->a_rate[v]), 0.0f);
+      }
+      float e_d = in_attack ? 1.0f : s->env[v];
+      bool has_decay =
+          (in_attack && s->d_rate[v] > 0.0f) || s->stage[v] == kDecay;
+      if (has_decay && s->d_rate[v] > 0.0f) {
+        kd = (int64_t)std::max(
+            std::ceil((e_d - s->sustain[v]) / s->d_rate[v]), 0.0f);
+      }
+      if (in_attack) {
+        if (n_frames > ka) {
+          s->stage[v] = (has_decay && n_frames <= ka + kd) ? kDecay : kSustain;
+        }
+      } else {  // decay
+        if (n_frames > kd) s->stage[v] = kSustain;
+      }
+    }
+    s->env[v] = env_last;
+
+    // beat-quantized loop tick bookkeeping
+    if (s->beat_quantized[v]) {
+      s->next_loop_tick[v] += bq_wraps * s->loop_len_ticks[v];
+    }
+
+    // deaths
+    bool dead = (stop_frame < B) ||
+                (s->stage[v] == kRelease && s->env[v] <= 0.0f);
+    if (dead) {
+      // only flag; the Python wrapper reads (clip_id, position_id) for the
+      // positions-model cleanup and then performs the full kill()
+      died_out[died_count++] = v;
+    }
+    s->pending_start[v] = -1;
+    s->pending_release[v] = kBig;
+  }
+  return died_count;
+}
+
+int zl_hostcore_abi_version(void) { return 1; }
+
+}  // extern "C"

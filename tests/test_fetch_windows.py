@@ -17,8 +17,8 @@ def _make_pool_with_wraps():
         axis=1,
     ).astype(np.float32)
     # pad like the soundbank would (guard + block alignment)
-    padded = np.zeros((8192, 2), np.float32)
-    padded[:frames] = sound
+    padded = np.zeros((2, 8192), np.float32)
+    padded[:, :frames] = sound.T
     pool = VoicePool(16, B, SR)
     rng = np.random.default_rng(3)
     for v in range(12):
@@ -72,8 +72,8 @@ def test_superblock_windows_matches_gather():
         [0.4 * np.sin(2 * np.pi * 330 * t), 0.4 * np.sin(2 * np.pi * 331 * t)],
         axis=1,
     ).astype(np.float32)
-    padded = np.zeros((16384, 2), np.float32)
-    padded[512 : 512 + frames] = sound
+    padded = np.zeros((2, 16384), np.float32)
+    padded[:, 512 : 512 + frames] = sound.T
     pool = VoicePool(8, B_SUPER, SR)
     rng = np.random.default_rng(5)
     for v in range(8):

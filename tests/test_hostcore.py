@@ -1,0 +1,144 @@
+"""Native host core vs numpy voice machine: bitwise equivalence."""
+
+import copy
+
+import numpy as np
+import pytest
+
+from libzl_tpu.engine import hostcore
+from libzl_tpu.engine.voicestate import VoicePool
+from libzl_tpu.ops.voice import pack_program
+
+SR = 48000.0
+B = 128
+
+pytestmark = pytest.mark.skipif(
+    not hostcore.available(), reason="native host core unavailable"
+)
+
+
+def make_pool(seed=0, V=64):
+    pool = VoicePool(V, B, SR)
+    rng = np.random.default_rng(seed)
+    for v in range(V - 8):  # leave some idle
+        looping = bool(rng.integers(0, 2))
+        pool.note_on(
+            v,
+            clip_id=int(rng.integers(0, 8)),
+            midi_note=int(rng.integers(40, 85)),
+            midi_channel=int(rng.integers(-2, 10)),
+            lane=int(rng.integers(0, 12)),
+            base=int(rng.integers(0, 4)) * 512,
+            length=int(rng.integers(2000, 40000)),
+            source_rate=float(rng.choice([44100.0, 48000.0])),
+            root_note=60,
+            start_sec=float(rng.uniform(0, 0.01)),
+            stop_sec=float(rng.uniform(0.05, 0.8)),
+            gain=float(rng.uniform(0, 1)),
+            clip_volume=float(rng.uniform(0, 1)),
+            pan=float(rng.uniform(-1, 1)),
+            attack=float(rng.choice([0.0, 0.003, 0.05])),
+            decay=float(rng.choice([0.0, 0.05, 0.2])),
+            sustain=float(rng.uniform(0.1, 1.0)),
+            release=float(rng.choice([0.0, 0.02, 0.05])),
+            looping=looping,
+            length_beats=float(rng.choice([1.0, 2.0, 0.75, 1.3])),
+            start_tick=int(rng.integers(0, 96)),
+        )
+    return pool
+
+
+STATE_ARRAYS = [
+    "active", "clip_id", "pos_int", "pos_frac", "rate_int", "rate_frac",
+    "istart", "stop", "looping", "beat_quantized", "loop_len_ticks",
+    "next_loop_tick", "gain", "clip_volume", "pan", "lane", "stage", "env",
+    "a_rate", "d_rate", "sustain", "rel_rate", "inv_rel", "rel_log2",
+    "rel_mode", "release_sec", "pending_start", "pending_release",
+    "position_id",
+]
+
+
+def run_both(seed, blocks=40, release_at=None, lane_disabled=None):
+    pool_np = make_pool(seed)
+    pool_c = copy.deepcopy(pool_np)
+    lane_enabled = np.ones(12, bool)
+    if lane_disabled is not None:
+        lane_enabled[lane_disabled] = False
+    spt = 250.0
+    for b in range(blocks):
+        if release_at is not None and b == release_at:
+            for v in range(0, 8):
+                pool_np.note_off(v, tail=True, frame_offset=13)
+                pool_c.note_off(v, tail=True, frame_offset=13)
+        args = dict(
+            block_start_sample=float(b * B),
+            tick_anchor_sample=0.0,
+            tick_anchor=0,
+            samples_per_tick=spt,
+        )
+        prog = pool_np.build_program(lane_enabled=lane_enabled, **args)
+        pi_np, pf_np = pack_program(prog)
+        adv = pool_np.advance(prog)
+        for v, cid, pid in zip(adv["died"], adv["died_clips"],
+                               adv["died_positions"]):
+            pass  # numpy advance already killed
+
+        pi_c, pf_c, died_c = hostcore.voice_update(
+            pool_c, lane_enabled=lane_enabled, **args
+        )
+
+        act = np.asarray(prog.active, bool)
+        np.testing.assert_array_equal(pi_c[act], pi_np[act],
+                                      err_msg=f"ints, block {b}")
+        # exp2 may differ by an ulp between libm and numpy; everything else
+        # must be bit-identical
+        np.testing.assert_allclose(pf_c[act], pf_np[act], rtol=1e-6, atol=0,
+                                   err_msg=f"floats, block {b}")
+        np.testing.assert_array_equal(pi_c[:, 0], np.asarray(prog.active,
+                                                             np.int32))
+        assert sorted(v for v, _, _ in died_c) == sorted(adv["died"].tolist())
+        for name in STATE_ARRAYS:
+            a_np = getattr(pool_np, name)
+            a_c = getattr(pool_c, name)
+            if a_np.dtype == np.float32 and name in ("env", "rel_rate"):
+                np.testing.assert_allclose(
+                    a_c, a_np, rtol=1e-5, atol=1e-9,
+                    err_msg=f"state {name}, block {b}")
+            else:
+                np.testing.assert_array_equal(
+                    a_c, a_np, err_msg=f"state {name}, block {b}")
+
+
+def test_equivalence_mixed_session():
+    run_both(seed=1)
+
+
+def test_equivalence_with_releases():
+    run_both(seed=2, release_at=5, blocks=60)
+
+
+def test_equivalence_with_disabled_lane():
+    run_both(seed=3, lane_disabled=4)
+
+
+def test_native_speedup():
+    import time
+
+    pool = make_pool(seed=4, V=1024)
+    lane_enabled = np.ones(12, bool)
+    args = dict(block_start_sample=0.0, tick_anchor_sample=0.0,
+                tick_anchor=0, samples_per_tick=250.0)
+    # numpy path
+    t0 = time.perf_counter()
+    for _ in range(20):
+        prog = pool.build_program(lane_enabled=lane_enabled, **args)
+        pack_program(prog)
+        pool.advance(prog)
+    t_np = (time.perf_counter() - t0) / 20
+    pool2 = make_pool(seed=4, V=1024)
+    t0 = time.perf_counter()
+    for _ in range(20):
+        hostcore.voice_update(pool2, lane_enabled=lane_enabled, **args)
+    t_c = (time.perf_counter() - t0) / 20
+    print(f"numpy {t_np*1e3:.3f} ms vs native {t_c*1e3:.3f} ms")
+    assert t_c < t_np

@@ -26,6 +26,7 @@ def quantized_ratio(ratio):
 
 
 def run_engine(pool, data, n_blocks, spt=250.0, quirk=False):
+    planar = np.ascontiguousarray(data.T)
     out = []
     for b in range(n_blocks):
         prog = pool.build_program(
@@ -35,7 +36,7 @@ def run_engine(pool, data, n_blocks, spt=250.0, quirk=False):
             samples_per_tick=spt,
         )
         mix, peaks, contrib = render_voices(
-            np, data, prog, B, quirk_gain=quirk, return_contrib=True
+            np, planar, prog, B, quirk_gain=quirk, return_contrib=True
         )
         out.append(contrib[0])
         pool.advance(prog)
@@ -142,7 +143,8 @@ def test_explicit_noteoff_linear_release():
             block_start_sample=b * B, tick_anchor_sample=0.0,
             tick_anchor=0, samples_per_tick=250.0,
         )
-        _, _, contrib = render_voices(np, sound, prog, B, return_contrib=True)
+        _, _, contrib = render_voices(
+            np, np.ascontiguousarray(sound.T), prog, B, return_contrib=True)
         out.append(contrib[0])
         pool.advance(prog)
     got = np.concatenate(out, axis=0)
@@ -174,7 +176,8 @@ def test_mixdown_and_peaks():
         block_start_sample=0, tick_anchor_sample=0.0, tick_anchor=0,
         samples_per_tick=250.0,
     )
-    mix, peaks, contrib = render_voices(np, sound, prog, B, return_contrib=True)
+    mix, peaks, contrib = render_voices(
+        np, np.ascontiguousarray(sound.T), prog, B, return_contrib=True)
     np.testing.assert_allclose(
         mix[2], contrib[0] + contrib[1], atol=1e-6
     )
@@ -209,8 +212,9 @@ def test_numpy_jax_render_bit_exact():
         block_start_sample=0, tick_anchor_sample=0.0, tick_anchor=0,
         samples_per_tick=250.0,
     )
-    mix_np, peak_np, c_np = render_voices(np, sound, prog, B, return_contrib=True)
-    mix_j, peak_j, c_j = render_voices(jnp, sound, prog, B, return_contrib=True)
+    planar = np.ascontiguousarray(sound.T)
+    mix_np, peak_np, c_np = render_voices(np, planar, prog, B, return_contrib=True)
+    mix_j, peak_j, c_j = render_voices(jnp, planar, prog, B, return_contrib=True)
     # per-voice contributions: identical elementwise f32 math -> bit-exact
     # (except exp2-based lanes, which may differ by an ulp)
     np.testing.assert_allclose(np.asarray(c_j), c_np, rtol=2e-6, atol=1e-9)
