@@ -54,7 +54,7 @@ class VoiceAllocator:
                 self._start(cmd, clip, current_tick, frame_offset)
         else:
             for v in self._matching_voices(cmd):
-                self._update(int(v), cmd)
+                self._update(int(v), cmd, clip)
 
     def _start(self, cmd: ClipCommand, clip, current_tick: int,
                frame_offset: int) -> None:
@@ -101,7 +101,7 @@ class VoiceAllocator:
         # register a playback position with the clip's model
         clip.positions_model.create_position(int(pool.position_id[v]))
 
-    def _update(self, v: int, cmd: ClipCommand) -> None:
+    def _update(self, v: int, cmd: ClipCommand, clip=None) -> None:
         """Live-voice update merge (lib/SamplerSynthVoice.cpp:58-98). Pitch
         and speed changes affect only the clip's offline render, never a live
         voice — matching the reference, whose pitchRatio is fixed at
@@ -113,5 +113,12 @@ class VoiceAllocator:
             pool.gain[v] = np.float32(cmd.volume)
         if cmd.change_slice:
             pool.slice_idx[v] = cmd.slice
+            # the reference re-reads start/stopPosition(slice) each block
+            # (lib/SamplerSynthVoice.cpp:190-191), so a slice change moves
+            # the live loop points immediately
+            if clip is not None:
+                sr = pool.source_rate[v]
+                pool.istart[v] = int(clip.get_start_position(cmd.slice) * sr)
+                pool.stop[v] = int(clip.get_stop_position(cmd.slice) * sr)
         if cmd.start_playback:
             pool.restart_playback(v)
