@@ -121,8 +121,9 @@ def _make_kernel(block_frames: int, region: int):
         def chunk_body(t, _):
             g = t // n_chunks
             c = t % n_chunks
-            idx = pos_ref[g, pl.ds(c * CHUNK, CHUNK)]       # [CHUNK] i32
-            alpha = alpha_ref[g, pl.ds(c * CHUNK, CHUNK)]   # [CHUNK] f32
+            cc = pl.multiple_of(c * CHUNK, 128)
+            idx = pos_ref[g, pl.ds(cc, CHUNK)]              # [CHUNK] i32
+            alpha = alpha_ref[g, pl.ds(cc, CHUNK)]          # [CHUNK] f32
             valid = (idx >= 0) & (idx < window_rows - 1)
             inv = jnp.where(valid, 1.0 - alpha, 0.0)[None, :]
             al = jnp.where(valid, alpha, 0.0)[None, :]
@@ -133,8 +134,8 @@ def _make_kernel(block_frames: int, region: int):
                 any_r = in_r.any()
                 # slab offset: chunk minimum, aligned down to the lane tile
                 off = jnp.min(jnp.where(in_r, idx, big))
-                off = (off // CHUNK) * CHUNK
-                off = jnp.clip(off, lo, hi - SLAB)
+                off = jnp.clip((off // CHUNK) * CHUNK, lo, hi - SLAB)
+                off = pl.multiple_of(off, 128)
                 rel = idx - off                              # [CHUNK]
                 wmask = in_r[None, :].astype(jnp.float32)
                 w = (
@@ -151,7 +152,7 @@ def _make_kernel(block_frames: int, region: int):
                 return jnp.where(any_r, part, 0.0)
 
             outc = region_dot(0) + region_dot(1)             # [2, CHUNK]
-            out_ref[g, :, pl.ds(c * CHUNK, CHUNK)] = outc
+            out_ref[g, :, pl.ds(cc, CHUNK)] = outc
             return 0
 
         jax.lax.fori_loop(0, GROUP * n_chunks, chunk_body, 0, unroll=False)
