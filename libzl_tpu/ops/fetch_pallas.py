@@ -119,11 +119,12 @@ def _make_kernel(block_frames: int, region: int):
         big = jnp.int32(window_rows)
 
         def chunk_body(t, _):
+            # chunks live on a sublane axis: dynamic indexing on the lane
+            # (minor) dimension is not implemented by Mosaic for loads/stores
             g = t // n_chunks
             c = t % n_chunks
-            cc = pl.multiple_of(c * CHUNK, 128)
-            idx = pos_ref[g, pl.ds(cc, CHUNK)]              # [CHUNK] i32
-            alpha = alpha_ref[g, pl.ds(cc, CHUNK)]          # [CHUNK] f32
+            idx = pos_ref[g, c, :]                          # [CHUNK] i32
+            alpha = alpha_ref[g, c, :]                      # [CHUNK] f32
             valid = (idx >= 0) & (idx < window_rows - 1)
             inv = jnp.where(valid, 1.0 - alpha, 0.0)[None, :]
             al = jnp.where(valid, alpha, 0.0)[None, :]
@@ -152,7 +153,7 @@ def _make_kernel(block_frames: int, region: int):
                 return jnp.where(any_r, part, 0.0)
 
             outc = region_dot(0) + region_dot(1)             # [2, CHUNK]
-            out_ref[g, :, pl.ds(cc, CHUNK)] = outc
+            out_ref[g, :, c, :] = outc
             return 0
 
         jax.lax.fori_loop(0, GROUP * n_chunks, chunk_body, 0, unroll=False)
@@ -176,27 +177,35 @@ def fetch_interp(
     region = region_rows(B)
     n_steps = V // GROUP
 
+    n_chunks = B // CHUNK
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(n_steps,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),   # sound stays in HBM
-            pl.BlockSpec((GROUP, B), lambda i, wa, wb: (i, 0)),
-            pl.BlockSpec((GROUP, B), lambda i, wa, wb: (i, 0)),
+            pl.BlockSpec((GROUP, n_chunks, CHUNK), lambda i, wa, wb: (i, 0, 0)),
+            pl.BlockSpec((GROUP, n_chunks, CHUNK), lambda i, wa, wb: (i, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((GROUP, 2, B), lambda i, wa, wb: (i, 0, 0)),
+        out_specs=pl.BlockSpec(
+            (GROUP, 2, n_chunks, CHUNK), lambda i, wa, wb: (i, 0, 0, 0)
+        ),
         scratch_shapes=[
             pltpu.VMEM((2, GROUP, 2, 2 * region), jnp.float32),
             pltpu.SemaphoreType.DMA((2, GROUP, 2)),
         ],
     )
-    out_shape = jax.ShapeDtypeStruct((V, 2, B), jnp.float32)
+    out_shape = jax.ShapeDtypeStruct((V, 2, n_chunks, CHUNK), jnp.float32)
     # off-TPU (CI, CPU dev) the kernel runs in interpreter mode so the
     # windows path stays testable everywhere
     interpret = jax.default_backend() != "tpu"
-    return pl.pallas_call(
+    out = pl.pallas_call(
         _make_kernel(B, region),
         grid_spec=grid_spec,
         out_shape=out_shape,
         interpret=interpret,
-    )(win_blk_a, win_blk_b, sound_data, pos_local, alpha)
+    )(
+        win_blk_a, win_blk_b, sound_data,
+        pos_local.reshape(V, n_chunks, CHUNK),
+        alpha.reshape(V, n_chunks, CHUNK),
+    )
+    return out.reshape(V, 2, B)
