@@ -23,8 +23,6 @@ import threading
 import time
 from typing import Optional
 
-import numpy as np
-
 _PROGRESS_CB = ctypes.CFUNCTYPE(None, ctypes.c_float)
 _LEVEL_CB = ctypes.CFUNCTYPE(None, ctypes.c_float)
 _TIMER_CB = ctypes.CFUNCTYPE(None, ctypes.c_int)

@@ -24,9 +24,7 @@ from __future__ import annotations
 import functools
 from typing import Any, NamedTuple
 
-import numpy as np
-
-from ..constants import DEFAULT_BLOCK_FRAMES, NUM_SAMPLER_CHANNELS
+from ..constants import DEFAULT_BLOCK_FRAMES
 from ..ops import meters as meter_ops
 from ..ops import mixer as mixer_ops
 from ..ops import voice as voice_ops

@@ -24,8 +24,6 @@ Faithful semantics:
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable, Iterator, Optional
-
 from ..constants import STEP_RING_SIZE, TICKS_PER_MIDI_BEAT_CLOCK
 from .commands import ClipCommand, TimerCommand
 

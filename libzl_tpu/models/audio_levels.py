@@ -19,14 +19,10 @@ Channel index map (reference ordering, lib/AudioLevels.cpp:347-412):
 
 from __future__ import annotations
 
-from pathlib import Path
-from typing import Optional
-
 import numpy as np
 
 from ..constants import (
     METER_DBFS_FLOOR,
-    NUM_SAMPLER_CHANNELS,
     PEAK_HOLD_DECAY,
     PEAK_INT_DECAY_PER_TICK,
     PEAK_INT_SCALE,

@@ -23,7 +23,6 @@ import dataclasses
 
 from .constants import (
     BEAT_SUBDIVISIONS,
-    BEATS_PER_BAR,
     BPM_MAXIMUM,
     BPM_MINIMUM,
     NANOSECONDS_PER_MINUTE,

@@ -21,7 +21,6 @@ from __future__ import annotations
 import contextlib
 import time
 from collections import defaultdict, deque
-from typing import Optional
 
 import numpy as np
 
