@@ -81,12 +81,10 @@ class AudioEngine:
         self.backend = backend
         self.quirk_gain = quirk_gain
         if fetch == "auto":
-            if backend == "numpy":
-                fetch = "gather"
-            else:
-                import jax
-
-                fetch = "windows" if jax.default_backend() == "tpu" else "gather"
+            # measured on TPU v5e: XLA's gather (with complex64 packing)
+            # outperforms the Pallas streaming-window kernel on this
+            # generation's toolchain; "windows" remains selectable
+            fetch = "gather"
         self.fetch = fetch
         # native host core (native/zl_hostcore.cpp): one-pass program build +
         # state advance; numpy path remains the reference implementation
@@ -336,7 +334,15 @@ class AudioEngine:
         import jax
 
         if self._bank_version_on_device != self.bank.version:
-            self._device_sound_data = jax.device_put(self.bank.data)
+            if self.fetch == "gather":
+                # complex64 packing halves the gather element count
+                # (see ops/voice.render_voices)
+                packed = (
+                    self.bank.data[0] + 1j * self.bank.data[1]
+                ).astype(np.complex64)
+                self._device_sound_data = jax.device_put(packed)
+            else:
+                self._device_sound_data = jax.device_put(self.bank.data)
             self._bank_version_on_device = self.bank.version
         return self._device_sound_data
 
