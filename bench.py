@@ -86,7 +86,7 @@ def build_session(block_frames: int, num_voices: int = NUM_VOICES):
     return engine
 
 
-def measure_throughput(blocks: int = 200) -> tuple[float, int]:
+def measure_throughput(blocks: int = 150) -> tuple[float, int]:
     import jax
 
     engine = build_session(SUPER_BLOCK)
