@@ -329,9 +329,13 @@ def timer_get_multiplier() -> int:
 
 
 def timer_register_callback(fn_ptr: int) -> None:
+    """The reference hands callbacks the tick-within-bar, wrapping at
+    BeatSubdivisions*4 = 384 (lib/SyncTimer.cpp:397-409)."""
+    from ..constants import TICKS_PER_BAR
+
     rt = _rt()
     cb = _TIMER_CB(fn_ptr)
-    wrapper = lambda beat: cb(int(beat % 128))  # noqa: E731
+    wrapper = lambda tick: cb(int(tick % TICKS_PER_BAR))  # noqa: E731
     wrapper._fn_ptr = fn_ptr
     rt._timer_callbacks.append(wrapper)
 
