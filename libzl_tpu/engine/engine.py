@@ -334,15 +334,7 @@ class AudioEngine:
         import jax
 
         if self._bank_version_on_device != self.bank.version:
-            if self.fetch == "gather":
-                # complex64 packing halves the gather element count
-                # (see ops/voice.render_voices)
-                packed = (
-                    self.bank.data[0] + 1j * self.bank.data[1]
-                ).astype(np.complex64)
-                self._device_sound_data = jax.device_put(packed)
-            else:
-                self._device_sound_data = jax.device_put(self.bank.data)
+            self._device_sound_data = jax.device_put(self.bank.data)
             self._bank_version_on_device = self.bank.version
         return self._device_sound_data
 

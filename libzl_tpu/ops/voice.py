@@ -283,14 +283,6 @@ def render_voices(
         if xp is np:
             t0l, t0r = sound_data[0, safe_pos0], sound_data[1, safe_pos0]
             t1l, t1r = sound_data[0, safe_pos1], sound_data[1, safe_pos1]
-        elif sound_data.dtype == np.complex64:
-            # XLA's gather costs ~10 ns per element on TPU regardless of
-            # element width; packing the stereo pair as one complex64 halves
-            # the element count (engine uploads the bank as L + iR).
-            c0 = xp.take(sound_data, safe_pos0, axis=0)
-            c1 = xp.take(sound_data, safe_pos1, axis=0)
-            t0l, t0r = xp.real(c0), xp.imag(c0)
-            t1l, t1r = xp.real(c1), xp.imag(c1)
         else:
             t0l = xp.take(sound_data[0], safe_pos0, axis=0)
             t0r = xp.take(sound_data[1], safe_pos0, axis=0)
