@@ -328,6 +328,22 @@ class AudioEngine:
 
     # ------------------------------------------------------------- rendering
 
+    def _zero_outputs(self) -> render_mod.RenderOutputs:
+        if not hasattr(self, "_zero_outputs_cache"):
+            B = self.block_frames
+            z = np.zeros
+            self._zero_outputs_cache = render_mod.RenderOutputs(
+                master=z((B, 2), np.float32),
+                lane_mix=z((NUM_SAMPLER_CHANNELS, B, 2), np.float32),
+                strip_dry=z((render_mod.NUM_STRIPS, B, 2), np.float32),
+                strip_wet1=z((render_mod.NUM_STRIPS, B, 2), np.float32),
+                strip_wet2=z((render_mod.NUM_STRIPS, B, 2), np.float32),
+                lane_peaks=z((NUM_SAMPLER_CHANNELS, 2), np.float32),
+                master_peak=z(2, np.float32),
+                voice_peaks=z(self.pool.num_voices, np.float32),
+            )
+        return self._zero_outputs_cache
+
     def _sound_data_for_backend(self):
         if self.backend == "numpy":
             return self.bank.data
@@ -376,6 +392,21 @@ class AudioEngine:
         self.transport.handle_passthrough(self.router.passthrough_out)
         self.sampler_map.handle(self.router, self.router.passthrough_out)
         self.router.flush_external()
+
+        # idle shortcut: with no live voices the render is identically zero —
+        # skip the device dispatch (the reference's JACK clients always run;
+        # a block engine can simply not submit work)
+        if not self.pool.active.any():
+            self.clock.advance_block()
+            self.total_blocks += 1
+            busy = _time.perf_counter() - _t0
+            self.profiler.record("process_block", busy)
+            self.slo.observe(busy)
+            self.dsp_load.observe(busy)
+            return BlockResult(
+                outputs=self._zero_outputs(), midi_out=midi_out,
+                tick_count=len(ticks),
+            )
 
         clock_args = dict(
             block_start_sample=float(self.clock.sample_position),
