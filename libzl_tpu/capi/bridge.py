@@ -79,8 +79,14 @@ class EngineRuntime:
                 time.sleep(spb / 2)
                 continue
             with self._lock:
-                res = self.engine.process_block()
-                self.engine.update_session(res)
+                engine = self.engine
+                res = engine.process_block()
+                # recorders need every block; meters/positions only at the
+                # 50 ms analysis cadence (each sync is a device round trip)
+                if engine.levels.is_recording:
+                    engine.levels.feed_recorders(res.outputs)
+                if engine.total_blocks % engine._levels_every == 0:
+                    engine.update_session(res, include_recorders=False)
             rendered += spb
 
     def _fan_timer_callbacks(self, tick: int) -> None:

@@ -94,7 +94,14 @@ def cmd_render(args) -> int:
     for _ in range(n_blocks):
         res = engine.process_block()
         blocks.append(res.outputs.master)
-    master = np.concatenate([np.asarray(b) for b in blocks], axis=0)
+    if args.backend == "jax":
+        # concatenate on device, fetch once (device->host transfers are
+        # expensive per call on remote-attached TPUs)
+        import jax.numpy as jnp
+
+        master = np.asarray(jnp.concatenate(blocks, axis=0))
+    else:
+        master = np.concatenate(blocks, axis=0)
     dt = time.perf_counter() - t0
 
     write_wav(args.output, master, args.sample_rate)

@@ -472,14 +472,21 @@ class AudioEngine:
 
     # ------------------------------------------------------- session updates
 
-    def update_session(self, result: BlockResult) -> None:
+    def update_session(self, result: BlockResult,
+                       include_recorders: bool = True) -> None:
         """Feed voice peaks/progress back to the clip positions models
         (lib/SamplerSynthVoice.cpp:264-267), the AudioLevels meters and any
-        active disk recorders. Call at UI cadence — forces a device sync."""
+        active disk recorders.
+
+        NOTE: this forces device->host transfers of the block's meter and
+        peak arrays. Meters only need the reference's 50 ms cadence
+        (lib/AudioLevels.cpp:325) — callers driving a realtime pump should
+        call this every `_levels_every` blocks (see capi/bridge), feeding
+        recorders separately each block while recording."""
         self.levels.ingest_block(result.outputs)
         if self.total_blocks % self._levels_every == 0:
             self.levels.analyze()
-        if self.levels.is_recording:
+        if include_recorders and self.levels.is_recording:
             self.levels.feed_recorders(result.outputs)
         peaks = np.asarray(result.outputs.voice_peaks)
         progress = self.pool.progress()
