@@ -166,3 +166,27 @@ def test_note_to_sampler_keyzone_end_to_end():
     pads.feed(mm.note_on(40, 127, ch=0))
     engine.process_block()
     assert engine.pool.active.sum() == 0
+
+
+def test_restart_transport():
+    engine = AudioEngine(sample_rate=SR, backend="numpy", num_voices=8)
+    engine.start_transport(bpm=120)
+    for _ in range(20):
+        engine.process_block()
+    assert engine.clock.tick_position > 0
+    engine.transport.restart_transport()  # stop + start (TransportManager.cpp:196-200)
+    engine.process_block()
+    engine.process_block()
+    assert engine.transport_running
+    assert engine.clock.tick_position < 5  # position reset by the stop
+
+
+def test_event_watchdog():
+    from libzl_tpu.utils.profiling import EventWatchdog
+
+    wd = EventWatchdog()
+    wd.on_scheduled(3)
+    wd.on_delivered(3)
+    assert wd.check() and wd.mismatches == 0
+    wd.on_scheduled(1)
+    assert not wd.check() and wd.mismatches == 1
