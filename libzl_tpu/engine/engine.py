@@ -75,17 +75,37 @@ class AudioEngine:
         quirk_gain: bool = False,
         fetch: str = "auto",
         host_core: str = "auto",
+        mesh=None,
     ):
         self.sample_rate = sample_rate
         self.block_frames = block_frames
         self.backend = backend
         self.quirk_gain = quirk_gain
         if fetch == "auto":
-            # measured on TPU v5e: XLA's gather (with complex64 packing)
-            # outperforms the Pallas streaming-window kernel on this
-            # generation's toolchain; "windows" remains selectable
+            # measured on TPU v5e: XLA's gather outperforms the Pallas
+            # streaming-window kernel on this generation's toolchain
+            # (NOTES_TPU_ENV.md); "windows" remains selectable
             fetch = "gather"
         self.fetch = fetch
+        # multi-chip: shard the voice axis over a jax.sharding.Mesh; the
+        # per-lane mixdown contraction becomes a local matmul + psum over ICI
+        # (parallel/sharding.py)
+        self.mesh = mesh
+        self._sharded_render = None
+        if mesh is not None:
+            if backend == "numpy":
+                raise ValueError("mesh sharding requires the jax backend")
+            if num_voices % mesh.size != 0:
+                raise ValueError(
+                    f"num_voices ({num_voices}) must divide evenly over the "
+                    f"{mesh.size}-device mesh"
+                )
+            from ..parallel.sharding import make_sharded_packed_render
+
+            self._sharded_render = make_sharded_packed_render(
+                mesh, block_frames=block_frames, quirk_gain=quirk_gain,
+                fetch=self.fetch,
+            )
         # native host core (native/zl_hostcore.cpp): one-pass program build +
         # state advance; numpy path remains the reference implementation
         self.use_native_host = False
@@ -328,6 +348,15 @@ class AudioEngine:
 
     # ------------------------------------------------------------- rendering
 
+    def _dispatch_packed(self, sound, prog_i, prog_f, strips_packed):
+        if self._sharded_render is not None:
+            return self._sharded_render(sound, prog_i, prog_f, strips_packed)
+        return render_mod.render_block_packed(
+            sound, prog_i, prog_f, strips_packed,
+            block_frames=self.block_frames, quirk_gain=self.quirk_gain,
+            fetch=self.fetch,
+        )
+
     def _zero_outputs(self) -> render_mod.RenderOutputs:
         if not hasattr(self, "_zero_outputs_cache"):
             B = self.block_frames
@@ -429,10 +458,8 @@ class AudioEngine:
                     self.block_frames, quirk_gain=self.quirk_gain,
                 )
             else:
-                outputs = render_mod.render_block_packed(
-                    sound, prog_i, prog_f, pack_strips(self.strips),
-                    block_frames=self.block_frames,
-                    quirk_gain=self.quirk_gain, fetch=self.fetch,
+                outputs = self._dispatch_packed(
+                    sound, prog_i, prog_f, pack_strips(self.strips)
                 )
             died_pairs = [(cid, pid) for _, cid, pid in died_info]
         else:
@@ -448,10 +475,8 @@ class AudioEngine:
                 from ..ops.voice import pack_program
 
                 prog_i, prog_f = pack_program(prog)
-                outputs = render_mod.render_block_packed(
-                    sound, prog_i, prog_f, pack_strips(self.strips),
-                    block_frames=self.block_frames,
-                    quirk_gain=self.quirk_gain, fetch=self.fetch,
+                outputs = self._dispatch_packed(
+                    sound, prog_i, prog_f, pack_strips(self.strips)
                 )
             adv = self.pool.advance(prog)
             died_pairs = list(zip(adv["died_clips"], adv["died_positions"]))

@@ -89,3 +89,39 @@ def make_sharded_render(
         in_shardings=(repl, prog_in, strips_in),
         out_shardings=out_shardings,
     )
+
+
+def make_sharded_packed_render(
+    mesh: Mesh,
+    block_frames: int = DEFAULT_BLOCK_FRAMES,
+    quirk_gain: bool = False,
+    fetch: str = "gather",
+):
+    """Voice-sharded render over the engine's packed dispatch format
+    (ops/voice.pack_program): program matrices shard on their voice axis,
+    the sound bank and strips replicate, mixes/meters return replicated.
+    This is what AudioEngine(mesh=...) dispatches each block."""
+    repl = NamedSharding(mesh, P())
+    vshard = NamedSharding(mesh, P(VOICE_AXIS, None))
+    vvec = NamedSharding(mesh, P(VOICE_AXIS))
+    out_shardings = render_mod.RenderOutputs(
+        master=repl, lane_mix=repl, strip_dry=repl, strip_wet1=repl,
+        strip_wet2=repl, lane_peaks=repl, master_peak=repl,
+        voice_peaks=vvec,
+    )
+
+    import jax.numpy as jnp
+
+    def fn(sound_data, prog_i, prog_f, strips_packed):
+        prog = voice_ops.unpack_program(prog_i, prog_f)
+        strips = voice_ops.unpack_strips(strips_packed)
+        return render_mod.render_block_math(
+            jnp, sound_data, prog, strips, block_frames,
+            quirk_gain=quirk_gain, fetch=fetch,
+        )
+
+    return jax.jit(
+        fn,
+        in_shardings=(repl, vshard, vshard, repl),
+        out_shardings=out_shardings,
+    )

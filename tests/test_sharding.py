@@ -48,3 +48,39 @@ def test_entry_compiles():
     master = np.asarray(out.master)
     assert master.shape == (128, 2)
     assert np.isfinite(master).all() and np.abs(master).max() > 0
+
+
+def test_engine_on_mesh_matches_single_device():
+    """AudioEngine(mesh=...) renders identically to the unsharded engine."""
+    import jax
+    import numpy as np2
+
+    from libzl_tpu.engine.engine import AudioEngine
+    from libzl_tpu.io.wav import AudioData
+    from libzl_tpu.models.clip import ClipAudioSource
+    from libzl_tpu.parallel.sharding import make_mesh
+
+    def run(mesh):
+        engine = AudioEngine(
+            sample_rate=48000, backend="jax", num_voices=32, mesh=mesh
+        )
+        t = np2.arange(12000) / 48000
+        clip = ClipAudioSource(
+            engine,
+            audio=AudioData(
+                (0.4 * np2.sin(2 * np2.pi * 330 * t)).astype(np2.float32)[:, None],
+                48000,
+            ),
+        )
+        engine.start_transport(bpm=120)
+        for ch in range(4):
+            clip.play(loop=True, midi_channel=ch)
+        out = []
+        for _ in range(40):
+            res = engine.process_block()
+            out.append(np2.asarray(res.outputs.master))
+        return np2.concatenate(out, axis=0)
+
+    sharded = run(make_mesh(8))
+    single = run(None)
+    np2.testing.assert_allclose(sharded, single, atol=1e-6)
