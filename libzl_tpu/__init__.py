@@ -18,3 +18,22 @@ from .constants import (
 )
 
 __version__ = "0.1.0"
+
+_LAZY = {
+    "AudioEngine": ("libzl_tpu.engine.engine", "AudioEngine"),
+    "ClipAudioSource": ("libzl_tpu.models.clip", "ClipAudioSource"),
+    "WaveFormItem": ("libzl_tpu.models.waveform", "WaveFormItem"),
+    "save_session": ("libzl_tpu.models.session", "save_session"),
+    "load_session": ("libzl_tpu.models.session", "load_session"),
+    "make_mesh": ("libzl_tpu.parallel.sharding", "make_mesh"),
+}
+
+
+def __getattr__(name):
+    """Lazy top-level API (keeps `import libzl_tpu` light)."""
+    if name in _LAZY:
+        import importlib
+
+        module, attr = _LAZY[name]
+        return getattr(importlib.import_module(module), attr)
+    raise AttributeError(f"module 'libzl_tpu' has no attribute {name!r}")
