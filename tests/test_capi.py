@@ -113,3 +113,34 @@ def test_ctypes_client_end_to_end(libzl_so, tmp_path):
     )
     assert proc.returncode == 0, proc.stderr[-3000:]
     assert "CAPI-OK" in proc.stdout
+
+
+def test_c_host_embedding(libzl_so, tmp_path):
+    """True embedding: a C binary links libzl.so, initJuce boots the
+    interpreter + engine, the clip API works, clean shutdown."""
+    binary = tmp_path / "embed_smoke"
+    subprocess.run(
+        ["gcc", "-O1", "-o", str(binary), str(NATIVE / "embed_smoke.c"),
+         "-I", str(NATIVE), "-L", str(NATIVE), "-l:libzl.so",
+         f"-Wl,-rpath,{NATIVE}"],
+        check=True, capture_output=True,
+    )
+    wav = tmp_path / "embed.wav"
+    t = np.arange(48000) / 48000
+    from libzl_tpu.io.wav import write_wav
+
+    write_wav(wav, (0.4 * np.sin(2 * np.pi * 220 * t)).astype(np.float32),
+              48000)
+    env = dict(os.environ)
+    env.update(
+        PYTHONPATH=str(REPO),
+        LIBZL_TPU_BACKEND="numpy",
+        LIBZL_TPU_VOICES="32",
+        JAX_PLATFORMS="cpu",
+    )
+    proc = subprocess.run(
+        [str(binary), str(wav)], env=env, capture_output=True, text=True,
+        timeout=300,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "EMBED-OK" in proc.stdout
