@@ -206,6 +206,34 @@ class AudioEngine:
     def schedule_midi(self, data: bytes, delay: int = 0) -> None:
         self.ring.schedule_midi(data, delay)
 
+    def schedule_note(
+        self,
+        midi_note: int,
+        midi_channel: int,
+        set_on: bool = True,
+        velocity: int = 64,
+        duration: int = 0,
+        delay: int = 0,
+    ) -> None:
+        """Schedule a MIDI note with an optional automatic off `duration`
+        ticks later (SyncTimer::scheduleNote, lib/SyncTimer.cpp:1069-1087;
+        the off velocity is 64 like the reference). The note flows through
+        the MidiRouter — a SAMPLER-destination channel reaches clips via
+        the keyzone mapper, sample-accurately."""
+        status = (0x90 if set_on else 0x80) | (midi_channel & 0x0F)
+        self.ring.schedule_midi(
+            bytes([status, midi_note & 0x7F, velocity & 0x7F]), delay
+        )
+        if set_on and duration > 0:
+            self.schedule_note(
+                midi_note, midi_channel, False, 64, 0, delay + duration
+            )
+
+    def send_note_immediately(self, midi_note: int, midi_channel: int,
+                              set_on: bool = True, velocity: int = 64) -> None:
+        """SyncTimer::sendNoteImmediately (lib/SyncTimer.cpp:1096-1105)."""
+        self.schedule_note(midi_note, midi_channel, set_on, velocity, 0, 0)
+
     def queue_clip_to_start(self, clip, midi_channel: int = -1) -> None:
         """Schedule a looped start at the next bar boundary
         (lib/SyncTimer.cpp:816-832)."""

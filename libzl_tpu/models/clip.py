@@ -279,6 +279,23 @@ class ClipAudioSource:
                 cmd.stop_playback = True
                 self.engine.schedule_clip_command(cmd, 0)
 
+    @property
+    def audio_level(self) -> float:
+        """Measured clip level in dB (audioLevel property analog,
+        lib/ClipAudioSource.cpp:88-113); updated by sync_audio_level."""
+        return self._last_level
+
+    # clip-level looping default used by play() when a command does not
+    # specify it (the tracktion transport.looping analog,
+    # lib/ClipAudioSource.cpp:243-253)
+    looping = True
+
+    def set_looping(self, looping: bool) -> None:
+        self.looping = bool(looping)
+
+    def get_looping(self) -> bool:
+        return self.looping
+
     # ------------------------------------------------------------ callbacks
 
     def sync_progress(self, now: Optional[float] = None) -> None:

@@ -190,3 +190,35 @@ def test_event_watchdog():
     assert wd.check() and wd.mismatches == 0
     wd.on_scheduled(1)
     assert not wd.check() and wd.mismatches == 1
+
+
+def test_schedule_note_reaches_sampler_with_duration():
+    """SyncTimer::scheduleNote flow: scheduled MIDI -> router (SAMPLER
+    destination) -> keyzone mapper -> voice, with the automatic off landing
+    `duration` ticks later."""
+    engine = AudioEngine(sample_rate=SR, backend="numpy", num_voices=8)
+    t = np.arange(SR) / SR
+    clip = ClipAudioSource(
+        engine,
+        audio=AudioData(
+            (0.5 * np.sin(2 * np.pi * 220 * t)).astype(np.float32)[:, None], SR
+        ),
+    )
+    clip.adsr_release = 0.0  # hard cut on the off
+    engine.router.set_channel_destination(5, Destination.SAMPLER)
+    engine.sampler_map.assign(5, clip)
+
+    # one beat of sound: on at tick 2, off at tick 2+96
+    engine.schedule_note(64, 5, set_on=True, velocity=100, duration=96, delay=2)
+    total = 0
+    on_seen = off_seen = None
+    for b in range(400):
+        res = engine.process_block()
+        active = engine.pool.active.sum()
+        if on_seen is None and active:
+            on_seen = b
+        if on_seen is not None and off_seen is None and not active:
+            off_seen = b
+    assert on_seen is not None and off_seen is not None
+    # 96 ticks at 120bpm = 24000 samples = 187.5 blocks
+    assert 180 <= (off_seen - on_seen) <= 195
