@@ -281,6 +281,15 @@ class AudioEngine:
     def set_bpm(self, bpm: float) -> None:
         self.clock.set_bpm(float(np.clip(bpm, BPM_MINIMUM, BPM_MAXIMUM)))
 
+    def schedule_ahead_amount(self) -> int:
+        """Ticks of schedule-ahead covering the engine's output latency
+        (scheduleAheadAmount analog, lib/SyncTimer.cpp:711-715): the block
+        pipeline depth in ticks plus one guard tick."""
+        from ..timebase import schedule_ahead_ticks
+
+        latency = 2 * self.block_frames / self.sample_rate
+        return schedule_ahead_ticks(self.bpm, latency)
+
     def stop_all_clips(self) -> None:
         """stopClips C API analog (lib/libzl.cpp:441-449)."""
         for clip in list(self.clips.values()):

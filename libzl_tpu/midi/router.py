@@ -115,6 +115,13 @@ class MidiRouter:
             z = list(zynthian_channels)[:16]
             out.zynthian_channels = z + [-1] * (16 - len(z))
 
+    def set_zynthian_channels(self, channel: int,
+                              zynthian_channels: list[int]) -> None:
+        """setZynthianChannels (lib/MidiRouter.h:77): replace the fan-out
+        list for one input channel without touching its destination."""
+        z = list(zynthian_channels)[:16]
+        self.outputs[channel].zynthian_channels = z + [-1] * (16 - len(z))
+
     # --------------------------------------------------------------- routing
 
     def _emit_note(self, source: str, offset: int, data: bytes) -> None:

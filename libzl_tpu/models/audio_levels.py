@@ -63,6 +63,7 @@ class AudioLevels:
         self._ports_recorder = DiskRecorder()
         self._channel_recorders = [DiskRecorder() for _ in range(NUM_TRACKS)]
         self.channels_to_record: list[int] = []
+        self._channel_prefixes: list[str] = [""] * NUM_TRACKS
 
     # ------------------------------------------------------------- metering
 
@@ -150,6 +151,20 @@ class AudioLevels:
     def set_channels_to_record(self, channels: list[int]) -> None:
         self.channels_to_record = [c for c in channels if 0 <= c < NUM_TRACKS]
 
+    def set_channel_to_record(self, channel: int, should: bool = True) -> None:
+        """setChannelToRecord (lib/AudioLevels.h:135)."""
+        if not 0 <= channel < NUM_TRACKS:
+            return
+        if should and channel not in self.channels_to_record:
+            self.channels_to_record.append(channel)
+        elif not should and channel in self.channels_to_record:
+            self.channels_to_record.remove(channel)
+
+    def set_channel_filename_prefix(self, channel: int, prefix: str) -> None:
+        """setChannelFilenamePrefix (lib/AudioLevels.h:149)."""
+        if 0 <= channel < NUM_TRACKS:
+            self._channel_prefixes[channel] = prefix
+
     def start_recording(self) -> None:
         """lib/AudioLevels.cpp:514-560."""
         sr = self.engine.sample_rate
@@ -162,9 +177,10 @@ class AudioLevels:
                 timestamped_filename(self.ports_prefix), sr
             )
         for c in self.channels_to_record:
-            self._channel_recorders[c].start(
-                timestamped_filename(f"{self.ports_prefix}channel{c + 1}-"), sr
+            prefix = self._channel_prefixes[c] or (
+                f"{self.ports_prefix}channel{c + 1}-"
             )
+            self._channel_recorders[c].start(timestamped_filename(prefix), sr)
 
     def stop_recording(self) -> None:
         self._global_recorder.stop()

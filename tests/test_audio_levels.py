@@ -114,3 +114,19 @@ def test_timestamped_vs_exact_filenames(tmp_path):
     stamped = timestamped_filename(str(tmp_path / "take-"))
     assert stamped.startswith(str(tmp_path / "take-"))
     assert stamped.endswith(".wav") and stamped != str(tmp_path / "take-")
+
+
+def test_per_channel_record_toggles_and_prefixes(tmp_path):
+    engine, clip = make_session()
+    engine.levels.set_channel_to_record(2, True)
+    engine.levels.set_channel_to_record(7, True)
+    engine.levels.set_channel_to_record(7, False)
+    assert engine.levels.channels_to_record == [2]
+    engine.levels.set_channel_filename_prefix(2, str(tmp_path / "take2.wav"))
+    clip.play(loop=True, midi_channel=2)
+    engine.levels.start_recording()
+    run_blocks(engine, 20)
+    engine.levels.stop_recording()
+    back = read_wav(tmp_path / "take2.wav")
+    assert back.num_frames == 20 * 128
+    assert np.abs(back.samples).max() > 0.01
