@@ -195,10 +195,18 @@ def positions_block(xp, prog: VoiceProgram, block_frames: int):
     # segment index: count of segments whose start <= k, minus one
     seg_started = (prog.seg_start[:, :, None] <= k[:, None, :]).astype(np.int32)
     seg_idx = xp.maximum(seg_started.sum(axis=1) - 1, 0)  # [V, B]
-    take = np.take_along_axis if xp is np else xp.take_along_axis
-    s_start = take(prog.seg_start, seg_idx, axis=1)
-    s_int = take(prog.seg_pos_int, seg_idx, axis=1)
-    s_frac = take(prog.seg_pos_frac, seg_idx, axis=1)
+    # select the segment fields with masked sums over the (tiny, static) S
+    # axis — a take_along_axis here is a gather of 3*V*B elements, which on
+    # TPU costs as much as the sample fetch itself
+    S = prog.seg_start.shape[1]
+    s_start = prog.seg_start[:, 0:1] * (seg_idx == 0)
+    s_int = prog.seg_pos_int[:, 0:1] * (seg_idx == 0)
+    s_frac = prog.seg_pos_frac[:, 0:1] * (seg_idx == 0).astype(f32)
+    for s in range(1, S):
+        m = seg_idx == s
+        s_start = s_start + prog.seg_start[:, s : s + 1] * m
+        s_int = s_int + prog.seg_pos_int[:, s : s + 1] * m
+        s_frac = s_frac + prog.seg_pos_frac[:, s : s + 1] * m.astype(f32)
     j = k - s_start  # frames into segment (>= 0 for frames >= start_frame)
     jc = xp.maximum(j, 0)
     frac_full = s_frac + jc.astype(f32) * prog.rate_frac[:, None]
