@@ -416,7 +416,16 @@ class AudioEngine:
         import jax
 
         if self._bank_version_on_device != self.bank.version:
-            self._device_sound_data = jax.device_put(self.bank.data)
+            if self.fetch == "gather":
+                # interleaved [N, 2] rows: one row gather fetches the stereo
+                # pair — measured 5.4x faster than four planar takes in the
+                # full render on v5e (NOTES_TPU_ENV.md)
+                self._device_sound_data = jax.device_put(
+                    np.ascontiguousarray(self.bank.data.T)
+                )
+            else:
+                # the Pallas windows kernel requires the planar layout
+                self._device_sound_data = jax.device_put(self.bank.data)
             self._bank_version_on_device = self.bank.version
         return self._device_sound_data
 

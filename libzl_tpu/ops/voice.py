@@ -288,14 +288,26 @@ def render_voices(
         lm1 = prog.len_minus1[:, None]
         safe_pos0 = xp.clip(pos_int, 0, lm1) + prog.base[:, None]
         safe_pos1 = xp.clip(pos_int + 1, 0, lm1) + prog.base[:, None]
+        planar = sound_data.shape[0] == 2
         if xp is np:
-            t0l, t0r = sound_data[0, safe_pos0], sound_data[1, safe_pos0]
-            t1l, t1r = sound_data[0, safe_pos1], sound_data[1, safe_pos1]
-        else:
+            if planar:
+                t0l, t0r = sound_data[0, safe_pos0], sound_data[1, safe_pos0]
+                t1l, t1r = sound_data[0, safe_pos1], sound_data[1, safe_pos1]
+            else:
+                tap0, tap1 = sound_data[safe_pos0], sound_data[safe_pos1]
+                t0l, t0r = tap0[..., 0], tap0[..., 1]
+                t1l, t1r = tap1[..., 0], tap1[..., 1]
+        elif planar:
             t0l = xp.take(sound_data[0], safe_pos0, axis=0)
             t0r = xp.take(sound_data[1], safe_pos0, axis=0)
             t1l = xp.take(sound_data[0], safe_pos1, axis=0)
             t1r = xp.take(sound_data[1], safe_pos1, axis=0)
+        else:
+            # interleaved [N, 2]: one row gather fetches both channels
+            tap0 = xp.take(sound_data, safe_pos0, axis=0)
+            tap1 = xp.take(sound_data, safe_pos1, axis=0)
+            t0l, t0r = tap0[..., 0], tap0[..., 1]
+            t1l, t1r = tap1[..., 0], tap1[..., 1]
 
         if quirk_gain:
             # Reference-exact expression: gain chain on the second tap only

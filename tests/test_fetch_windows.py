@@ -121,3 +121,23 @@ def test_windows_quirk_gain_matches():
         quirk_gain=True,
     )
     np.testing.assert_allclose(np.asarray(c_w), np.asarray(c_g), atol=2e-6)
+
+
+def test_interleaved_rows_gather_matches_planar():
+    import jax.numpy as jnp
+
+    padded, pool = _make_pool_with_wraps()
+    inter = np.ascontiguousarray(padded.T)
+    for b in range(10):
+        prog = pool.build_program(
+            block_start_sample=b * B, tick_anchor_sample=0.0,
+            tick_anchor=0, samples_per_tick=250.0,
+        )
+        _, _, c_p = render_voices(
+            jnp, padded, prog, B, return_contrib=True, fetch="gather"
+        )
+        _, _, c_i = render_voices(
+            jnp, inter, prog, B, return_contrib=True, fetch="gather"
+        )
+        np.testing.assert_array_equal(np.asarray(c_i), np.asarray(c_p))
+        pool.advance(prog)
