@@ -77,7 +77,9 @@ def build_session(block_frames: int, num_voices: int = NUM_VOICES):
     for v in range(num_voices):
         clip = clips[v % NUM_CLIPS]
         cmd = ClipCommand.channel(clip.id, v % 10)
-        cmd.midi_note = int(rng.integers(48, 73))
+        # distinct notes per (clip, channel) pair so no commands coalesce
+        # away (equivalentTo merging) and the full pool plays
+        cmd.midi_note = 48 + (v // 320) * 5 + int(rng.integers(0, 5))
         cmd.change_volume = True
         cmd.volume = float(rng.uniform(0.3, 1.0))
         cmd.looping = True
@@ -86,7 +88,7 @@ def build_session(block_frames: int, num_voices: int = NUM_VOICES):
     return engine
 
 
-def measure_throughput(blocks: int = 150) -> tuple[float, int]:
+def measure_throughput(blocks: int = 400) -> tuple[float, int]:
     import jax
 
     engine = build_session(SUPER_BLOCK)
