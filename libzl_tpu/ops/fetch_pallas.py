@@ -1,10 +1,14 @@
-"""Pallas TPU kernel for the voice sample fetch.
+"""Pallas TPU kernel for the voice sample fetch (the `fetch="windows"` path).
+
+STATUS: selectable but not the default. On the current Mosaic toolchain the
+kernel's per-(voice,chunk) compute serializes at ~56 us, losing to XLA's
+gather over an interleaved [N, 2] row layout (see NOTES_TPU_ENV.md for all
+measurements); the design below is descriptor-optimal and should win when
+Mosaic's small-op costs come down.
 
 Why this exists: the voice render needs `sound[pos[v, b]]` for V*B
-(voice, frame) pairs per block. XLA lowers that to a generic gather —
-per-element random access into the multi-megabyte sample bank in HBM —
-measured at ~5.6 ms per 128-frame block for 1024 voices (2x slower than
-realtime by itself). But the access pattern is not random: within a block,
+(voice, frame) pairs per block. XLA lowers that to a generic gather;
+the access pattern, however, is not random: within a block,
 each voice reads one or two *contiguous windows* (positions advance by a
 fixed ratio; loop wraps jump to the loop start,
 lib/SamplerSynthVoice.cpp:223-247). This kernel exploits that structure:
