@@ -1,0 +1,105 @@
+"""Randomized soak: thousands of blocks of adversarial command traffic.
+
+Asserts the invariants that matter for a long-running engine: no exceptions,
+no NaN/inf in the output, voice accounting stays consistent, positions stay
+inside their sounds, and the engine keeps producing audio.
+"""
+
+import numpy as np
+
+from libzl_tpu.engine.commands import ClipCommand, Operation, TimerCommand
+from libzl_tpu.engine.engine import AudioEngine
+from libzl_tpu.io.wav import AudioData
+from libzl_tpu.models.clip import ClipAudioSource
+
+SR = 48000
+
+
+def test_soak_random_traffic():
+    rng = np.random.default_rng(1234)
+    engine = AudioEngine(sample_rate=SR, backend="numpy", num_voices=24)
+    engine.start_transport(bpm=120)
+
+    clips = []
+    for i in range(6):
+        frames = int(rng.integers(2000, 30000))
+        t = np.arange(frames) / SR
+        wave = (0.4 * np.sin(2 * np.pi * (110 + 70 * i) * t)).astype(
+            np.float32
+        )[:, None]
+        clips.append(ClipAudioSource(engine, audio=AudioData(wave, SR)))
+
+    audible_blocks = 0
+    for b in range(3000):
+        # random command traffic
+        roll = rng.random()
+        clip = clips[int(rng.integers(0, len(clips)))]
+        ch = int(rng.integers(-2, 10))
+        if roll < 0.15:
+            cmd = ClipCommand.channel(clip.id, ch)
+            cmd.midi_note = int(rng.integers(30, 90))
+            cmd.start_playback = True
+            cmd.looping = bool(rng.integers(0, 2))
+            cmd.change_volume = True
+            cmd.volume = float(rng.uniform(0, 1))
+            if rng.random() < 0.3:
+                cmd.change_slice = True
+                cmd.slice = int(rng.integers(0, 16))
+            engine.schedule_clip_command(cmd, int(rng.integers(0, 8)))
+        elif roll < 0.25:
+            cmd = ClipCommand.channel(clip.id, ch)
+            cmd.midi_note = int(rng.integers(30, 90))
+            cmd.stop_playback = True
+            engine.schedule_clip_command(cmd, int(rng.integers(0, 4)))
+        elif roll < 0.28:
+            engine.schedule_timer_command(
+                TimerCommand(operation=Operation.SET_BPM,
+                             parameter=int(rng.integers(40, 220))), 0
+            )
+        elif roll < 0.30:
+            lane = int(rng.integers(-2, 10))
+            engine.schedule_timer_command(
+                TimerCommand(
+                    operation=Operation.SAMPLER_CHANNEL_ENABLED_STATE,
+                    parameter=lane, parameter2=int(rng.integers(0, 2)),
+                ), 0
+            )
+        elif roll < 0.32:
+            engine.schedule_note(
+                int(rng.integers(30, 90)), int(rng.integers(0, 16)),
+                velocity=int(rng.integers(1, 128)),
+                duration=int(rng.integers(1, 200)),
+                delay=int(rng.integers(0, 16)),
+            )
+        elif roll < 0.33 and engine.transport_running:
+            engine.stop_transport()
+        elif roll < 0.34 and not engine.transport_running:
+            engine.start_transport()
+
+        res = engine.process_block()
+        master = np.asarray(res.outputs.master)
+        assert np.isfinite(master).all(), f"non-finite output at block {b}"
+        if np.abs(master).max() > 1e-4:
+            audible_blocks += 1
+
+        # invariants: positions stay in-range for positional/non-looping
+        # voices (beat-quantized loops may legitimately play past the end of
+        # a short sound until the musical wrap, SamplerSynthVoice.cpp:231)
+        pool = engine.pool
+        act = pool.active
+        assert (pool.pos_int[act] >= 0).all()
+        bounded = act & ~(pool.looping & pool.beat_quantized)
+        assert (pool.pos_int[bounded] <= pool.length[bounded] + 1).all(), (
+            f"position escaped its sound at block {b}"
+        )
+        assert 50 <= engine.bpm <= 200
+
+        if b % 10 == 0:
+            engine.update_session(res)
+
+    # the session actually made sound for a substantial share of its life
+    assert audible_blocks > 500
+    # meters/profiling kept up
+    assert engine.slo.total_blocks == 3000
+    s = engine.profiler.summary()["process_block"]
+    assert s["count"] > 0
