@@ -80,6 +80,10 @@ class MidiRouter:
     def reload_configuration(self) -> None:
         """Parse the zynthian env configuration
         (lib/MidiRouter.cpp:984-1009)."""
+        # Parity note: the reference parses ZYNTHIAN_MIDI_FILTER_OUTPUT into
+        # filterMidiOut but never consults it outside a debug print
+        # (lib/MidiRouter.cpp:242,989,1012) — stored here for the same
+        # observable behavior.
         self.filter_midi_out = bool(
             int(os.environ.get("ZYNTHIAN_MIDI_FILTER_OUTPUT", "0") or 0)
         )
