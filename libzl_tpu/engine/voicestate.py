@@ -243,9 +243,6 @@ class VoicePool:
             self._bq_wraps = np.zeros(self.num_voices, np.int64)
             self._bq_boundary = np.zeros(self.num_voices, bool)
             self._stop_frames = np.full(self.num_voices, B, np.int64)
-            self._release_frames = np.full(self.num_voices, _BIG, np.int64)
-            self._release_is_auto = np.zeros(self.num_voices, bool)
-            self._prog = prog
             return prog
 
         V = self.num_voices
@@ -395,9 +392,6 @@ class VoicePool:
         self._bq_wraps = bq_wraps
         self._bq_boundary = bq_boundary
         self._stop_frames = stop_frames
-        self._release_frames = release_frames
-        self._release_is_auto = release_is_auto
-        self._prog = prog
         return prog
 
     # ------------------------------------------------------------ state advance

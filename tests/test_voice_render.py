@@ -19,12 +19,6 @@ def make_sound(frames=24000, freq=440.0, stereo_phase=0.0):
     return np.stack([l, r], axis=1).astype(np.float32)
 
 
-def quantized_ratio(ratio):
-    ri = int(ratio)
-    rf = np.float32(ratio - ri)
-    return ri, rf, float(ri) + float(rf)
-
-
 def run_engine(pool, data, n_blocks, spt=250.0, quirk=False):
     planar = np.ascontiguousarray(data.T)
     out = []
