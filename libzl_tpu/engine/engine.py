@@ -405,6 +405,7 @@ class AudioEngine:
                 strip_wet1=z((render_mod.NUM_STRIPS, B, 2), np.float32),
                 strip_wet2=z((render_mod.NUM_STRIPS, B, 2), np.float32),
                 lane_peaks=z((NUM_SAMPLER_CHANNELS, 2), np.float32),
+                lane_rms=z((NUM_SAMPLER_CHANNELS, 2), np.float32),
                 master_peak=z(2, np.float32),
                 voice_peaks=z(self.pool.num_voices, np.float32),
             )

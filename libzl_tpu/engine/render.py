@@ -42,6 +42,7 @@ class RenderOutputs(NamedTuple):
     strip_wet1: Any    # [11, B, 2]
     strip_wet2: Any    # [11, B, 2]
     lane_peaks: Any    # [12, 2] per-lane abs peaks
+    lane_rms: Any      # [12, 2] per-lane RMS
     master_peak: Any   # [2]
     voice_peaks: Any   # [V] reference peak metric: max(l+r, 0)
 
@@ -70,6 +71,7 @@ def render_block_math(
     master = dry[0]
 
     lane_peaks = meter_ops.block_peaks(xp, lane_mix)
+    lane_rms = meter_ops.block_rms(xp, lane_mix)
     master_peak = meter_ops.block_peaks(xp, master)
     return RenderOutputs(
         master=master,
@@ -78,6 +80,7 @@ def render_block_math(
         strip_wet1=wet1,
         strip_wet2=wet2,
         lane_peaks=lane_peaks,
+        lane_rms=lane_rms,
         master_peak=master_peak,
         voice_peaks=voice_peaks,
     )

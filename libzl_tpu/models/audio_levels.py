@@ -53,6 +53,9 @@ class AudioLevels:
         self.channels_a = [METER_DBFS_FLOOR] * NUM_TRACKS
         self.channels_b = [METER_DBFS_FLOOR] * NUM_TRACKS
         self.channels = [METER_DBFS_FLOOR] * NUM_TRACKS
+        # instantaneous per-track RMS in dBFS (beyond the reference, which
+        # meters peaks only; BASELINE.json configs ask for peak/RMS)
+        self.channels_rms = [METER_DBFS_FLOOR] * NUM_TRACKS
         # recording state
         self.record_global_playback = False
         self.should_record_ports = False
@@ -81,6 +84,9 @@ class AudioLevels:
             lane_peaks[2 : 2 + NUM_TRACKS] * PEAK_INT_SCALE
         ).astype(np.int64)
         self._peak_int = np.maximum(self._peak_int, ints)
+        lane_rms = np.asarray(outputs.lane_rms)
+        track_rms = lane_rms[2 : 2 + NUM_TRACKS].max(axis=1)
+        self.channels_rms = [to_dbfs(float(v)) for v in track_rms]
 
     def analyze(self) -> None:
         """The 50 ms analysis pass (lib/AudioLevels.cpp:347-412): decay the

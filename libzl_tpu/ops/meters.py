@@ -20,6 +20,13 @@ def block_peaks(xp, audio):
     return xp.max(xp.abs(audio), axis=-2).astype(np.float32)
 
 
+def block_rms(xp, audio):
+    """Per-stream RMS. audio: [..., B, 2] -> [..., 2] f32. (The reference
+    meters peaks only; RMS comes free as another in-graph reduction and is
+    part of the rebuild's metering surface, BASELINE.json configs.)"""
+    return xp.sqrt(xp.mean(xp.square(audio), axis=-2)).astype(np.float32)
+
+
 def to_dbfs(raw: float) -> float:
     """convertTodbFS semantics (lib/AudioLevels.cpp:330-341): 20*log10 with a
     -200 dB floor, and non-positive input mapping to the floor."""

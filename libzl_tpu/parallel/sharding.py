@@ -73,7 +73,7 @@ def make_sharded_render(
     )
     out_shardings = render_mod.RenderOutputs(
         master=repl, lane_mix=repl, strip_dry=repl, strip_wet1=repl,
-        strip_wet2=repl, lane_peaks=repl, master_peak=repl,
+        strip_wet2=repl, lane_peaks=repl, lane_rms=repl, master_peak=repl,
         voice_peaks=vshard,
     )
 
@@ -106,7 +106,7 @@ def make_sharded_packed_render(
     vvec = NamedSharding(mesh, P(VOICE_AXIS))
     out_shardings = render_mod.RenderOutputs(
         master=repl, lane_mix=repl, strip_dry=repl, strip_wet1=repl,
-        strip_wet2=repl, lane_peaks=repl, master_peak=repl,
+        strip_wet2=repl, lane_peaks=repl, lane_rms=repl, master_peak=repl,
         voice_peaks=vvec,
     )
 

@@ -130,3 +130,13 @@ def test_per_channel_record_toggles_and_prefixes(tmp_path):
     back = read_wav(tmp_path / "take2.wav")
     assert back.num_frames == 20 * 128
     assert np.abs(back.samples).max() > 0.01
+
+
+def test_rms_metering():
+    engine, clip = make_session()
+    clip.play(loop=True, midi_channel=4)
+    run_blocks(engine, 30)
+    # a 0.25-peak sine has RMS ~ peak/sqrt(2) => ~ -15 dBFS (no x0.2 factor
+    # on the RMS path)
+    assert -20 < engine.levels.channels_rms[4] < -10
+    assert engine.levels.channels_rms[0] == -200.0
