@@ -88,6 +88,7 @@ class ClipAudioSource:
         self.speed_ratio = 1.0
         self.pitch_change = 0.0
         self.gain_db = 0.0
+        self.loop_crossfade_seconds = 0.0
         # mix
         self._volume_absolute = 0.0 if muted else db_to_fader_position(0.0)
         self.pan = 0.0
@@ -137,6 +138,18 @@ class ClipAudioSource:
             pitch_semitones=self.pitch_change,
             gain_db=self.gain_db,
         )
+        if self.loop_crossfade_seconds > 0:
+            from ..ops.resample import bake_loop_crossfade
+
+            sr = self.source.sample_rate
+            if rendered.ndim == 1:
+                rendered = rendered[:, None]
+            rendered = bake_loop_crossfade(
+                rendered,
+                int(self.get_start_position() * sr),
+                min(int(self.get_stop_position() * sr), rendered.shape[0]),
+                int(self.loop_crossfade_seconds * sr),
+            )
         self.playback_audio = AudioData(rendered, self.source.sample_rate)
         if self.engine is not None:
             self.engine.reload_clip_sound(self)
@@ -190,6 +203,14 @@ class ClipAudioSource:
     def set_gain(self, db: float) -> None:
         if db != self.gain_db:
             self.gain_db = float(db)
+            self._update_playback()
+
+    def set_loop_crossfade(self, seconds: float) -> None:
+        """Loop crossfade baked into the playback render (beyond the
+        reference, whose loops hard-reset; ops/resample.bake_loop_crossfade).
+        """
+        if seconds != self.loop_crossfade_seconds:
+            self.loop_crossfade_seconds = max(float(seconds), 0.0)
             self._update_playback()
 
     # ----------------------------------------------------------------- mix

@@ -119,6 +119,36 @@ def pitch_shift(
     return out[:target].astype(np.float32)
 
 
+def bake_loop_crossfade(
+    samples: np.ndarray,
+    loop_start: int,
+    loop_stop: int,
+    fade_samples: int,
+) -> np.ndarray:
+    """Bake an equal-power loop crossfade into a playback buffer.
+
+    The reference loops with a hard position reset
+    (lib/SamplerSynthVoice.cpp:241-246), which clicks on non-zero-crossing
+    material. Consistent with the render-then-play design, the crossfade is
+    baked offline: the tail of the loop region is blended with the material
+    *preceding* the loop start, so the voice kernel's plain reset lands on
+    already-continuous audio. The fade is shortened when not enough
+    pre-start material exists.
+    """
+    out = np.array(samples, np.float32, copy=True)
+    n = int(min(fade_samples, loop_start, max(loop_stop - loop_start, 0)))
+    if n <= 0:
+        return out
+    t = (np.arange(n, dtype=np.float32) + 1.0) / np.float32(n)
+    # equal-power: tail fades out as cos, incoming pre-start fades in as sin
+    fade_out = np.cos(0.5 * np.pi * t)[:, None]
+    fade_in = np.sin(0.5 * np.pi * t)[:, None]
+    tail = out[loop_stop - n : loop_stop]
+    incoming = out[loop_start - n : loop_start]
+    out[loop_stop - n : loop_stop] = tail * fade_out + incoming * fade_in
+    return out
+
+
 def render_playback(
     samples: np.ndarray,
     speed_ratio: float = 1.0,

@@ -73,3 +73,38 @@ def test_stereo_stretch():
     assert y.shape == (int(SR * 1.5), 2)
     assert dominant_freq(y[:, :1]) == pytest.approx(440.0, abs=6.0)
     assert dominant_freq(y[:, 1:]) == pytest.approx(550.0, abs=6.0)
+
+
+def test_loop_crossfade_bake():
+    from libzl_tpu.ops.resample import bake_loop_crossfade
+
+    x = tone(440.0, seconds=1.0)
+    start, stop, fade = 4800, 43200, 960
+    out = bake_loop_crossfade(x, start, stop, fade)
+    # untouched outside the fade region
+    np.testing.assert_array_equal(out[: stop - fade], x[: stop - fade])
+    np.testing.assert_array_equal(out[stop:], x[stop:])
+    # the loop seam is continuous: last faded sample ~ the sample just
+    # before the loop start (equal-power blend endpoint)
+    assert abs(out[stop - 1, 0] - x[start - 1, 0]) < 0.02
+    # equal-power: mid-fade magnitude stays bounded
+    assert np.abs(out[stop - fade : stop]).max() <= 1.0
+    # no pre-start material -> no-op
+    np.testing.assert_array_equal(bake_loop_crossfade(x, 0, 43200, 960), x)
+
+
+def test_clip_crossfade_render(tmp_path):
+    from libzl_tpu.engine.engine import AudioEngine
+    from libzl_tpu.io.wav import AudioData
+    from libzl_tpu.models.clip import ClipAudioSource
+
+    engine = AudioEngine(backend="numpy", num_voices=8, sample_rate=48000)
+    x = tone(333.0, seconds=1.0)
+    clip = ClipAudioSource(engine, audio=AudioData(x, 48000))
+    clip.set_start_position(0.2)
+    clip.set_loop_crossfade(0.01)
+    # playback buffer re-rendered with the bake; loop seam region changed
+    pb = clip.playback_audio.samples
+    stop = min(int(clip.get_stop_position() * 48000), pb.shape[0])
+    assert not np.array_equal(pb[stop - 480 : stop], x[stop - 480 : stop])
+    np.testing.assert_array_equal(pb[: stop - 480], x[: stop - 480])
