@@ -38,6 +38,7 @@ def save_session(engine, path: str | Path) -> None:
                 speed_ratio=clip.speed_ratio,
                 pitch_change=clip.pitch_change,
                 gain_db=clip.gain_db,
+                loop_crossfade_seconds=clip.loop_crossfade_seconds,
                 volume_absolute=clip.volume_absolute,
                 pan=clip.pan,
                 adsr=[clip.adsr_attack, clip.adsr_decay,
@@ -116,11 +117,13 @@ def load_session(engine, path: str | Path) -> dict:
         clip.slice_base_midi_note = c["slice_base_midi_note"]
         clip.keyzone_start, clip.keyzone_end = c["keyzone"]
         clip.root_note = c["root_note"]
-        # stretch/pitch/gain re-render once, after all parameters are set
+        # stretch/pitch/gain/crossfade re-render once, after all parameters
         clip.speed_ratio = c["speed_ratio"]
         clip.pitch_change = c["pitch_change"]
         clip.gain_db = c["gain_db"]
-        if (c["speed_ratio"], c["pitch_change"], c["gain_db"]) != (1.0, 0.0, 0.0):
+        clip.loop_crossfade_seconds = c.get("loop_crossfade_seconds", 0.0)
+        if (c["speed_ratio"], c["pitch_change"], c["gain_db"],
+                clip.loop_crossfade_seconds) != (1.0, 0.0, 0.0, 0.0):
             clip._update_playback()
         id_map[c["id"]] = clip
     if doc.get("transport_running"):
