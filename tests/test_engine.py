@@ -210,3 +210,26 @@ def test_voices_per_lane_cap():
         c.play(loop=True, midi_channel=0)
     engine.process_block()
     assert engine.pool.active.sum() == 2
+
+
+def test_no_retracing_across_blocks():
+    """Per-block variation must be array values, never shapes: the packed
+    render compiles exactly once per (block size, fetch mode)."""
+    from libzl_tpu.engine import render as render_mod
+
+    engine = AudioEngine(sample_rate=SR, backend="jax", num_voices=16,
+                         fetch="gather")
+    clip = make_clip(engine, seconds=0.3)
+    engine.start_transport(bpm=97)
+    clip.play(loop=True, midi_channel=0)
+    engine.process_block()
+    before = render_mod.render_block_packed._cache_size()
+    # vary everything that may vary at runtime: commands, tempo, strips,
+    # channel toggles, voice churn
+    clip2 = make_clip(engine, seconds=0.1, freq=200.0)
+    clip2.play(loop=False, midi_channel=3)
+    engine.set_bpm(181)
+    engine.set_strip(2, dry=0.3, pan=-0.5)
+    for _ in range(50):
+        engine.process_block()
+    assert render_mod.render_block_packed._cache_size() == before
