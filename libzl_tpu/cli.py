@@ -36,6 +36,11 @@ def _build_parser() -> argparse.ArgumentParser:
     r.add_argument("--pitch", type=float, default=0.0, help="semitones")
     r.add_argument("--speed", type=float, default=1.0, help="speed ratio")
     r.add_argument("--gain", type=float, default=0.0, help="clip gain dB")
+    r.add_argument("--start", type=float, default=0.0,
+                   help="clip start position in seconds")
+    r.add_argument("--crossfade", type=float, default=0.0,
+                   help="loop-seam crossfade in seconds (uses audio before "
+                        "--start; silently shorter if not enough material)")
     r.add_argument("--volume", type=float, default=None, help="clip volume dB")
     r.add_argument("--pan", type=float, default=0.0)
     r.add_argument("--attack", type=float, default=0.0)
@@ -72,6 +77,10 @@ def cmd_render(args) -> int:
         clip.set_speed_ratio(args.speed)
     if args.gain:
         clip.set_gain(args.gain)
+    if args.start:
+        clip.set_start_position(args.start)
+    if args.crossfade:
+        clip.set_loop_crossfade(args.crossfade)
     if args.volume is not None:
         clip.set_volume(args.volume)
     clip.set_pan(args.pan)
