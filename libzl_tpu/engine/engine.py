@@ -128,6 +128,8 @@ class AudioEngine:
         self.bank = SoundBank()
         self._bank_version_on_device = -1
         self._device_sound_data = None
+        self._device_strips = None
+        self._host_strips_snapshot = None
 
         self.strips = mixer_ops.default_strip_params(render_mod.NUM_STRIPS)
         # GlobalPlayback strip gets its wets zeroed (lib/MidiRouter.cpp:876-880)
@@ -430,6 +432,25 @@ class AudioEngine:
             self._bank_version_on_device = self.bank.version
         return self._device_sound_data
 
+    def _packed_strips_for_backend(self):
+        """Strips change rarely (UI gestures), so keep a device-resident copy
+        and re-upload only when the packed values actually change — on
+        remote-attached TPUs every per-block host->device transfer pays a
+        relay round-trip (NOTES_TPU_ENV.md)."""
+        from ..ops.voice import pack_strips
+
+        packed = pack_strips(self.strips)
+        if self.backend == "numpy":
+            return packed
+        if self._host_strips_snapshot is None or not np.array_equal(
+            packed, self._host_strips_snapshot
+        ):
+            import jax
+
+            self._device_strips = jax.device_put(packed)
+            self._host_strips_snapshot = packed
+        return self._device_strips
+
     def process_block(self) -> BlockResult:
         """Render one block: drain due ticks, dispatch, advance."""
         import time as _time
@@ -491,7 +512,7 @@ class AudioEngine:
             samples_per_tick=self.clock.samples_per_tick,
         )
         sound = self._sound_data_for_backend()
-        from ..ops.voice import pack_strips, unpack_program
+        from ..ops.voice import unpack_program
 
         if self.use_native_host:
             from . import hostcore as _hostcore
@@ -506,7 +527,7 @@ class AudioEngine:
                 )
             else:
                 outputs = self._dispatch_packed(
-                    sound, prog_i, prog_f, pack_strips(self.strips)
+                    sound, prog_i, prog_f, self._packed_strips_for_backend()
                 )
             died_pairs = [(cid, pid) for _, cid, pid in died_info]
         else:
@@ -523,7 +544,7 @@ class AudioEngine:
 
                 prog_i, prog_f = pack_program(prog)
                 outputs = self._dispatch_packed(
-                    sound, prog_i, prog_f, pack_strips(self.strips)
+                    sound, prog_i, prog_f, self._packed_strips_for_backend()
                 )
             adv = self.pool.advance(prog)
             died_pairs = list(zip(adv["died_clips"], adv["died_positions"]))

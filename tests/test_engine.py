@@ -233,3 +233,24 @@ def test_no_retracing_across_blocks():
     for _ in range(50):
         engine.process_block()
     assert render_mod.render_block_packed._cache_size() == before
+
+
+def test_strip_device_cache_reuses_and_invalidates():
+    """Strips upload to the device once, are reused while unchanged, and
+    re-upload (taking effect) on any strip mutation (jax backend)."""
+    engine = AudioEngine(sample_rate=SR, backend="jax", num_voices=16)
+    clip = make_clip(engine)
+    clip.play(loop=True, midi_channel=0)
+    engine.process_block()
+    cached = engine._device_strips
+    assert cached is not None
+    for _ in range(5):
+        engine.process_block()
+    assert engine._device_strips is cached  # no re-upload while unchanged
+
+    loud = np.abs(np.asarray(engine.process_block().outputs.master)).max()
+    engine.set_strip(-1, muted=1.0)  # mute the global strip
+    res = engine.process_block()
+    assert engine._device_strips is not cached  # mutation re-uploaded
+    assert loud > 0.05
+    assert np.abs(np.asarray(res.outputs.master)).max() == 0.0
