@@ -15,9 +15,9 @@ from libzl_tpu.models.clip import ClipAudioSource
 SR = 48000
 
 
-def test_soak_random_traffic():
-    rng = np.random.default_rng(1234)
-    engine = AudioEngine(sample_rate=SR, backend="numpy", num_voices=24)
+def _soak(backend, n_blocks, seed):
+    rng = np.random.default_rng(seed)
+    engine = AudioEngine(sample_rate=SR, backend=backend, num_voices=24)
     engine.start_transport(bpm=120)
 
     clips = []
@@ -30,7 +30,7 @@ def test_soak_random_traffic():
         clips.append(ClipAudioSource(engine, audio=AudioData(wave, SR)))
 
     audible_blocks = 0
-    for b in range(3000):
+    for b in range(n_blocks):
         # random command traffic
         roll = rng.random()
         clip = clips[int(rng.integers(0, len(clips)))]
@@ -64,6 +64,25 @@ def test_soak_random_traffic():
                     parameter=lane, parameter2=int(rng.integers(0, 2)),
                 ), 0
             )
+        elif roll < 0.315:
+            # strip fabric fuzz: direct API and timer-command paths
+            ch = int(rng.integers(-1, 10))
+            if rng.random() < 0.5:
+                engine.set_strip(
+                    ch,
+                    dry=float(rng.uniform(0, 1)),
+                    pan=float(rng.uniform(-1, 1)),
+                    muted=float(rng.integers(0, 2)),
+                )
+            else:
+                engine.schedule_timer_command(
+                    TimerCommand(
+                        operation=Operation.PASSTHROUGH_CLIENT,
+                        parameter=ch,
+                        parameter2=int(rng.integers(0, 5)),
+                        parameter3=int(rng.integers(0, 101)),
+                    ), 0
+                )
         elif roll < 0.32:
             engine.schedule_note(
                 int(rng.integers(30, 90)), int(rng.integers(0, 16)),
@@ -98,8 +117,18 @@ def test_soak_random_traffic():
             engine.update_session(res)
 
     # the session actually made sound for a substantial share of its life
-    assert audible_blocks > 500
+    assert audible_blocks > n_blocks // 6
     # meters/profiling kept up
-    assert engine.slo.total_blocks == 3000
+    assert engine.slo.total_blocks == n_blocks
     s = engine.profiler.summary()["process_block"]
     assert s["count"] > 0
+
+
+def test_soak_random_traffic():
+    _soak("numpy", 3000, 1234)
+
+
+def test_soak_jax_backend():
+    """Shorter run through the jit dispatch path: exercises program packing,
+    the device strip cache (fuzzes invalidation), and the idle shortcut."""
+    _soak("jax", 600, 99)
