@@ -73,6 +73,13 @@ class EngineRuntime:
         ahead = 4 * spb
         start = time.monotonic()
         rendered = 0.0
+        # one-block pipeline: consume block N-1's outputs after dispatching
+        # block N, so the host->device sync overlaps the device rendering the
+        # next block (jax dispatch is async). Costs one block (2.67 ms) of
+        # meter/recorder latency — the schedule-ahead trade the reference
+        # already makes (lib/SyncTimer.cpp:397-411).
+        prev = None
+        prev_block_no = 0
         while self._running:
             now = time.monotonic() - start
             if rendered - now > ahead:
@@ -81,13 +88,22 @@ class EngineRuntime:
             with self._lock:
                 engine = self.engine
                 res = engine.process_block()
-                # recorders need every block; meters/positions only at the
-                # 50 ms analysis cadence (each sync is a device round trip)
-                if engine.levels.is_recording:
-                    engine.levels.feed_recorders(res.outputs)
-                if engine.total_blocks % engine._levels_every == 0:
-                    engine.update_session(res, include_recorders=False)
+                if prev is not None:
+                    # recorders need every block; meters/positions only at
+                    # the 50 ms analysis cadence (each sync is a round trip)
+                    if engine.levels.is_recording:
+                        engine.levels.feed_recorders(prev.outputs)
+                    if prev_block_no % engine._levels_every == 0:
+                        engine.update_session(prev, include_recorders=False)
+                prev = res
+                prev_block_no = engine.total_blocks
             rendered += spb
+        # drain the in-flight block so recorders keep the final audio
+        if prev is not None:
+            with self._lock:
+                if self.engine.levels.is_recording:
+                    self.engine.levels.feed_recorders(prev.outputs)
+                self.engine.update_session(prev, include_recorders=False)
 
     def _fan_timer_callbacks(self, tick: int) -> None:
         for cb in list(self._timer_callbacks):
