@@ -255,6 +255,10 @@ def clip_set_volume(clip_id: int, vol: float) -> None:
     _clip(clip_id).set_volume(vol)
 
 
+def clip_set_loop_crossfade(clip_id: int, seconds: float) -> None:
+    _clip(clip_id).set_loop_crossfade(seconds)
+
+
 def clip_set_slices(clip_id: int, count: int) -> None:
     _clip(clip_id).set_slices(count)
 

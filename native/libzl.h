@@ -43,6 +43,9 @@ void ClipAudioSource_setVolume(ClipAudioSource *c, float vol);
 void ClipAudioSource_setAudioLevelChangedCallback(ClipAudioSource *c,
                                                   void (*functionPtr)(float));
 void ClipAudioSource_setSlices(ClipAudioSource *c, int slices);
+/* extension beyond the reference header: loop-seam crossfade baked into the
+ * playback render (0 = off, the reference behavior of a hard loop reset) */
+void ClipAudioSource_setLoopCrossfade(ClipAudioSource *c, float seconds);
 int ClipAudioSource_keyZoneStart(ClipAudioSource *c);
 void ClipAudioSource_setKeyZoneStart(ClipAudioSource *c, int keyZoneStart);
 int ClipAudioSource_keyZoneEnd(ClipAudioSource *c);

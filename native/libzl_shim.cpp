@@ -309,6 +309,10 @@ void ClipAudioSource_setSlices(ClipAudioSource *c, int slices) {
   discard(call("clip_set_slices", "(ii)", clip_id(c), slices));
 }
 
+void ClipAudioSource_setLoopCrossfade(ClipAudioSource *c, float seconds) {
+  discard(call("clip_set_loop_crossfade", "(if)", clip_id(c), seconds));
+}
+
 int ClipAudioSource_keyZoneStart(ClipAudioSource *c) {
   return static_cast<int>(as_long(call("clip_keyzone_start", "(i)",
                                        clip_id(c))));
