@@ -53,6 +53,20 @@ def _build_parser() -> argparse.ArgumentParser:
 
     i = sub.add_parser("info", help="print WAV info")
     i.add_argument("input")
+
+    th = sub.add_parser(
+        "thumbnail", help="render a waveform thumbnail to SVG"
+    )
+    th.add_argument("input")
+    th.add_argument("output", help="output .svg path")
+    th.add_argument("--width", type=int, default=512)
+    th.add_argument("--height", type=int, default=128)
+    th.add_argument("--buckets", type=int, default=512)
+    th.add_argument("--start", type=float, default=0.0,
+                    help="zoom window start, seconds")
+    th.add_argument("--end", type=float, default=0.0,
+                    help="zoom window end, seconds (0 = full length)")
+    th.add_argument("--color", default="#ffffff")
     return p
 
 
@@ -136,12 +150,46 @@ def cmd_info(args) -> int:
     return 0
 
 
+def cmd_thumbnail(args) -> int:
+    from .models.waveform import WaveFormItem
+
+    item = WaveFormItem(num_buckets=args.buckets)
+    item.set_source(args.input)
+    end = args.end if args.end else item.length
+    if end <= args.start:
+        print(
+            f"error: --end ({end}) must be greater than --start "
+            f"({args.start})", file=sys.stderr,
+        )
+        return 2
+    if args.start:
+        item.set_start(args.start)
+    if args.end:
+        item.set_end(args.end)
+    item.color = args.color
+    svg = item.to_svg(width=args.width, height=args.height)
+    with open(args.output, "w") as f:
+        f.write(svg)
+    print(
+        f"{args.input}: {item.length:.3f}s -> {args.output} "
+        f"({args.width}x{args.height}, window "
+        f"{item.start:.3f}-{item.end:.3f}s)"
+    )
+    return 0
+
+
 def main(argv=None) -> int:
     args = _build_parser().parse_args(argv)
-    if args.command == "render":
-        return cmd_render(args)
-    if args.command == "info":
-        return cmd_info(args)
+    try:
+        if args.command == "render":
+            return cmd_render(args)
+        if args.command == "info":
+            return cmd_info(args)
+        if args.command == "thumbnail":
+            return cmd_thumbnail(args)
+    except FileNotFoundError as e:
+        print(f"error: no such file: {e.filename}", file=sys.stderr)
+        return 2
     return 1
 
 

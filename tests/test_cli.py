@@ -1,0 +1,82 @@
+"""CLI surface: render / info / thumbnail subcommands via main(argv)."""
+
+import xml.etree.ElementTree as ET
+
+import numpy as np
+
+from libzl_tpu.cli import main
+from libzl_tpu.io.wav import read_wav, write_wav
+
+SR = 48000
+SVG = "{http://www.w3.org/2000/svg}"
+
+
+def make_tone(path, seconds=0.5, freq=440.0):
+    t = np.arange(int(SR * seconds)) / SR
+    write_wav(
+        path, (0.4 * np.sin(2 * np.pi * freq * t)).astype(np.float32)[:, None],
+        SR,
+    )
+
+
+def test_render_loop(tmp_path, capsys):
+    src = tmp_path / "in.wav"
+    out = tmp_path / "out.wav"
+    make_tone(src, seconds=0.2)
+    rc = main(["render", str(src), str(out), "--loop", "--seconds", "1",
+               "--backend", "numpy"])
+    assert rc == 0
+    a = read_wav(out)
+    assert a.duration_seconds > 0.9
+    # still audible at the end: it looped past its 0.2 s length
+    assert np.abs(a.samples[-4800:]).max() > 0.05
+
+
+def test_info(tmp_path, capsys):
+    src = tmp_path / "in.wav"
+    make_tone(src)
+    assert main(["info", str(src)]) == 0
+    out = capsys.readouterr().out
+    assert "48000 Hz" in out and "0.500s" in out
+
+
+def test_thumbnail_svg(tmp_path):
+    src = tmp_path / "in.wav"
+    out = tmp_path / "thumb.svg"
+    make_tone(src)
+    rc = main(["thumbnail", str(src), str(out),
+               "--width", "640", "--height", "160", "--color", "#3fb950"])
+    assert rc == 0
+    root = ET.parse(out).getroot()
+    assert root.attrib["width"] == "640"
+    poly = root.find(f"{SVG}polygon")
+    pts = np.array([p.split(",") for p in poly.attrib["points"].split()],
+                   float)
+    assert (pts[:, 0] >= 0).all() and (pts[:, 0] <= 640).all()
+    assert (pts[:, 1] >= 0).all() and (pts[:, 1] <= 160).all()
+    # a 0.4-amplitude sine spans ~0.4 of the unnormalized vertical range
+    span = pts[:, 1].max() - pts[:, 1].min()
+    assert 0.3 * 160 < span < 0.5 * 160
+
+
+def test_thumbnail_zoom_window(tmp_path):
+    src = tmp_path / "in.wav"
+    out = tmp_path / "zoom.svg"
+    make_tone(src)
+    assert main(["thumbnail", str(src), str(out),
+                 "--start", "0.1", "--end", "0.15"]) == 0
+    assert ET.parse(out).getroot().find(f"{SVG}polygon") is not None
+
+
+def test_error_exits(tmp_path, capsys):
+    # missing file: clean message, exit 2 (no traceback)
+    assert main(["thumbnail", "/nonexistent.wav", str(tmp_path / "x.svg")]) == 2
+    assert "no such file" in capsys.readouterr().err
+    src = tmp_path / "in.wav"
+    make_tone(src)
+    # inverted zoom window
+    assert main(["thumbnail", str(src), str(tmp_path / "y.svg"),
+                 "--start", "0.4", "--end", "0.1"]) == 2
+    assert "must be greater than" in capsys.readouterr().err
+    assert main(["render", "/nonexistent.wav", str(tmp_path / "z.wav"),
+                 "--backend", "numpy"]) == 2
