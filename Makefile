@@ -1,6 +1,6 @@
 # Developer entry points.
 
-.PHONY: test native bench demo clean
+.PHONY: test native bench demo demo-multichip clean
 
 test:
 	python -m pytest tests/ -q
@@ -13,6 +13,9 @@ bench:
 
 demo:
 	python examples/groovebox_demo.py /tmp/groovebox_demo.wav
+
+demo-multichip:
+	python examples/multichip_demo.py /tmp/multichip_demo.wav
 
 clean:
 	$(MAKE) -C native clean

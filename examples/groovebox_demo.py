@@ -13,10 +13,11 @@ from __future__ import annotations
 
 import argparse
 import sys
+from pathlib import Path
 
 import numpy as np
 
-sys.path.insert(0, ".")
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 from libzl_tpu.constants import BEAT_SUBDIVISIONS
 from libzl_tpu.engine.commands import ClipCommand
