@@ -107,20 +107,49 @@ def measure_throughput(blocks: int = 400) -> tuple[float, int]:
     return rendered / dt, active
 
 
-def measure_latency_p50(blocks: int = 300) -> float:
+def measure_live_mode(blocks: int = 300) -> dict:
+    """The live-play configuration (128-frame blocks), split honestly:
+
+    - rt_liveblock: realtime factor with blocks chained and ONE sync at the
+      end — the dispatch-to-done device+host pipeline cost per block, i.e.
+      what a pipelined pump (capi/bridge, LIBZL_TPU_PIPELINE) sustains.
+    - device_ms_p50: per-block cost in that chained regime.
+    - latency_p50_ms: per-block wall time with a sync EVERY block — on this
+      harness's relay that includes a ~30 ms per-D2H round trip that a
+      directly-attached host does not pay (NOTES_TPU_ENV.md).
+    - sync_ms_p50: the difference, attributed to the device->host sync.
+    """
     import jax
 
     engine = build_session(LIVE_BLOCK)
     for _ in range(20):
         res = engine.process_block()
     jax.block_until_ready(res.outputs.master)
+
+    # chained: one sync for the whole run
+    t0 = time.perf_counter()
+    last = None
+    for _ in range(blocks):
+        last = engine.process_block()
+    jax.block_until_ready(last.outputs.master)
+    chained_dt = time.perf_counter() - t0
+    device_ms = chained_dt / blocks * 1e3
+    rt_live = blocks * LIVE_BLOCK / SAMPLE_RATE / chained_dt
+
+    # synced: pay the round trip every block (what a naive pump would do)
     times = []
     for _ in range(blocks):
         t0 = time.perf_counter()
         res = engine.process_block()
         jax.block_until_ready(res.outputs.master)
         times.append(time.perf_counter() - t0)
-    return float(np.percentile(np.asarray(times) * 1e3, 50))
+    p50 = float(np.percentile(np.asarray(times) * 1e3, 50))
+    return dict(
+        rt_liveblock=round(rt_live, 3),
+        device_ms_p50=round(device_ms, 3),
+        latency_p50_ms=round(p50, 3),
+        sync_ms_p50=round(max(p50 - device_ms, 0.0), 3),
+    )
 
 
 def measure_reference_headline(blocks: int = 400) -> float:
@@ -151,16 +180,18 @@ def main() -> int:
     except Exception:
         rt_96 = -1.0
     try:
-        p50_ms = measure_latency_p50()
+        live = measure_live_mode()
     except Exception:
-        p50_ms = -1.0
+        live = dict(rt_liveblock=-1.0, device_ms_p50=-1.0,
+                    latency_p50_ms=-1.0, sync_ms_p50=-1.0)
     result = {
         "metric": f"realtime_factor_{active}voices_{NUM_CLIPS}clips_48k",
         "value": round(rt_factor, 3),
         "unit": "x_realtime",
         "vs_baseline": round(rt_factor * active / 96.0, 2),
+        "rt_superblock": round(rt_factor, 3),
+        **live,
         "realtime_factor_96voices": round(rt_96, 3),
-        "latency_p50_ms_128frames": round(p50_ms, 3),
         "fence_seconds": round(fence_s, 1),
     }
     print(json.dumps(result))

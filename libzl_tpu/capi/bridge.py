@@ -32,7 +32,8 @@ class EngineRuntime:
     """The process-wide engine singleton + block pump thread."""
 
     def __init__(self, sample_rate: int = 48000, block_frames: int = 128,
-                 num_voices: int = 256, backend: str = "auto"):
+                 num_voices: int = 256, backend: str = "auto",
+                 pipeline_depth: int = 1):
         from ..engine.engine import AudioEngine
 
         if backend == "auto":
@@ -45,6 +46,10 @@ class EngineRuntime:
             num_voices=num_voices,
             backend=backend,
         )
+        # blocks in flight on the device before the host consumes the oldest
+        # (each level hides one block of host->device sync behind device
+        # render; costs pipeline_depth blocks of meter/recorder latency)
+        self.pipeline_depth = max(int(pipeline_depth), 0)
         self._pump: Optional[threading.Thread] = None
         self._running = False
         self._timer_callbacks: list = []
@@ -69,17 +74,33 @@ class EngineRuntime:
     def _run(self) -> None:
         """Render paced to the wall clock, a few blocks ahead (the JACK
         period callback + latency analog; schedule-ahead per SURVEY.md §2)."""
+        from collections import deque
+
         spb = self.engine.block_frames / self.engine.sample_rate
-        ahead = 4 * spb
+        depth = self.pipeline_depth
+        ahead = max(4, 2 * (depth + 1)) * spb
         start = time.monotonic()
         rendered = 0.0
-        # one-block pipeline: consume block N-1's outputs after dispatching
-        # block N, so the host->device sync overlaps the device rendering the
-        # next block (jax dispatch is async). Costs one block (2.67 ms) of
-        # meter/recorder latency — the schedule-ahead trade the reference
-        # already makes (lib/SyncTimer.cpp:397-411).
-        prev = None
-        prev_block_no = 0
+        # pipelined dispatch: keep up to `depth` blocks in flight and consume
+        # the oldest only after dispatching the newest, so host->device syncs
+        # overlap the device rendering ahead (jax dispatch is async). Costs
+        # `depth` blocks of meter/recorder latency — the schedule-ahead trade
+        # the reference already makes (lib/SyncTimer.cpp:397-411).
+        inflight: deque = deque()  # (block_no, BlockResult) oldest first
+
+        def consume(engine, block_no, res) -> None:
+            # recorders need every block; meters/positions only at the
+            # 50 ms analysis cadence (each sync is a round trip)
+            if engine.levels.is_recording:
+                engine.levels.feed_recorders(res.outputs)
+            if block_no % engine._levels_every == 0:
+                engine.update_session(res, include_recorders=False)
+            else:
+                # lazy device-side peak max — no sync; drained by the next
+                # update_session so transients between analysis points
+                # still register on the meters
+                engine.accumulate_peaks(res)
+
         while self._running:
             now = time.monotonic() - start
             if rendered - now > ahead:
@@ -88,22 +109,14 @@ class EngineRuntime:
             with self._lock:
                 engine = self.engine
                 res = engine.process_block()
-                if prev is not None:
-                    # recorders need every block; meters/positions only at
-                    # the 50 ms analysis cadence (each sync is a round trip)
-                    if engine.levels.is_recording:
-                        engine.levels.feed_recorders(prev.outputs)
-                    if prev_block_no % engine._levels_every == 0:
-                        engine.update_session(prev, include_recorders=False)
-                prev = res
-                prev_block_no = engine.total_blocks
+                inflight.append((engine.total_blocks, res))
+                while len(inflight) > depth:
+                    consume(engine, *inflight.popleft())
             rendered += spb
-        # drain the in-flight block so recorders keep the final audio
-        if prev is not None:
-            with self._lock:
-                if self.engine.levels.is_recording:
-                    self.engine.levels.feed_recorders(prev.outputs)
-                self.engine.update_session(prev, include_recorders=False)
+        # drain in-flight blocks so recorders keep the final audio
+        with self._lock:
+            while inflight:
+                consume(self.engine, *inflight.popleft())
 
     def _fan_timer_callbacks(self, tick: int) -> None:
         for cb in list(self._timer_callbacks):
@@ -128,7 +141,7 @@ def init_engine(sample_rate: int = 48000, block_frames: int = 128,
 
     Env overrides for embedding hosts (no Python API available there):
     LIBZL_TPU_BACKEND=numpy|jax, LIBZL_TPU_VOICES, LIBZL_TPU_BLOCK,
-    LIBZL_TPU_RATE, LIBZL_TPU_NO_PUMP=1.
+    LIBZL_TPU_RATE, LIBZL_TPU_NO_PUMP=1, LIBZL_TPU_PIPELINE=<depth>.
     """
     import os
 
@@ -138,9 +151,11 @@ def init_engine(sample_rate: int = 48000, block_frames: int = 128,
         num_voices = int(os.environ.get("LIBZL_TPU_VOICES", num_voices))
         block_frames = int(os.environ.get("LIBZL_TPU_BLOCK", block_frames))
         sample_rate = int(os.environ.get("LIBZL_TPU_RATE", sample_rate))
+        depth = int(os.environ.get("LIBZL_TPU_PIPELINE", 1))
         if os.environ.get("LIBZL_TPU_NO_PUMP"):
             pump = False
-        _runtime = EngineRuntime(sample_rate, block_frames, num_voices, backend)
+        _runtime = EngineRuntime(sample_rate, block_frames, num_voices, backend,
+                                 pipeline_depth=depth)
         if pump:
             _runtime.start_pump()
 

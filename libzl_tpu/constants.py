@@ -64,6 +64,12 @@ DEFAULT_NUM_VOICES = 1024       # BASELINE.json north-star voice count
 # A loop shorter than block/(MAX_SEGMENTS-1) frames is clamped by the host
 # scheduler (sub-millisecond loops are out of the reference's envelope).
 MAX_SEGMENTS_PER_BLOCK = 4
+# Max per-voice pitch ratio: two octaves of upward transposition; beyond
+# that is outside the groovebox's musical envelope. Also bounds the fetch
+# region span per block for the Pallas windows kernel (ops/fetch_pallas.py
+# asserts its R_MAX matches). Kept here so the realtime note-on path never
+# imports the pallas machinery (a multi-second import).
+MAX_PITCH_RATIO = 4.0
 
 # --- Scheduler (lib/SyncTimer.cpp:265-268) ---
 STEP_RING_SIZE = 32768          # ticks of schedule-ahead capacity

@@ -157,6 +157,9 @@ class AudioEngine:
         self._levels_every = max(
             int(0.05 * sample_rate / block_frames), 1
         )
+        self._last_analyze_block = -(10**9)
+        # device-side running peak max (see accumulate_peaks)
+        self._peak_accum = None
         self.transport_running = False
         # callbacks (SyncTimer signals / C callback registry,
         # lib/SyncTimer.cpp:397-401, libzl.h:74-75)
@@ -565,6 +568,27 @@ class AudioEngine:
 
     # ------------------------------------------------------- session updates
 
+    def accumulate_peaks(self, result: BlockResult) -> None:
+        """Fold one block's peak arrays into a device-side running max
+        WITHOUT forcing a device->host sync (the maximums stay lazy jax
+        values). A realtime pump calls this every block so transients between
+        analysis points are not lost, then drains it via update_session at
+        the 50 ms cadence — matching the reference, whose per-cycle process()
+        snapshots every buffer for the 50 ms scan (lib/AudioLevels.cpp:238-257,
+        347-412)."""
+        o = result.outputs
+        if self._peak_accum is None:
+            self._peak_accum = (o.lane_peaks, o.master_peak)
+        else:
+            if self.backend == "numpy":
+                import numpy as xp
+            else:
+                import jax.numpy as xp
+            self._peak_accum = (
+                xp.maximum(self._peak_accum[0], o.lane_peaks),
+                xp.maximum(self._peak_accum[1], o.master_peak),
+            )
+
     def update_session(self, result: BlockResult,
                        include_recorders: bool = True) -> None:
         """Feed voice peaks/progress back to the clip positions models
@@ -575,10 +599,23 @@ class AudioEngine:
         peak arrays. Meters only need the reference's 50 ms cadence
         (lib/AudioLevels.cpp:325) — callers driving a realtime pump should
         call this every `_levels_every` blocks (see capi/bridge), feeding
-        recorders separately each block while recording."""
-        self.levels.ingest_block(result.outputs)
-        if self.total_blocks % self._levels_every == 0:
+        recorders separately each block while recording and folding skipped
+        blocks' peaks via accumulate_peaks."""
+        peak_override = None
+        if self._peak_accum is not None:
+            self.accumulate_peaks(result)
+            peak_override = (
+                np.asarray(self._peak_accum[0]),
+                np.asarray(self._peak_accum[1]),
+            )
+            self._peak_accum = None
+        self.levels.ingest_block(result.outputs, peak_override=peak_override)
+        # analysis cadence by block distance (not modulo: callers invoke this
+        # at different block phases — the modulo form never fired from the
+        # pipelined pump, leaving meters at the -200 floor)
+        if self.total_blocks - self._last_analyze_block >= self._levels_every:
             self.levels.analyze()
+            self._last_analyze_block = self.total_blocks
         if include_recorders and self.levels.is_recording:
             self.levels.feed_recorders(result.outputs)
         peaks = np.asarray(result.outputs.voice_peaks)

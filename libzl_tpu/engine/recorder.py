@@ -40,6 +40,8 @@ class DiskRecorder:
         self._wave = None
         self._recording = False
         self.frames_written = 0
+        self.dropped_blocks = 0
+        self.failed = False
 
     @property
     def is_recording(self) -> bool:
@@ -68,19 +70,30 @@ class DiskRecorder:
         self._queue = queue.Queue(maxsize=max_blocks)
         self._recording = True
         self.frames_written = 0
+        self.dropped_blocks = 0
+        self.failed = False
         self._thread = threading.Thread(target=self._run, daemon=True)
         self._thread.start()
 
     def push(self, block: np.ndarray) -> None:
-        """Append [frames, channels] float32 audio."""
+        """Append [frames, channels] float32 audio. Never blocks: push() is
+        called from the realtime pump (often under the engine lock), so a
+        stalled or dead writer must not freeze the engine — blocks are
+        dropped and counted instead."""
         if self._recording and self._queue is not None:
-            self._queue.put(np.asarray(block))
+            try:
+                self._queue.put_nowait(np.asarray(block))
+            except queue.Full:
+                self.dropped_blocks += 1
 
     def stop(self) -> None:
         if not self._recording:
             return
         self._recording = False
-        self._queue.put(None)  # sentinel
+        try:
+            self._queue.put(None, timeout=2.0)  # sentinel
+        except queue.Full:
+            pass  # writer is wedged; the join below times out, thread is daemon
         if self._thread is not None:
             self._thread.join(timeout=10.0)
         self._thread = None
@@ -88,24 +101,41 @@ class DiskRecorder:
     def _run(self) -> None:
         scale = float((1 << (self.bit_depth - 1)) - 1)
         width = self.bit_depth // 8
-        while True:
-            block = self._queue.get()
-            if block is None:
-                break
-            clipped = np.clip(block, -1.0, 1.0)
-            ints = np.round(clipped * scale)
-            if width == 2:
-                raw = ints.astype("<i2").tobytes()
-            elif width == 3:
-                i32 = ints.astype(np.int32).reshape(-1)
-                b = np.empty((i32.size, 3), np.uint8)
-                b[:, 0] = i32 & 0xFF
-                b[:, 1] = (i32 >> 8) & 0xFF
-                b[:, 2] = (i32 >> 16) & 0xFF
-                raw = b.tobytes()
-            else:
-                raw = ints.astype("<i4").tobytes()
-            self._wave.writeframes(raw)
-            self.frames_written += block.shape[0]
-        self._wave.close()
-        self._wave = None
+        try:
+            while True:
+                block = self._queue.get()
+                if block is None:
+                    break
+                clipped = np.clip(block, -1.0, 1.0)
+                ints = np.round(clipped * scale)
+                if width == 2:
+                    raw = ints.astype("<i2").tobytes()
+                elif width == 3:
+                    i32 = ints.astype(np.int32).reshape(-1)
+                    b = np.empty((i32.size, 3), np.uint8)
+                    b[:, 0] = i32 & 0xFF
+                    b[:, 1] = (i32 >> 8) & 0xFF
+                    b[:, 2] = (i32 >> 16) & 0xFF
+                    raw = b.tobytes()
+                else:
+                    raw = ints.astype("<i4").tobytes()
+                self._wave.writeframes(raw)
+                self.frames_written += block.shape[0]
+        except Exception:
+            # disk full / target deleted: mark failed and keep draining so
+            # producers never see a permanently-full queue
+            self.failed = True
+            self._recording = False
+            while True:
+                try:
+                    if self._queue.get(timeout=5.0) is None:
+                        break
+                except queue.Empty:
+                    break
+        finally:
+            try:
+                if self._wave is not None:
+                    self._wave.close()
+            except Exception:
+                self.failed = True
+            self._wave = None

@@ -35,7 +35,7 @@ import dataclasses
 
 import numpy as np
 
-from ..constants import MAX_SEGMENTS_PER_BLOCK
+from ..constants import MAX_PITCH_RATIO, MAX_SEGMENTS_PER_BLOCK
 from ..ops import adsr as adsr_ops
 from ..ops.voice import VoiceProgram, empty_program
 
@@ -152,11 +152,8 @@ class VoicePool:
 
         ratio = pitch_ratio(midi_note, root_note, source_rate, self.output_rate)
         # clamp so a block's position span stays inside one fetch region
-        # (ops/fetch_pallas.R_MAX): two octaves of upward transposition;
-        # beyond that is outside the groovebox's musical envelope.
-        from ..ops.fetch_pallas import max_ratio
-
-        ratio = min(ratio, max_ratio())
+        # (constants.MAX_PITCH_RATIO = fetch_pallas.R_MAX)
+        ratio = min(ratio, MAX_PITCH_RATIO)
         self.rate_int[v] = int(ratio)
         self.rate_frac[v] = np.float32(ratio - int(ratio))
         self.istart[v] = int(start_sec * source_rate)

@@ -70,12 +70,17 @@ class AudioLevels:
 
     # ------------------------------------------------------------- metering
 
-    def ingest_block(self, outputs) -> None:
+    def ingest_block(self, outputs, peak_override=None) -> None:
         """Fold one block's peaks into the fixed-point accumulators
         (replaces the reference's buffer re-scan, lib/AudioLevels.cpp:356-383).
+        `peak_override` — optional (lane_peaks, master_peak) already maxed
+        over several blocks by the engine's device-side accumulator.
         """
-        lane_peaks = np.asarray(outputs.lane_peaks)       # [12, 2]
-        master_peak = np.asarray(outputs.master_peak)     # [2]
+        if peak_override is not None:
+            lane_peaks, master_peak = peak_override
+        else:
+            lane_peaks = np.asarray(outputs.lane_peaks)   # [12, 2]
+            master_peak = np.asarray(outputs.master_peak)  # [2]
         ints = np.zeros((NUM_METER_CHANNELS, 2), np.int64)
         ints[IDX_PLAYBACK] = np.abs(master_peak * PEAK_INT_SCALE).astype(np.int64)
         ints[IDX_RECORDER] = ints[IDX_PLAYBACK]

@@ -208,7 +208,15 @@ class ClipAudioSource:
     def set_loop_crossfade(self, seconds: float) -> None:
         """Loop crossfade baked into the playback render (beyond the
         reference, whose loops hard-reset; ops/resample.bake_loop_crossfade).
-        """
+
+        Scope: the crossfade is baked at the WHOLE-CLIP loop points
+        (get_start/stop_position with slice -1). Slice-looped voices wrap at
+        slice boundaries, where no crossfade exists — they still hard-reset
+        like the reference. And because the blend is baked into the shared
+        playback buffer, the crossfade window immediately before the clip
+        stop position is audibly blended with the clip head for ANY voice
+        that plays through it. Use 0 (the default) for material where that
+        matters."""
         if seconds != self.loop_crossfade_seconds:
             self.loop_crossfade_seconds = max(float(seconds), 0.0)
             self._update_playback()

@@ -47,6 +47,7 @@ def save_session(engine, path: str | Path) -> None:
                 slice_base_midi_note=clip.slice_base_midi_note,
                 keyzone=[clip.keyzone_start, clip.keyzone_end],
                 root_note=clip.root_note,
+                looping=clip.looping,
             )
         )
     routing = [
@@ -117,6 +118,7 @@ def load_session(engine, path: str | Path) -> dict:
         clip.slice_base_midi_note = c["slice_base_midi_note"]
         clip.keyzone_start, clip.keyzone_end = c["keyzone"]
         clip.root_note = c["root_note"]
+        clip.looping = bool(c.get("looping", True))
         # stretch/pitch/gain/crossfade re-render once, after all parameters
         clip.speed_ratio = c["speed_ratio"]
         clip.pitch_change = c["pitch_change"]
@@ -126,6 +128,11 @@ def load_session(engine, path: str | Path) -> dict:
                 clip.loop_crossfade_seconds) != (1.0, 0.0, 0.0, 0.0):
             clip._update_playback()
         id_map[c["id"]] = clip
+    # resume the musical position where the checkpoint left it: re-anchor the
+    # tick<->sample mapping at the engine's current sample position
+    engine.clock.tick_position = int(doc.get("tick_position", 0))
+    engine.clock.anchor_tick = engine.clock.tick_position
+    engine.clock.anchor_sample = float(engine.clock.sample_position)
     if doc.get("transport_running"):
         engine.start_transport()
     return id_map

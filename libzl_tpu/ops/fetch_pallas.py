@@ -61,6 +61,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 SOUND_BLOCK = 512     # window anchor granularity (samples, lane-aligned)
 R_MAX = 4.0           # max pitch ratio (span per block = R_MAX * B)
+
+from ..constants import MAX_PITCH_RATIO as _MAX_PITCH_RATIO  # noqa: E402
+
+assert R_MAX == _MAX_PITCH_RATIO, "keep in sync with constants.MAX_PITCH_RATIO"
 GROUP = 8             # voices per grid step (tile divisibility on [G, B])
 CHUNK = 128           # frames per inner compute chunk
 # slab columns per chunk dot: covers R_MAX*CHUNK + 2 plus up to 127 samples

@@ -30,9 +30,15 @@ from ..ops import voice as voice_ops
 VOICE_AXIS = "voices"
 
 
-def make_mesh(n_devices: Optional[int] = None) -> Mesh:
-    devices = jax.devices()
+def make_mesh(n_devices: Optional[int] = None, devices=None) -> Mesh:
+    if devices is None:
+        devices = jax.devices()
     if n_devices is not None:
+        if len(devices) < n_devices:
+            raise ValueError(
+                f"make_mesh: asked for {n_devices} devices, only "
+                f"{len(devices)} available"
+            )
         devices = devices[:n_devices]
     return Mesh(np.array(devices), (VOICE_AXIS,))
 

@@ -132,6 +132,51 @@ def test_per_channel_record_toggles_and_prefixes(tmp_path):
     assert np.abs(back.samples).max() > 0.01
 
 
+def test_pump_cadence_meters_move():
+    """Regression: the C-API pump consumes block N-1 after dispatching N and
+    only calls update_session at the 50 ms cadence. With the old modulo gate
+    (total_blocks % every == 0, checked one block late) analyze() never ran
+    and every meter stayed at the -200 floor. Reproduce the pump's exact
+    call pattern and assert meters move."""
+    engine, clip = make_session()
+    clip.play(loop=True, midi_channel=2)
+    every = engine._levels_every
+    prev = None
+    prev_block_no = 0
+    for _ in range(3 * every + 2):
+        res = engine.process_block()
+        if prev is not None:
+            if prev_block_no % every == 0:
+                engine.update_session(prev, include_recorders=False)
+            else:
+                engine.accumulate_peaks(prev)
+        prev = res
+        prev_block_no = engine.total_blocks
+    assert engine.levels.playback_a > -200.0
+    assert engine.levels.channels_a[2] > -200.0
+
+
+def test_accumulated_peaks_catch_transients():
+    """A one-block transient landing between analysis points must still
+    register (accumulate_peaks folds skipped blocks' maxima)."""
+    engine, clip = make_session()
+    every = engine._levels_every
+    # silence through the first analysis, then a short un-looped hit that
+    # dies before the next update_session call
+    res = engine.process_block()
+    engine.update_session(res)
+    clip.play(loop=False, midi_channel=1)
+    collected = []
+    for _ in range(every - 1):
+        r = engine.process_block()
+        engine.accumulate_peaks(r)
+        collected.append(r)
+    clip.stop(1)
+    r = engine.process_block()
+    engine.update_session(r)
+    assert engine.levels.channels_a[1] > -200.0
+
+
 def test_rms_metering():
     engine, clip = make_session()
     clip.play(loop=True, midi_channel=4)

@@ -146,12 +146,13 @@ def test_c_host_embedding(libzl_so, tmp_path):
     assert "EMBED-OK" in proc.stdout
 
 
-def test_pump_block_sequence_integrity(tmp_path):
-    """The pipelined pump (consume block N-1 while N is in flight) must
-    deliver every rendered block to the recorder exactly once, in order,
-    including the drained final block. A recorded linear ramp is a
-    contiguous prefix of the source iff no block was dropped/dup'd/
-    reordered."""
+@pytest.mark.parametrize("depth", [1, 3])
+def test_pump_block_sequence_integrity(tmp_path, depth):
+    """The pipelined pump (consume the oldest in-flight block only after
+    dispatching the newest, LIBZL_TPU_PIPELINE deep) must deliver every
+    rendered block to the recorder exactly once, in order, including the
+    drained final blocks. A recorded linear ramp is a contiguous prefix of
+    the source iff no block was dropped/dup'd/reordered."""
     import time
 
     import numpy as np
@@ -168,6 +169,7 @@ def test_pump_block_sequence_integrity(tmp_path):
 
     os.environ["LIBZL_TPU_BACKEND"] = "numpy"
     os.environ["LIBZL_TPU_VOICES"] = "32"
+    os.environ["LIBZL_TPU_PIPELINE"] = str(depth)
     try:
         bridge.init_engine(pump=True)
         cid = bridge.clip_new(str(src))
@@ -188,6 +190,7 @@ def test_pump_block_sequence_integrity(tmp_path):
         bridge.shutdown_engine()
         os.environ.pop("LIBZL_TPU_BACKEND", None)
         os.environ.pop("LIBZL_TPU_VOICES", None)
+        os.environ.pop("LIBZL_TPU_PIPELINE", None)
 
     x = read_wav(rec).samples[:, 0]
     nz = np.flatnonzero(np.abs(x) > 0)

@@ -51,6 +51,62 @@ def test_session_roundtrip(tmp_path):
     assert np.abs(np.asarray(res.outputs.master)).max() > 0.01
 
 
+def test_session_restores_transport_position_and_looping(tmp_path):
+    """Regression (ADVICE r1): tick_position was saved but never restored,
+    and the clip looping flag was not serialized."""
+    wav = tmp_path / "src.wav"
+    t = np.arange(SR // 4) / SR
+    write_wav(wav, (0.3 * np.sin(2 * np.pi * 330 * t)).astype(np.float32), SR)
+
+    e1 = AudioEngine(sample_rate=SR, backend="numpy", num_voices=16)
+    clip = ClipAudioSource(e1, filepath=str(wav))
+    clip.set_looping(False)
+    e1.start_transport(bpm=120)
+    for _ in range(50):
+        e1.process_block()
+    saved_tick = int(e1.clock.tick_position)
+    assert saved_tick > 0
+    save_session(e1, tmp_path / "mid.zlsession")
+
+    e2 = AudioEngine(sample_rate=SR, backend="numpy", num_voices=16)
+    id_map = load_session(e2, tmp_path / "mid.zlsession")
+    assert int(e2.clock.tick_position) == saved_tick
+    assert e2.transport_running
+    c2 = id_map[clip.id]
+    assert c2.get_looping() is False
+    # the restored clock keeps advancing consistently from the saved tick
+    before = int(e2.clock.tick_position)
+    e2.process_block()
+    assert int(e2.clock.tick_position) > before
+
+
+def test_recorder_survives_writer_failure(tmp_path):
+    """Regression (ADVICE r1): a writeframes failure must not wedge push()
+    or stop() — the writer marks itself failed and drains."""
+    from libzl_tpu.engine.recorder import DiskRecorder
+
+    rec = DiskRecorder()
+    rec.start(tmp_path / "take.wav", SR)
+
+    def boom(_raw):
+        raise OSError("disk full")
+
+    rec._wave.writeframes = boom
+    block = np.zeros((128, 2), np.float32)
+    # far more blocks than the queue holds: push must never block
+    for _ in range(2000):
+        rec.push(block)
+    rec.stop()
+    assert rec.failed
+    assert not rec.is_recording
+    # a fresh start on the same object works again
+    rec.start(tmp_path / "take2.wav", SR)
+    rec.push(block)
+    rec.stop()
+    assert not rec.failed
+    assert rec.frames_written == 128
+
+
 def test_profiler_and_slo_counters():
     engine = AudioEngine(sample_rate=SR, backend="numpy", num_voices=16)
     for _ in range(20):
