@@ -50,6 +50,9 @@ class EngineRuntime:
         # (each level hides one block of host->device sync behind device
         # render; costs pipeline_depth blocks of meter/recorder latency)
         self.pipeline_depth = max(int(pipeline_depth), 0)
+        # audio output sink (io/sinks): the system:playback_1/2 analog; the
+        # pump writes every consumed block's master mix here, in order
+        self.sink = None
         self._pump: Optional[threading.Thread] = None
         self._running = False
         self._timer_callbacks: list = []
@@ -71,6 +74,49 @@ class EngineRuntime:
             self._pump.join(timeout=5.0)
             self._pump = None
 
+    def set_sink(self, sink) -> None:
+        """Attach/replace the audio output sink (None detaches)."""
+        with self._lock:
+            old, self.sink = self.sink, sink
+        if old is not None:
+            old.close()
+
+    def _consume(self, block_no: int, res) -> None:
+        """Deliver one rendered block: the audio sink and recorders need
+        every block; meters/positions only at the 50 ms analysis cadence
+        (each sync is a round trip). The sink write happens OUTSIDE the
+        engine lock: a pacing sink (ALSA PCM) blocks at the hardware rate
+        and must not stall C-API calls."""
+        import numpy as np
+
+        sink = self.sink
+        if sink is not None:
+            sink.write(np.asarray(res.outputs.master))
+        with self._lock:
+            engine = self.engine
+            if engine.levels.is_recording:
+                engine.levels.feed_recorders(res.outputs)
+            if block_no % engine._levels_every == 0:
+                engine.update_session(res, include_recorders=False)
+            else:
+                # lazy device-side peak max — no sync; drained by the next
+                # update_session so transients between analysis points
+                # still register on the meters
+                engine.accumulate_peaks(res)
+
+    def step_blocks(self, n: int) -> None:
+        """Deterministic pump: render and consume `n` blocks synchronously.
+        Drives the exact per-block delivery path the wall-clock pump uses
+        (sink, recorders, meter cadence) without any timing dependence —
+        for tests and offline bounces under LIBZL_TPU_NO_PUMP."""
+        if self._pump is not None:
+            raise RuntimeError("step_blocks requires the pump to be stopped")
+        for _ in range(int(n)):
+            with self._lock:
+                res = self.engine.process_block()
+                block_no = self.engine.total_blocks
+            self._consume(block_no, res)
+
     def _run(self) -> None:
         """Render paced to the wall clock, a few blocks ahead (the JACK
         period callback + latency analog; schedule-ahead per SURVEY.md §2)."""
@@ -88,35 +134,27 @@ class EngineRuntime:
         # the reference already makes (lib/SyncTimer.cpp:397-411).
         inflight: deque = deque()  # (block_no, BlockResult) oldest first
 
-        def consume(engine, block_no, res) -> None:
-            # recorders need every block; meters/positions only at the
-            # 50 ms analysis cadence (each sync is a round trip)
-            if engine.levels.is_recording:
-                engine.levels.feed_recorders(res.outputs)
-            if block_no % engine._levels_every == 0:
-                engine.update_session(res, include_recorders=False)
-            else:
-                # lazy device-side peak max — no sync; drained by the next
-                # update_session so transients between analysis points
-                # still register on the meters
-                engine.accumulate_peaks(res)
-
+        consume = self._consume
         while self._running:
-            now = time.monotonic() - start
-            if rendered - now > ahead:
-                time.sleep(spb / 2)
-                continue
+            # a pacing sink (ALSA PCM) blocks in write() at the hardware
+            # rate — it IS the clock, like JACK's callback cadence; only
+            # pace on the wall clock without one
+            sink = self.sink
+            if sink is None or not sink.pacing:
+                now = time.monotonic() - start
+                if rendered - now > ahead:
+                    time.sleep(spb / 2)
+                    continue
             with self._lock:
                 engine = self.engine
                 res = engine.process_block()
                 inflight.append((engine.total_blocks, res))
-                while len(inflight) > depth:
-                    consume(engine, *inflight.popleft())
+            while len(inflight) > depth:
+                consume(*inflight.popleft())
             rendered += spb
-        # drain in-flight blocks so recorders keep the final audio
-        with self._lock:
-            while inflight:
-                consume(self.engine, *inflight.popleft())
+        # drain in-flight blocks so sink/recorders keep the final audio
+        while inflight:
+            consume(*inflight.popleft())
 
     def _fan_timer_callbacks(self, tick: int) -> None:
         for cb in list(self._timer_callbacks):
@@ -156,6 +194,11 @@ def init_engine(sample_rate: int = 48000, block_frames: int = 128,
             pump = False
         _runtime = EngineRuntime(sample_rate, block_frames, num_voices, backend,
                                  pipeline_depth=depth)
+        sink_spec = os.environ.get("LIBZL_TPU_SINK")
+        if sink_spec:
+            from ..io.sinks import make_sink
+
+            _runtime.set_sink(make_sink(sink_spec, sample_rate))
         if pump:
             _runtime.start_pump()
 
@@ -165,6 +208,7 @@ def shutdown_engine() -> None:
     global _runtime
     if _runtime is not None:
         _runtime.stop_pump()
+        _runtime.set_sink(None)
         _runtime = None
 
 

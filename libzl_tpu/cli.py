@@ -51,6 +51,28 @@ def _build_parser() -> argparse.ArgumentParser:
     r.add_argument("--sample-rate", type=int, default=48000)
     r.add_argument("--quiet", action="store_true")
 
+    pl = sub.add_parser(
+        "play", help="play a clip live through an audio sink (ALSA/file/null)"
+    )
+    pl.add_argument("input")
+    pl.add_argument("--sink", default="alsa",
+                    help='"alsa[:device]", "file:<path>" or "null" '
+                         "(default: alsa)")
+    pl.add_argument("--seconds", type=float, default=0.0,
+                    help="stop after N seconds (0 = one full pass, or ctrl-c "
+                         "when looping)")
+    pl.add_argument("--loop", action="store_true", default=False)
+    pl.add_argument("--note", type=int, default=60)
+    pl.add_argument("--channel", type=int, default=0)
+    pl.add_argument("--bpm", type=float, default=120.0)
+    pl.add_argument("--pan", type=float, default=0.0)
+    pl.add_argument("--volume", type=float, default=None, help="clip volume dB")
+    pl.add_argument("--backend", choices=["jax", "numpy"], default="numpy")
+    pl.add_argument("--block-frames", type=int, default=128)
+    pl.add_argument("--pipeline", type=int, default=1,
+                    help="pump pipeline depth (blocks in flight)")
+    pl.add_argument("--quiet", action="store_true")
+
     i = sub.add_parser("info", help="print WAV info")
     i.add_argument("input")
 
@@ -138,6 +160,65 @@ def cmd_render(args) -> int:
     return 0
 
 
+def cmd_play(args) -> int:
+    """Live playback: the pump + sink path (the reference is audible via
+    system:playback_1/2, lib/SamplerSynth.cpp:101-102; here a Sink)."""
+    from .capi.bridge import EngineRuntime
+    from .io.sinks import make_sink
+    from .io.wav import read_wav
+    from .models.clip import ClipAudioSource
+
+    try:
+        sample_rate = read_wav(args.input).sample_rate
+    except FileNotFoundError:
+        raise
+    runtime = EngineRuntime(
+        sample_rate=sample_rate,
+        block_frames=args.block_frames,
+        num_voices=64,
+        backend=args.backend,
+        pipeline_depth=args.pipeline,
+    )
+    try:
+        sink = make_sink(args.sink, sample_rate)
+    except (RuntimeError, ValueError) as e:
+        print(f"error: cannot open sink {args.sink!r}: {e}", file=sys.stderr)
+        return 2
+    runtime.set_sink(sink)
+    engine = runtime.engine
+    with runtime._lock:
+        clip = ClipAudioSource(engine, filepath=args.input)
+        clip.set_pan(args.pan)
+        if args.volume is not None:
+            clip.set_volume(args.volume)
+        engine.start_transport(bpm=args.bpm)
+        clip.play(loop=args.loop, midi_channel=args.channel)
+    seconds = args.seconds or (
+        clip.get_duration() if not args.loop else 0.0
+    )
+    runtime.start_pump()
+    try:
+        if seconds:
+            time.sleep(seconds)
+        else:
+            while True:  # looping until interrupted
+                time.sleep(0.5)
+    except KeyboardInterrupt:
+        pass
+    finally:
+        with runtime._lock:
+            clip.stop(-3)
+        time.sleep(2 * args.block_frames / sample_rate)
+        runtime.stop_pump()
+        runtime.set_sink(None)
+    if not args.quiet:
+        print(
+            f"played {sink.frames_written / sample_rate:.2f}s through "
+            f"{sink.name} sink (backend={args.backend})"
+        )
+    return 0
+
+
 def cmd_info(args) -> int:
     from .io.wav import read_wav
 
@@ -183,6 +264,8 @@ def main(argv=None) -> int:
     try:
         if args.command == "render":
             return cmd_render(args)
+        if args.command == "play":
+            return cmd_play(args)
         if args.command == "info":
             return cmd_info(args)
         if args.command == "thumbnail":

@@ -161,6 +161,9 @@ class AudioEngine:
         # device-side running peak max (see accumulate_peaks)
         self._peak_accum = None
         self.transport_running = False
+        # per-block time-weighted transport BPM (the quantized blend the
+        # reference publishes to the JACK timebase, lib/SyncTimer.cpp:644-673)
+        self.period_bpm = float(DEFAULT_BPM)
         # callbacks (SyncTimer signals / C callback registry,
         # lib/SyncTimer.cpp:397-401, libzl.h:74-75)
         self.timer_callbacks: list[Callable[[int], None]] = []
@@ -465,21 +468,60 @@ class AudioEngine:
             midi_out.extend((0, data) for data in pending)
             self._pending_immediate_midi = []
 
-        ticks = self.clock.ticks_in_next_block()
-        for tick, offset in ticks:
+        # Dynamic tick walk: tick spacing re-derives after every tick's
+        # commands, so a SetBpm firing mid-block changes the spacing of the
+        # REMAINING ticks in the same block — exactly the reference's
+        # per-step subbeat-length update (lib/SyncTimer.cpp:636-641). The
+        # per-block transport BPM is the time-weighted blend of the per-tick
+        # BPMs, rounded to 2 decimals (lib/SyncTimer.cpp:644,672-673), so
+        # automation sweeps publish the reference's quantized step sequence.
+        block_start = float(self.clock.sample_position)
+        block_end = block_start + self.block_frames
+        tick_count = 0
+        bpm_blend = 0.0
+        seg_start = block_start
+        t = self.clock.tick_position
+        guard = 0
+        while True:
+            ts = self.clock.tick_time_samples(t)
+            if ts >= block_end:
+                break
+            guard += 1
+            if guard > 8 * self.block_frames:
+                raise RuntimeError("tick walk diverged (bpm below floor?)")
+            offset = max(int(ts - block_start), 0)
+            # the blend segment leading up to this tick runs at the BPM set
+            # by the previous tick's commands
+            seg_end = min(max(ts, block_start), block_end)
+            bpm_blend += self.clock.bpm * (seg_end - seg_start)
+            seg_start = seg_end
+            # expose the firing tick so set_bpm re-anchors exactly here
+            self.clock.tick_position = t
             if self.transport_running:
                 # sequencer schedule-ahead hook (lib/SyncTimer.cpp:397-401)
                 for cb in self.timer_callbacks:
-                    cb(tick)
-                if midi_clock_due(tick):
+                    cb(t)
+                if midi_clock_due(t):
                     midi_out.append((offset, bytes([MIDI_BEAT_CLOCK_BYTE])))
             step = self.ring.pop_next()
             for ev in step.midi:
                 midi_out.append((offset, ev.data))
             for ccmd in step.clip_commands:
-                self._apply_clip_command(ccmd, tick, offset)
+                self._apply_clip_command(ccmd, t, offset)
             for tcmd in step.timer_commands:
-                self._apply_timer_command(tcmd, tick, offset)
+                self._apply_timer_command(tcmd, t, offset)
+            tick_count += 1
+            if self.clock.tick_position != t:
+                # a transport reset (stop flush) re-based the musical clock;
+                # resume the walk from the new position
+                t = self.clock.tick_position
+            else:
+                t += 1
+        self.clock.tick_position = t
+        bpm_blend += self.clock.bpm * (block_end - seg_start)
+        self.period_bpm = (
+            round(bpm_blend / self.block_frames * 100.0) / 100.0
+        )
 
         # MIDI routing fabric: transport ticks, internal + hardware routing,
         # transport control, note->sampler mapping (all sample-offset aware)
@@ -505,7 +547,7 @@ class AudioEngine:
             self.dsp_load.observe(busy)
             return BlockResult(
                 outputs=self._zero_outputs(), midi_out=midi_out,
-                tick_count=len(ticks),
+                tick_count=tick_count,
             )
 
         clock_args = dict(
@@ -564,7 +606,7 @@ class AudioEngine:
         self.slo.observe(busy)
         self.dsp_load.observe(busy)
         return BlockResult(outputs=outputs, midi_out=midi_out,
-                           tick_count=len(ticks))
+                           tick_count=tick_count)
 
     # ------------------------------------------------------- session updates
 

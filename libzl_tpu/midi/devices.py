@@ -34,6 +34,7 @@ class MidiPort:
         self.human_name = human_name or name
         self.zynthian_id = zynthian_id or name
         self.enabled = True
+        self.fb_enabled = False  # receives feedback routing (ENABLED_FB)
 
     def read(self) -> list[bytes]:
         raise NotImplementedError
@@ -68,43 +69,34 @@ class VirtualMidiPort(MidiPort):
 
 
 class AlsaRawMidiPort(MidiPort):
-    """ALSA rawmidi endpoint via ctypes; available only where libasound
-    exists (gated — containers without a sound stack use VirtualMidiPort)."""
+    """ALSA rawmidi endpoint via the shared libasound binding (io/alsa.py,
+    full restype/argtypes); available only where libasound exists — gated,
+    containers without a sound stack use VirtualMidiPort. Test fakes inject
+    via alsa.set_alsa_lib_for_testing."""
 
     def __init__(self, device: str, direction: str = "in", **kw):
         super().__init__(device, **kw)
-        lib = ctypes.util.find_library("asound")
-        if lib is None:
-            raise RuntimeError("libasound not available on this host")
-        self._asound = ctypes.CDLL(lib)
-        self._handle = ctypes.c_void_p()
-        mode = 1  # SND_RAWMIDI_NONBLOCK
-        if direction == "in":
-            err = self._asound.snd_rawmidi_open(
-                ctypes.byref(self._handle), None, device.encode(), mode
-            )
-        else:
-            err = self._asound.snd_rawmidi_open(
-                None, ctypes.byref(self._handle), device.encode(), mode
-            )
-        if err < 0:
-            raise RuntimeError(f"snd_rawmidi_open({device}) failed: {err}")
+        from ..io import alsa
+
+        self._alsa = alsa
+        self._handle = alsa.rawmidi_open(device, direction)
         self._direction = direction
 
     def read(self) -> list[bytes]:
-        buf = (ctypes.c_char * 256)()
-        n = self._asound.snd_rawmidi_read(self._handle, buf, 256)
-        if n <= 0:
+        if self._handle is None:
             return []
-        return _split_midi_stream(bytes(buf[:n]))
+        raw = self._alsa.rawmidi_read(self._handle)
+        return _split_midi_stream(raw) if raw else []
 
     def write(self, events: Iterable[bytes]) -> None:
+        if self._handle is None:
+            return
         for e in events:
-            self._asound.snd_rawmidi_write(self._handle, e, len(e))
+            self._alsa.rawmidi_write(self._handle, bytes(e))
 
     def close(self) -> None:
-        if self._handle:
-            self._asound.snd_rawmidi_close(self._handle)
+        if self._handle is not None:
+            self._alsa.rawmidi_close(self._handle)
             self._handle = None
 
 
@@ -146,7 +138,7 @@ class InputDeviceEntry:
 
 class DeviceRegistry:
     """Tracks hardware inputs/outputs and their enablement, mirroring the
-    env-var driven policy (DISABLED_IN / ENABLED_OUT,
+    env-var driven policy (DISABLED_IN / ENABLED_OUT / ENABLED_FB,
     lib/MidiRouter.cpp:990-1009)."""
 
     def __init__(self):
@@ -157,6 +149,8 @@ class DeviceRegistry:
         self.enabled_fb: list[str] = []
         self.on_input_added = None
         self.on_input_removed = None
+        self.on_output_added = None
+        self.on_output_removed = None
 
     def add_input(self, port: MidiPort) -> Optional[InputDeviceEntry]:
         if len(self.inputs) >= MAX_MIDI_INPUT_DEVICES:
@@ -183,7 +177,22 @@ class DeviceRegistry:
             for d in self.enabled_out
             if d
         )
+        port.fb_enabled = self._fb_match(port)
         self.outputs.append(port)
+        if self.on_output_added is not None:
+            self.on_output_added(port)
+
+    def remove_output(self, port: MidiPort) -> None:
+        self.outputs = [p for p in self.outputs if p is not port]
+        if self.on_output_removed is not None:
+            self.on_output_removed(port)
+
+    def _fb_match(self, port: MidiPort) -> bool:
+        return any(
+            port.zynthian_id.startswith(d) or port.name.startswith(d)
+            for d in self.enabled_fb
+            if d
+        )
 
     def apply_port_policy(self) -> None:
         """Re-evaluate enablement after a configuration reload."""
@@ -200,3 +209,85 @@ class DeviceRegistry:
                 for d in self.enabled_out
                 if d
             )
+            p.fb_enabled = self._fb_match(p)
+
+
+class HardwareScanner:
+    """ALSA rawmidi discovery + hot-plug.
+
+    The reference gets JACK port-registration callbacks and connects new
+    hardware on a 300 ms timer, aliasing ports to human-readable names and
+    firing added/removed signals (lib/MidiRouter.cpp:788-824, 607-693).
+    Without a port server to call us back, we poll the same 300 ms cadence:
+    enumerate rawmidi endpoints, diff against what we know, open/close ports
+    and fire the registry's on_input/output_added/removed callbacks.
+    """
+
+    def __init__(self, registry: DeviceRegistry, poll_interval: float = 0.3):
+        self.registry = registry
+        self.poll_interval = poll_interval
+        self._known_in: dict[str, MidiPort] = {}
+        self._known_out: dict[str, MidiPort] = {}
+        self._next_poll = 0.0
+
+    def poll(self, now: Optional[float] = None) -> bool:
+        """Rescan if the cadence is due. Returns True if anything changed."""
+        import time
+
+        now = time.monotonic() if now is None else now
+        if now < self._next_poll:
+            return False
+        self._next_poll = now + self.poll_interval
+        return self.rescan()
+
+    def rescan(self) -> bool:
+        from ..io import alsa
+
+        if not alsa.available():
+            return False
+        seen_in: set[str] = set()
+        seen_out: set[str] = set()
+        changed = False
+        for hint in alsa.enumerate_rawmidi():
+            name, ioid = hint["name"], hint["ioid"]
+            human = hint["desc"].split("\n")[0]
+            if ioid in ("", "Input"):
+                seen_in.add(name)
+                if name not in self._known_in:
+                    changed |= self._open(name, "in", human)
+            if ioid in ("", "Output"):
+                seen_out.add(name)
+                if name not in self._known_out:
+                    changed |= self._open(name, "out", human)
+        for name in list(self._known_in):
+            if name not in seen_in:
+                port = self._known_in.pop(name)
+                self.registry.remove_input(port)
+                port.close()
+                changed = True
+        for name in list(self._known_out):
+            if name not in seen_out:
+                port = self._known_out.pop(name)
+                self.registry.remove_output(port)
+                port.close()
+                changed = True
+        return changed
+
+    def _open(self, name: str, direction: str, human: str) -> bool:
+        try:
+            port = AlsaRawMidiPort(
+                name, direction, human_name=human, zynthian_id=human
+            )
+        except RuntimeError:
+            # busy or vanished between enumerate and open; the reference's
+            # connector timer retries the same way — next poll will
+            return False
+        if direction == "in":
+            if self.registry.add_input(port) is None:
+                port.close()  # MAX_INPUT_DEVICES reached
+                return False
+            self._known_in[name] = port
+        else:
+            self.registry.add_output(port)
+            self._known_out[name] = port
+        return True

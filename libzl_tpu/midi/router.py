@@ -62,15 +62,28 @@ class ChannelOutput:
 
 
 class MidiRouter:
-    def __init__(self, registry: Optional[DeviceRegistry] = None):
+    def __init__(self, registry: Optional[DeviceRegistry] = None,
+                 auto_discover: Optional[bool] = None):
+        from .devices import HardwareScanner
+
         self.outputs = [ChannelOutput(c) for c in range(OUTPUT_CHANNEL_COUNT)]
         self.current_channel = 0
         self.filter_midi_out = False
         self.registry = registry or DeviceRegistry()
+        # hardware discovery/hot-plug: poll ALSA rawmidi endpoints on the
+        # reference's 300 ms connector cadence (lib/MidiRouter.cpp:788-824);
+        # enabled by default wherever libasound is loadable
+        self.scanner = HardwareScanner(self.registry)
+        if auto_discover is None:
+            from ..io import alsa
+
+            auto_discover = alsa.available()
+        self.auto_discover = auto_discover
         # sinks: lists of (frame_offset, bytes)
         self.zynthian_out: list[tuple[int, bytes]] = []
         self.external_out: list[tuple[int, bytes]] = []
         self.passthrough_out: list[tuple[int, bytes]] = []
+        self.feedback_out: list[tuple[int, bytes]] = []
         # listeners (noteChanged analog): cb(source, frame_offset, data)
         self.note_listeners: list[Callable[[str, int, bytes], None]] = []
         self.reload_configuration()
@@ -136,6 +149,7 @@ class MidiRouter:
         self.zynthian_out = []
         self.external_out = []
         self.passthrough_out = []
+        self.feedback_out = []
 
     def route_internal(self, events: list[tuple[int, bytes]]) -> None:
         """Route the scheduler's own MIDI (SyncTimerIn path,
@@ -147,6 +161,13 @@ class MidiRouter:
             if ch >= 0:
                 out = self.outputs[ch]
                 note = is_note_message(data)
+                if note:
+                    # controller-surface feedback: engine-originated note
+                    # state mirrors to ENABLED_FB ports (the reference
+                    # parses ENABLED_FB but never consults it,
+                    # lib/MidiRouter.cpp:1004,1015 — this implements the
+                    # zynthian-documented intent; PARITY.md #9)
+                    self.feedback_out.append((offset, data))
                 if out.destination == Destination.ZYNTHIAN:
                     if note:
                         self._emit_note("passthrough", offset, data)
@@ -188,6 +209,8 @@ class MidiRouter:
         """Drain every enabled hardware input and route with retargeting
         (lib/MidiRouter.cpp:458-566). Events are treated as block-start
         (offset 0) — hardware arrives between blocks."""
+        if self.auto_discover:
+            self.scanner.poll()
         for entry in self.registry.inputs:
             if not entry.port.enabled:
                 continue
@@ -245,10 +268,15 @@ class MidiRouter:
 
     def flush_external(self) -> None:
         """Deliver external_out to every enabled hardware output
-        (refreshOutputsList policy, lib/MidiRouter.cpp:696-757)."""
-        if not self.external_out:
-            return
-        events = [data for _, data in self.external_out]
-        for port in self.registry.outputs:
-            if port.enabled:
-                port.write(events)
+        (refreshOutputsList policy, lib/MidiRouter.cpp:696-757), and
+        feedback_out to every ENABLED_FB port."""
+        if self.external_out:
+            events = [data for _, data in self.external_out]
+            for port in self.registry.outputs:
+                if port.enabled:
+                    port.write(events)
+        if self.feedback_out:
+            events = [data for _, data in self.feedback_out]
+            for port in self.registry.outputs:
+                if getattr(port, "fb_enabled", False):
+                    port.write(events)

@@ -45,57 +45,195 @@ def linear_resample(samples: np.ndarray, ratio: float) -> np.ndarray:
     return out.astype(np.float32)
 
 
+try:  # scipy.fft does float32 rfft natively (~40x numpy's f64-only path)
+    from scipy import fft as _fft
+except ImportError:  # pragma: no cover
+    _fft = np.fft
+
+# frames per vectorized chunk: bounds peak memory to ~chunk * fft_size
+# complex64 temporaries (~16 MB/array at 2048-point FFT) independent of
+# input length
+_STRETCH_CHUNK_FRAMES = 2048
+
+
 def time_stretch(
     samples: np.ndarray, stretch: float, fft_size: int = 2048, hop: int = 512
 ) -> np.ndarray:
     """Phase-vocoder time stretch of [T, C] by factor `stretch` (output
-    duration = input * stretch), pitch preserved."""
+    duration = input * stretch), pitch preserved.
+
+    Fully vectorized: strided-window STFT (one batched rfft per chunk of
+    frames), phase advance re-accumulated at the synthesis hop via a
+    segmented cumulative sum, reshape-based overlap-add. Transients are
+    preserved by phase reset: frames whose positive spectral flux spikes
+    (an onset) restart phase accumulation from the analysis phase, so a
+    click train stays a click train instead of smearing — the quality trait
+    the reference gets from SoundTouch (CMakeLists.txt:86).
+    """
     if stretch == 1.0:
         return samples.astype(np.float32, copy=False)
     samples = np.atleast_2d(samples.T).T
     n_in, n_ch = samples.shape
     syn_hop = hop
     ana_hop = hop / stretch
-    win = np.hanning(fft_size).astype(np.float64)
-    omega = 2.0 * np.pi * np.arange(fft_size // 2 + 1) / fft_size
+    win = np.hanning(fft_size).astype(np.float32)
+    n_bins = fft_size // 2 + 1
+    omega = (2.0 * np.pi * np.arange(n_bins) / fft_size).astype(np.float32)
 
-    out_ch = []
-    n_out_frames = max(int((n_in - fft_size) / ana_hop), 1)
-    for c in range(n_ch):
-        x = samples[:, c].astype(np.float64)
-        out = np.zeros(n_out_frames * syn_hop + fft_size)
-        norm = np.zeros_like(out)
-        phase_acc = None
-        prev_phase = None
-        for m in range(n_out_frames):
-            a = int(round(m * ana_hop))
-            a = min(a, n_in - fft_size) if n_in >= fft_size else 0
-            frame = x[a : a + fft_size]
-            if len(frame) < fft_size:
-                frame = np.pad(frame, (0, fft_size - len(frame)))
-            F = np.fft.rfft(frame * win)
-            mag, phase = np.abs(F), np.angle(F)
-            if phase_acc is None:
-                phase_acc = phase.copy()
-            else:
-                # phase advance over the *analysis* hop, unwrapped around the
-                # bin frequency, re-accumulated at the synthesis hop
-                dphi = phase - prev_phase - omega * ana_hop
-                dphi -= 2.0 * np.pi * np.round(dphi / (2.0 * np.pi))
-                true_freq = omega + dphi / ana_hop
-                phase_acc = phase_acc + true_freq * syn_hop
-            prev_phase = phase
-            y = np.fft.irfft(mag * np.exp(1j * phase_acc)) * win
-            pos = m * syn_hop
-            out[pos : pos + fft_size] += y
-            norm[pos : pos + fft_size] += win * win
-        # normalize by the window overlap; where coverage collapses (the
-        # first/last partial frames) output silence instead of amplifying
-        # rounding noise by 1/norm
-        floor = 0.05 * max(norm.max(), 1e-8)
-        out = np.where(norm > floor, out / np.maximum(norm, floor), 0.0)
-        out_ch.append(out)
-    result = np.stack(out_ch, axis=1)
+    M = max(int((n_in - fft_size) / ana_hop), 1)
+    x = samples.astype(np.float32)
+    if n_in < fft_size:
+        x = np.pad(x, ((0, fft_size - n_in), (0, 0)))
+    anchors = np.minimum(
+        np.round(np.arange(M) * ana_hop).astype(np.int64),
+        max(n_in - fft_size, 0),
+    )
+    # row-gather of analysis windows: a strided view indexed by frame anchor
+    # (one index per frame) — ~15x cheaper than an element-wise fancy index
+    # of the same [m, fft] matrix. Layout [m, C, K] keeps the FFT axis
+    # contiguous.
+    windows = np.lib.stride_tricks.sliding_window_view(
+        x, fft_size, axis=0
+    )  # [T-K+1, C, K] view
+
+    out_len = (M - 1) * syn_hop + fft_size
+    out = np.zeros((out_len, n_ch), np.float32)
+    norm = np.zeros(out_len, np.float32)
+    w2 = (win * win).astype(np.float32)
+
+    # Phase bookkeeping in strict float32 (python-float scalars upcast whole
+    # [m, bins, C] arrays to f64 — measured ~4x slowdown). The accumulated
+    # phase splits into a linear part omega*syn_hop*i (exactly periodic in i
+    # with period fft/hop when hop | fft — a tiny wrapped table) plus an f32
+    # cumsum of the bounded per-frame deviations (|dphi|*stretch <= pi*s).
+    two_pi = np.float32(2.0 * np.pi)
+    inv_two_pi = np.float32(1.0 / (2.0 * np.pi))
+    stretch32 = np.float32(syn_hop / ana_hop)
+    exp_ana = (omega * np.float32(ana_hop)).astype(np.float32)
+    if fft_size % syn_hop == 0:
+        R = fft_size // syn_hop
+        lin_table = np.mod(
+            np.arange(R)[:, None] * omega.astype(np.float64) * syn_hop,
+            2.0 * np.pi,
+        ).astype(np.float32)                                   # [R, Kb]
+
+        def lin_for(counts):
+            return lin_table[counts % R]
+    else:
+        def lin_for(counts):
+            return np.mod(
+                counts[:, None] * (omega.astype(np.float64) * syn_hop),
+                2.0 * np.pi,
+            ).astype(np.float32)
+
+    # carried state across chunks: the previous frame's analysis phase and
+    # accumulated (wrapped) synthesis phase, per (bin, channel)
+    prev_phase = None
+    prev_acc = None
+    prev_mag_sum = np.zeros(n_ch, np.float32)
+    for lo in range(0, M, _STRETCH_CHUNK_FRAMES):
+        hi = min(lo + _STRETCH_CHUNK_FRAMES, M)
+        frames = windows[anchors[lo:hi]].copy()                # [m, C, K]
+        frames *= win[None, None, :]
+        F = _fft.rfft(frames, axis=-1)                         # [m, C, Kb]
+        # keep complex64 + contiguous: the transcendentals and the inverse
+        # FFT below are ~50x slower on strided/upcast arrays
+        F = np.ascontiguousarray(F, dtype=np.complex64)
+        mag = np.abs(F)
+        phase = np.angle(F)
+        m = hi - lo
+
+        # wrapped per-frame phase deviation vs the expected bin advance,
+        # scaled to the synthesis hop (first frame diffs against the carry)
+        ddphi = np.empty((m, n_ch, n_bins), np.float32)
+        if prev_phase is None:
+            ddphi[0] = 0.0
+            np.subtract(phase[1:], phase[:-1], out=ddphi[1:])
+            counts = np.arange(m)           # frame 0 carries no advance
+        else:
+            np.subtract(phase[0], prev_phase, out=ddphi[0])
+            np.subtract(phase[1:], phase[:-1], out=ddphi[1:])
+            counts = np.arange(1, m + 1)    # advances relative to carry
+        ddphi -= exp_ana[None, None, :]
+        ddphi -= two_pi * np.round(ddphi * inv_two_pi)
+        ddphi *= stretch32
+        c = np.cumsum(ddphi, axis=0)                           # f32 [m,C,Kb]
+        c += lin_for(counts)[:, None, :]
+        base_acc = phase[0] if prev_acc is None else prev_acc
+
+        # onset detection: positive spectral flux per frame/channel, with
+        # the carry-in magnitude sum for the chunk's first frame
+        mag_sum = mag.sum(axis=2)                              # [m, C]
+        prev_sums = np.concatenate([prev_mag_sum[None], mag_sum[:-1]], axis=0)
+        flux = np.maximum(mag_sum - prev_sums, 0.0)
+        thresh = flux.mean(axis=0) + 2.0 * flux.std(axis=0)
+        onset = flux > np.maximum(thresh, np.float32(1e-6))[None, :]  # [m, C]
+        if prev_phase is None:
+            onset[0, :] = False  # frame 0 already starts at analysis phase
+
+        # segmented accumulation: default acc = base + c; at an onset frame
+        # o the phase restarts from the analysis phase, so for frames in
+        # o's segment acc = phase[o] - c[o] + c. One gather does both: row 0
+        # of `bases` is the carried base (whose c-offset is 0 by
+        # construction), rows 1.. are per-frame (phase - c).
+        if onset.any():
+            midx = np.arange(m)[:, None]
+            seg = np.maximum.accumulate(np.where(onset, midx, -1), axis=0)
+            bases = np.empty((m + 1, n_ch, n_bins), np.float32)
+            bases[0] = base_acc
+            np.subtract(phase, c, out=bases[1:])
+            acc = np.take_along_axis(bases, (seg + 1)[:, :, None], axis=0)
+            acc += c
+        else:
+            acc = c
+            acc += base_acc[None]
+
+        # build the rotated spectrum without np.exp(1j*...), which upcasts
+        # to complex128 (measured ~80x slower than f32 cos/sin)
+        Z = np.empty(acc.shape, np.complex64)
+        np.multiply(mag, np.cos(acc), out=Z.real)
+        np.multiply(mag, np.sin(acc), out=Z.imag)
+        y = _fft.irfft(Z, n=fft_size, axis=-1)
+        y = np.ascontiguousarray(y, dtype=np.float32)
+        y *= win[None, None, :]                                # [m, C, K]
+
+        # overlap-add at the synthesis hop (vectorized: one strided add per
+        # window/hop overlap factor)
+        pos0 = lo * syn_hop
+        if fft_size % syn_hop == 0:
+            R = fft_size // syn_hop
+            for j in range(R):
+                s = pos0 + j * syn_hop
+                seg_len = m * syn_hop
+                blk = y[:, :, j * syn_hop : (j + 1) * syn_hop]
+                out[s : s + seg_len] += blk.transpose(0, 2, 1).reshape(
+                    seg_len, n_ch
+                )
+                norm[s : s + seg_len] += np.tile(
+                    w2[j * syn_hop : (j + 1) * syn_hop], m
+                )
+        else:  # non-divisible hop: scatter-add fallback
+            idx = (
+                pos0
+                + np.arange(m)[:, None] * syn_hop
+                + np.arange(fft_size)[None, :]
+            ).ravel()
+            for ch in range(n_ch):
+                np.add.at(out[:, ch], idx, y[:, ch, :].ravel())
+            np.add.at(norm, idx, np.tile(w2, m))
+
+        prev_phase = phase[-1]
+        # wrap the carried phase so f32 precision never degrades with length
+        a = acc[-1]
+        prev_acc = a - two_pi * np.round(a * inv_two_pi)
+        prev_mag_sum = mag_sum[-1]
+
+    # normalize by the window overlap; where coverage collapses (the
+    # first/last partial frames) output silence instead of amplifying
+    # rounding noise by 1/norm
+    floor = 0.05 * max(float(norm.max()), 1e-8)
+    scale = np.where(norm > floor, 1.0 / np.maximum(norm, floor), 0.0)
+    result = out * scale[:, None]
     target = max(int(round(n_in * stretch)), 1)
     if result.shape[0] < target:
         result = np.pad(result, ((0, target - result.shape[0]), (0, 0)))

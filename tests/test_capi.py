@@ -65,11 +65,23 @@ assert zl.AudioLevels_isRecording()
 
 zl.SyncTimer_startTimer(int(60000 / (120 * 96)))
 zl.ClipAudioSource_play(clip, True)
-time.sleep(1.0)
+# deterministic drive: the shim shares this interpreter, so the bridge
+# runtime is reachable directly — step exact block counts instead of
+# sleeping wall-clock time (LIBZL_TPU_NO_PUMP is set by the test env)
+from libzl_tpu.capi import bridge
+rt = bridge._rt()
+assert rt._pump is None, "NO_PUMP must be in effect for the deterministic drive"
+rt.step_blocks(400)
 zl.ClipAudioSource_stop(clip)
-time.sleep(0.3)
+rt.step_blocks(120)
 zl.AudioLevels_stopRecording()
 zl.SyncTimer_stopTimer()
+
+# short wall-clock pump smoke (full pump coverage lives in
+# test_pump_block_sequence_integrity)
+rt.start_pump()
+time.sleep(0.2)
+rt.stop_pump()
 
 # passthrough API round trip
 zl.JackPassthrough_setDryAmount(3, ctypes.c_float(0.5))
@@ -78,7 +90,7 @@ assert abs(zl.dBFromVolume(ctypes.c_float(1.0))) < 1e-6
 
 out = read_wav(os.environ["ZL_OUT"])
 peak = float(np.abs(out.samples).max())
-assert out.num_frames > 20000, out.num_frames
+assert out.num_frames == 520 * 128, out.num_frames  # exact: 520 stepped blocks
 assert peak > 0.05, peak
 assert progress_hits, "no progress callbacks fired"
 zl.shutdownJuce()
@@ -104,6 +116,7 @@ def test_ctypes_client_end_to_end(libzl_so, tmp_path):
         ZL_OUT=str(tmp_path / "out.wav"),
         LIBZL_TPU_BACKEND="numpy",
         LIBZL_TPU_VOICES="32",  # numpy fallback pace on CI hosts
+        LIBZL_TPU_NO_PUMP="1",  # the client drives blocks deterministically
         JAX_PLATFORMS="cpu",
         PYTHONPATH=str(REPO),
     )

@@ -108,3 +108,66 @@ def test_clip_crossfade_render(tmp_path):
     stop = min(int(clip.get_stop_position() * 48000), pb.shape[0])
     assert not np.array_equal(pb[stop - 480 : stop], x[stop - 480 : stop])
     np.testing.assert_array_equal(pb[: stop - 480], x[: stop - 480])
+
+
+def test_stretch_preserves_click_train():
+    """Transient quality (VERDICT r1 #5): identity phase-locking smears
+    clicks; the onset phase-reset must keep a click train a click train.
+    Criteria: >= 8 of 10 clicks survive as distinct events, and each event
+    keeps 90% of its local energy within 64 samples (a smeared vocoder
+    without reset spreads it over the full 2048-sample window)."""
+    sr = 48000
+    clicks = np.zeros((sr, 1), np.float32)
+    period = 4800
+    for i in range(0, sr, period):
+        clicks[i : i + 8] = 1.0
+    out = time_stretch(clicks, 1.5)
+    env = np.abs(out[:, 0])
+    idx = np.flatnonzero(env > 0.3)
+    assert idx.size > 0, "clicks vanished entirely"
+    gaps = np.diff(idx)
+    events = 1 + int((gaps > 1000).sum())
+    assert events >= 8, f"only {events} of 10 clicks survived"
+    # energy concentration around each event start
+    starts = [idx[0]] + list(idx[1:][gaps > 1000])
+    for p in starts:
+        seg = env[max(p - 1024, 0) : p + 1024] ** 2
+        order = np.sort(seg)[::-1]
+        width = int(np.searchsorted(np.cumsum(order), 0.9 * seg.sum())) + 1
+        assert width <= 64, f"click at {p} smeared over {width} samples"
+    # and the spacing stretched by ~1.5x
+    spacing = np.median(np.diff(starts))
+    assert abs(spacing - period * 1.5) < period * 0.15
+
+
+def test_stretch_render_time_budget():
+    """The vectorized vocoder must stay orders of magnitude off the old
+    per-frame-Python-loop cost: 30 s of stereo in well under the old path's
+    ~10 s (measured ~0.9 s single-core; generous CI margin)."""
+    import time as _time
+
+    # warm the FFT plan cache outside the timed region
+    time_stretch(tone(220.0, seconds=2.0), 1.25)
+    x = np.concatenate([tone(220.0, seconds=30.0)] * 2, axis=1)
+    t0 = _time.perf_counter()
+    out = time_stretch(x, 1.25)
+    dt = _time.perf_counter() - t0
+    assert out.shape[0] == int(round(x.shape[0] * 1.25))
+    # measured ~0.9 s single-core; generous margin for loaded CI hosts
+    assert dt < 8.0, f"stretch of 30 s stereo took {dt:.1f}s"
+
+
+def test_stretch_long_file_phase_integrity():
+    """Chunked accumulation (f32 + wrapped carries) must not drift: a pure
+    tone stays that tone across chunk boundaries of a multi-chunk render."""
+    x = tone(330.0, seconds=25.0)  # ~2900 frames -> 2 chunks at 1.25
+    out = time_stretch(x, 1.25)
+    sr = int(SR)
+    for t0 in (5, 12, 22):  # windows either side of the chunk seam
+        seg = out[t0 * sr : t0 * sr + 2 * sr, 0]
+        F = np.abs(np.fft.rfft(seg * np.hanning(len(seg))))
+        peak_hz = np.argmax(F) / 2.0
+        assert abs(peak_hz - 330.0) < 2.0
+        # narrowband: the peak dominates its neighborhood (no phase noise)
+        k = int(np.argmax(F))
+        assert F[k] > 10 * np.sort(F)[-50]

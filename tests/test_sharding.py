@@ -84,3 +84,66 @@ def test_engine_on_mesh_matches_single_device():
     sharded = run(make_mesh(8))
     single = run(None)
     np2.testing.assert_allclose(sharded, single, atol=1e-6)
+
+
+def _run_random_session(mesh, blocks=30, seed=3):
+    """A randomized session: several clips, random notes/channels/pans,
+    volumes and strip settings, live voices across lanes."""
+    import numpy as np
+
+    from libzl_tpu.engine.commands import ClipCommand
+    from libzl_tpu.engine.engine import AudioEngine
+    from libzl_tpu.io.wav import AudioData
+    from libzl_tpu.models.clip import ClipAudioSource
+
+    rng = np.random.default_rng(seed)
+    engine = AudioEngine(
+        sample_rate=48000, backend="jax", num_voices=32, mesh=mesh
+    )
+    engine.set_strip(2, dry=0.8, pan=0.3)
+    engine.set_strip(5, wet1=0.4)
+    clips = []
+    for i in range(4):
+        n = int(rng.integers(4000, 16000))
+        t = np.arange(n) / 48000
+        w = (0.3 * np.sin(2 * np.pi * (180 + 60 * i) * t)).astype(np.float32)
+        clips.append(
+            ClipAudioSource(engine, audio=AudioData(w[:, None], 48000))
+        )
+        clips[-1].set_pan(float(rng.uniform(-1, 1)))
+    engine.start_transport(bpm=132)
+    for v in range(12):
+        clip = clips[v % 4]
+        cmd = ClipCommand.channel(clip.id, int(rng.integers(0, 10)))
+        cmd.midi_note = int(rng.integers(48, 72))
+        cmd.change_volume = True
+        cmd.volume = float(rng.uniform(0.3, 1.0))
+        cmd.looping = bool(v % 2)
+        cmd.start_playback = True
+        engine.schedule_clip_command(cmd, int(rng.integers(0, 12)))
+    masters, peaks, rms = [], [], []
+    for _ in range(blocks):
+        res = engine.process_block()
+        masters.append(np.asarray(res.outputs.master))
+        peaks.append(np.asarray(res.outputs.lane_peaks))
+        rms.append(np.asarray(res.outputs.lane_rms))
+    return (
+        np.concatenate(masters, axis=0),
+        np.stack(peaks),
+        np.stack(rms),
+    )
+
+
+@pytest.mark.parametrize("n_devices", [1, 2, 8])
+def test_randomized_session_sharded_equals_unsharded(n_devices):
+    """Master mix and meters from a mesh-sharded engine must be
+    bit-identical to the unsharded engine across mesh sizes {1,2,8}: the
+    per-lane mixdown contraction (one-hot matmul + psum) is arranged so the
+    reduction order over voices is mesh-invariant."""
+    from libzl_tpu.parallel.sharding import make_mesh
+
+    m_ref, p_ref, r_ref = _run_random_session(None)
+    m, p, r = _run_random_session(make_mesh(n_devices))
+    np.testing.assert_array_equal(m, m_ref)
+    np.testing.assert_array_equal(p, p_ref)
+    np.testing.assert_array_equal(r, r_ref)
