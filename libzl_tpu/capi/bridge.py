@@ -53,6 +53,9 @@ class EngineRuntime:
         # audio output sink (io/sinks): the system:playback_1/2 analog; the
         # pump writes every consumed block's master mix here, in order
         self.sink = None
+        # audio input source (io/sources): the SystemCapture tap analog;
+        # the pump pulls one block per cycle into the capture meters
+        self.source = None
         self._pump: Optional[threading.Thread] = None
         self._running = False
         self._timer_callbacks: list = []
@@ -81,6 +84,13 @@ class EngineRuntime:
         if old is not None:
             old.close()
 
+    def set_source(self, source) -> None:
+        """Attach/replace the audio capture source (None detaches)."""
+        with self._lock:
+            old, self.source = self.source, source
+        if old is not None:
+            old.close()
+
     def _consume(self, block_no: int, res) -> None:
         """Deliver one rendered block: the audio sink and recorders need
         every block; meters/positions only at the 50 ms analysis cadence
@@ -92,8 +102,15 @@ class EngineRuntime:
         sink = self.sink
         if sink is not None:
             sink.write(np.asarray(res.outputs.master))
+        source = self.source
+        capture = (
+            source.read(self.engine.block_frames) if source is not None
+            else None
+        )
         with self._lock:
             engine = self.engine
+            if capture is not None:
+                engine.levels.ingest_capture(capture)
             if engine.levels.is_recording:
                 engine.levels.feed_recorders(res.outputs)
             if block_no % engine._levels_every == 0:
@@ -179,7 +196,9 @@ def init_engine(sample_rate: int = 48000, block_frames: int = 128,
 
     Env overrides for embedding hosts (no Python API available there):
     LIBZL_TPU_BACKEND=numpy|jax, LIBZL_TPU_VOICES, LIBZL_TPU_BLOCK,
-    LIBZL_TPU_RATE, LIBZL_TPU_NO_PUMP=1, LIBZL_TPU_PIPELINE=<depth>.
+    LIBZL_TPU_RATE, LIBZL_TPU_NO_PUMP=1, LIBZL_TPU_PIPELINE=<depth>,
+    LIBZL_TPU_SINK=alsa[:dev]|file:path|null,
+    LIBZL_TPU_SOURCE=alsa[:dev]|file:path|null.
     """
     import os
 
@@ -199,6 +218,11 @@ def init_engine(sample_rate: int = 48000, block_frames: int = 128,
             from ..io.sinks import make_sink
 
             _runtime.set_sink(make_sink(sink_spec, sample_rate))
+        source_spec = os.environ.get("LIBZL_TPU_SOURCE")
+        if source_spec:
+            from ..io.sources import make_source
+
+            _runtime.set_source(make_source(source_spec, sample_rate))
         if pump:
             _runtime.start_pump()
 
@@ -209,6 +233,7 @@ def shutdown_engine() -> None:
     if _runtime is not None:
         _runtime.stop_pump()
         _runtime.set_sink(None)
+        _runtime.set_source(None)
         _runtime = None
 
 

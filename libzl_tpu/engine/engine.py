@@ -76,17 +76,38 @@ class AudioEngine:
         fetch: str = "auto",
         host_core: str = "auto",
         mesh=None,
+        bank_dtype: str = "float32",
     ):
         self.sample_rate = sample_rate
         self.block_frames = block_frames
         self.backend = backend
         self.quirk_gain = quirk_gain
         if fetch == "auto":
-            # measured on TPU v5e: XLA's gather outperforms the Pallas
-            # streaming-window kernel on this generation's toolchain
-            # (NOTES_TPU_ENV.md); "windows" remains selectable
+            # re-measured every round (NOTES_TPU_ENV.md): on the round-2
+            # toolchain the Pallas streaming-window kernel beats XLA gather
+            # on v5e at both live and super blocks (4.2 vs 5.5 ms at B=128,
+            # 7.8 vs 10.2 ms at B=1024, interleaved within-process A/B), so
+            # it is the TPU default. Gather remains the default off-TPU and
+            # for the mesh-sharded path (no partitioning rule for the
+            # pallas call).
             fetch = "gather"
+            if (backend == "jax" and mesh is None and not quirk_gain
+                    and bank_dtype == "float32"):
+                import jax
+
+                if jax.default_backend() == "tpu":
+                    fetch = "windows"
+        if fetch == "windows" and mesh is not None:
+            raise ValueError(
+                "fetch='windows' is single-chip only (no partitioning rule "
+                "for the pallas call); use fetch='gather' with a mesh"
+            )
         self.fetch = fetch
+        if bank_dtype not in ("float32", "int16"):
+            raise ValueError(f"bank_dtype must be float32|int16: {bank_dtype}")
+        if bank_dtype == "int16" and fetch == "windows":
+            raise ValueError("the Pallas windows kernel requires a f32 bank")
+        self.bank_dtype = bank_dtype
         # multi-chip: shard the voice axis over a jax.sharding.Mesh; the
         # per-lane mixdown contraction becomes a local matmul + psum over ICI
         # (parallel/sharding.py)
@@ -419,8 +440,25 @@ class AudioEngine:
             )
         return self._zero_outputs_cache
 
+    def _quantize_bank(self, data):
+        """int16 bank (bank_dtype="int16"): halves gather bytes on HBM;
+        exactly 16-bit-WAV precision. Applied identically on both backends
+        so the numpy mirror stays bit-equal to the device."""
+        if self.bank_dtype != "int16":
+            return data
+        return np.clip(
+            np.round(data * np.float32(32767.0)), -32768, 32767
+        ).astype(np.int16)
+
     def _sound_data_for_backend(self):
         if self.backend == "numpy":
+            if self.bank_dtype == "int16":
+                if self._bank_version_on_device != self.bank.version:
+                    self._device_sound_data = np.ascontiguousarray(
+                        self._quantize_bank(self.bank.data.T)
+                    )
+                    self._bank_version_on_device = self.bank.version
+                return self._device_sound_data
             return self.bank.data
         import jax
 
@@ -430,10 +468,10 @@ class AudioEngine:
                 # pair — measured 5.4x faster than four planar takes in the
                 # full render on v5e (NOTES_TPU_ENV.md)
                 self._device_sound_data = jax.device_put(
-                    np.ascontiguousarray(self.bank.data.T)
+                    np.ascontiguousarray(self._quantize_bank(self.bank.data.T))
                 )
             else:
-                # the Pallas windows kernel requires the planar layout
+                # the Pallas windows kernel requires the planar layout (f32)
                 self._device_sound_data = jax.device_put(self.bank.data)
             self._bank_version_on_device = self.bank.version
         return self._device_sound_data
@@ -662,15 +700,28 @@ class AudioEngine:
             self.levels.feed_recorders(result.outputs)
         peaks = np.asarray(result.outputs.voice_peaks)
         progress = self.pool.progress()
-        for v in np.flatnonzero(self.pool.active):
-            clip = self.clips.get(int(self.pool.clip_id[v]))
-            if clip is None:
-                continue
-            clip.positions_model.set_gain_and_progress(
-                int(self.pool.position_id[v]),
-                float(peaks[v]) * 0.5,
-                float(progress[v]),
+        act = np.flatnonzero(self.pool.active)
+        if act.size:
+            # group voices by clip and push one batched update per clip
+            # (row-by-row set_gain_and_progress is O(voices * positions))
+            clip_ids = self.pool.clip_id[act]
+            order = np.argsort(clip_ids, kind="stable")
+            sorted_cids = clip_ids[order]
+            pids = self.pool.position_id[act][order].tolist()
+            gains = (peaks[act][order] * 0.5).tolist()
+            progs = progress[act][order].tolist()
+            starts = np.concatenate(
+                [[0], np.flatnonzero(np.diff(sorted_cids)) + 1,
+                 [act.size]]
             )
+            for i in range(len(starts) - 1):
+                lo, hi = int(starts[i]), int(starts[i + 1])
+                clip = self.clips.get(int(sorted_cids[lo]))
+                if clip is None:
+                    continue
+                clip.positions_model.set_many(
+                    pids[lo:hi], gains[lo:hi], progs[lo:hi]
+                )
         for clip in self.clips.values():
             clip.positions_model.cleanup()
             clip.sync_progress()

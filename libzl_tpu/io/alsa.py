@@ -21,6 +21,7 @@ from typing import Optional
 
 # SND_PCM_* constants (alsa-lib pcm.h)
 SND_PCM_STREAM_PLAYBACK = 0
+SND_PCM_STREAM_CAPTURE = 1
 SND_PCM_FORMAT_FLOAT_LE = 14
 SND_PCM_ACCESS_RW_INTERLEAVED = 3
 SND_PCM_NONBLOCK = 1
@@ -266,4 +267,63 @@ def pcm_drain_close(handle) -> None:
         lib.py_pcm_drain_close(handle)
         return
     lib.snd_pcm_drain(handle)
+    lib.snd_pcm_close(handle)
+
+
+def pcm_open_capture(device: str, rate: int, channels: int = 2,
+                     latency_us: int = 40000):
+    """Open + configure a float32 interleaved capture PCM; returns handle."""
+    lib = get_alsa()
+    if lib is None:
+        raise RuntimeError("libasound not available on this host")
+    if hasattr(lib, "py_pcm_open_capture"):
+        return lib.py_pcm_open_capture(device, rate, channels, latency_us)
+    handle = ctypes.c_void_p()
+    err = lib.snd_pcm_open(
+        ctypes.byref(handle), device.encode(), SND_PCM_STREAM_CAPTURE, 0
+    )
+    if err < 0:
+        raise RuntimeError(f"snd_pcm_open capture({device}): {err}")
+    err = lib.snd_pcm_set_params(
+        handle, SND_PCM_FORMAT_FLOAT_LE, SND_PCM_ACCESS_RW_INTERLEAVED,
+        channels, rate, 1, latency_us,
+    )
+    if err < 0:
+        lib.snd_pcm_close(handle)
+        raise RuntimeError(f"snd_pcm_set_params capture({device}): {err}")
+    return handle
+
+
+def pcm_read(handle, frames: int, channels: int = 2):
+    """Read float32 interleaved [<=frames, channels]; xrun-recovering."""
+    import numpy as np
+
+    lib = get_alsa()
+    if lib is None:
+        return np.zeros((0, channels), np.float32)
+    if hasattr(lib, "py_pcm_read"):
+        return lib.py_pcm_read(handle, frames, channels)
+    if not hasattr(lib, "snd_pcm_readi_declared"):
+        lib.snd_pcm_readi.restype = ctypes.c_long
+        lib.snd_pcm_readi.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_ulong,
+        ]
+        lib.snd_pcm_readi_declared = True
+    buf = np.empty((frames, channels), np.float32)
+    n = lib.snd_pcm_readi(handle, buf.ctypes.data_as(ctypes.c_void_p), frames)
+    if n < 0:
+        if lib.snd_pcm_recover(handle, int(n), 1) == 0:
+            n = lib.snd_pcm_readi(
+                handle, buf.ctypes.data_as(ctypes.c_void_p), frames
+            )
+    return buf[: max(int(n), 0)]
+
+
+def pcm_close(handle) -> None:
+    lib = get_alsa()
+    if lib is None:
+        return
+    if hasattr(lib, "py_pcm_close"):
+        lib.py_pcm_close(handle)
+        return
     lib.snd_pcm_close(handle)

@@ -70,6 +70,23 @@ class AudioLevels:
 
     # ------------------------------------------------------------- metering
 
+    def ingest_capture(self, block: np.ndarray) -> None:
+        """Feed one block of capture-path audio (the SystemCapture tap,
+        lib/AudioLevels.cpp:279-299): folds into the capture meter slot and
+        becomes resolvable as the "capture" record port. The pump calls this
+        with the attached AudioSource's block each cycle."""
+        block = np.asarray(block, np.float32)
+        if block.ndim == 1:
+            block = block[:, None]
+        peaks = np.abs(block).max(axis=0)
+        if peaks.shape[0] < 2:
+            peaks = np.repeat(peaks, 2)
+        ints = np.abs(peaks[:2] * PEAK_INT_SCALE).astype(np.int64)
+        self._peak_int[IDX_CAPTURE] = np.maximum(
+            self._peak_int[IDX_CAPTURE], ints
+        )
+        self._last_capture = block
+
     def ingest_block(self, outputs, peak_override=None) -> None:
         """Fold one block's peaks into the fixed-point accumulators
         (replaces the reference's buffer re-scan, lib/AudioLevels.cpp:356-383).
@@ -204,6 +221,11 @@ class AudioLevels:
         master = np.asarray(outputs.master)
         if port_name == "master" or port_name.startswith("system:playback"):
             return master[:, channel % 2]
+        if port_name == "capture" or port_name.startswith("system:capture"):
+            cap = getattr(self, "_last_capture", None)
+            if cap is None or cap.shape[0] != master.shape[0]:
+                return np.zeros(master.shape[0], np.float32)
+            return cap[:, channel % min(cap.shape[1], 2)]
         if port_name.startswith("lane:"):
             lane = int(port_name.split(":")[1])
             return np.asarray(outputs.lane_mix)[lane][:, channel % 2]

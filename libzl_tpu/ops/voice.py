@@ -309,6 +309,16 @@ def render_voices(
             t0l, t0r = tap0[..., 0], tap0[..., 1]
             t1l, t1r = tap1[..., 0], tap1[..., 1]
 
+        if sound_data.dtype == np.int16:
+            # int16 bank (engine bank_dtype="int16"): halves the gather's
+            # HBM bytes; dequant fuses into the tap consumers. Exactly the
+            # precision of 16-bit source WAVs.
+            dq = f32(1.0 / 32767.0)
+            t0l = t0l.astype(f32) * dq
+            t0r = t0r.astype(f32) * dq
+            t1l = t1l.astype(f32) * dq
+            t1r = t1r.astype(f32) * dq
+
         if quirk_gain:
             # Reference-exact expression: gain chain on the second tap only
             # (lib/SamplerSynthVoice.cpp:204-205).

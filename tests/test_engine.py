@@ -254,3 +254,32 @@ def test_strip_device_cache_reuses_and_invalidates():
     assert engine._device_strips is not cached  # mutation re-uploaded
     assert loud > 0.05
     assert np.abs(np.asarray(res.outputs.master)).max() == 0.0
+
+
+def test_int16_bank_backend_equality():
+    """bank_dtype="int16" halves the gather's HBM bytes; the numpy mirror
+    quantizes identically so backends stay bit-equal, and the output sits
+    within 16-bit-WAV precision of the f32 bank."""
+    import numpy as np
+
+    from libzl_tpu.io.wav import AudioData
+    from libzl_tpu.models.clip import ClipAudioSource
+
+    def run(backend, dtype):
+        e = AudioEngine(sample_rate=SR, backend=backend, num_voices=16,
+                        bank_dtype=dtype)
+        t = np.arange(12000) / SR
+        c = ClipAudioSource(e, audio=AudioData(
+            (0.4 * np.sin(2 * np.pi * 330 * t)).astype(np.float32)[:, None],
+            SR))
+        e.start_transport(bpm=120)
+        c.play(loop=True, midi_channel=1)
+        return np.concatenate([
+            np.asarray(e.process_block().outputs.master) for _ in range(20)
+        ])
+
+    f32n = run("numpy", "float32")
+    i16n = run("numpy", "int16")
+    i16j = run("jax", "int16")
+    np.testing.assert_array_equal(i16n, i16j)
+    assert np.abs(f32n - i16n).max() < 1e-4

@@ -319,3 +319,90 @@ def test_reload_reapplies_fb_policy(fake_alsa, monkeypatch):
     )
     router.reload_configuration()
     assert pad.fb_enabled
+
+
+# --------------------------------------------------------------- sources
+
+def test_file_source_feeds_capture_meters_and_recorder(tmp_path):
+    """The capture path (SystemCapture analog): an attached source block
+    registers on the capture meter slot and records via the "capture"
+    record port."""
+    from libzl_tpu.capi import bridge
+    from libzl_tpu.io.sources import FileSource
+
+    src = tmp_path / "mic.wav"
+    t = np.arange(SR // 2) / SR
+    write_wav(src, (0.4 * np.sin(2 * np.pi * 200 * t)).astype(np.float32), SR)
+
+    os.environ["LIBZL_TPU_BACKEND"] = "numpy"
+    os.environ["LIBZL_TPU_VOICES"] = "16"
+    os.environ["LIBZL_TPU_NO_PUMP"] = "1"
+    try:
+        bridge.init_engine()
+        rt = bridge._rt()
+        rt.set_source(FileSource(str(src)))
+        engine = rt.engine
+        engine.levels.set_should_record_ports(True)
+        engine.levels.set_record_ports_filename_prefix(
+            str(tmp_path / "cap.wav")
+        )
+        engine.levels.add_record_port("capture", 0)
+        engine.levels.add_record_port("capture", 1)
+        engine.levels.start_recording()
+        rt.step_blocks(3 * engine._levels_every)
+        engine.levels.stop_recording()
+        assert engine.levels.capture_a > -200.0
+        assert engine.levels.playback_a == -200.0  # nothing playing
+    finally:
+        bridge.shutdown_engine()
+        for k in ("LIBZL_TPU_BACKEND", "LIBZL_TPU_VOICES",
+                  "LIBZL_TPU_NO_PUMP"):
+            os.environ.pop(k, None)
+    back = read_wav(tmp_path / "cap.wav")
+    assert back.num_frames > 0
+    assert np.abs(back.samples).max() > 0.2
+
+
+def test_alsa_source_through_fake(fake_alsa):
+    from libzl_tpu.io.sources import make_source
+
+    blocks = [np.full((128, 2), 0.1 * (i + 1), np.float32) for i in range(3)]
+
+    class CapFake:
+        def __init__(self, outer):
+            self.outer = outer
+
+    def open_cap(device, rate, channels, latency_us):
+        return device
+
+    reads = iter(blocks)
+
+    def read_cap(handle, frames, channels):
+        try:
+            return next(reads)
+        except StopIteration:
+            return np.zeros((0, channels), np.float32)
+
+    fake_alsa.py_pcm_open_capture = open_cap
+    fake_alsa.py_pcm_read = read_cap
+    fake_alsa.py_pcm_close = lambda h: None
+    src = make_source("alsa:capdev", SR)
+    b1 = src.read(128)
+    assert np.allclose(b1, 0.1)
+    b2 = src.read(128)
+    assert np.allclose(b2, 0.2)
+    src.close()
+
+
+def test_file_source_loops_and_one_pass(tmp_path):
+    from libzl_tpu.io.sources import FileSource
+
+    src = tmp_path / "short.wav"
+    write_wav(src, np.ones((100, 1), np.float32) * 0.5, SR)
+    looped = FileSource(str(src), loop=True)
+    blk = looped.read(250)
+    assert blk.shape == (250, 2)
+    assert np.all(blk == 0.5)
+    once = FileSource(str(src), loop=False)
+    blk = once.read(250)
+    assert np.all(blk[:100] == 0.5) and np.all(blk[100:] == 0.0)
