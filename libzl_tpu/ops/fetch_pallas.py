@@ -1,10 +1,11 @@
 """Pallas TPU kernel for the voice sample fetch (the `fetch="windows"` path).
 
-STATUS: selectable but not the default. On the current Mosaic toolchain the
-kernel's per-(voice,chunk) compute serializes at ~56 us, losing to XLA's
-gather over an interleaved [N, 2] row layout (see NOTES_TPU_ENV.md for all
-measurements); the design below is descriptor-optimal and should win when
-Mosaic's small-op costs come down.
+STATUS: the TPU single-chip default since round 2. Round-1's Mosaic
+toolchain serialized the per-(voice,chunk) compute at ~56 us and the kernel
+lost to XLA's gather; on the round-2 toolchain it wins at both live and
+super blocks (4.2 vs 5.5 ms at B=128, 7.8 vs 10.2 ms at B=1024, 1024
+voices — NOTES_TPU_ENV.md carries the dated A/B). Gather remains the
+default off-TPU, under a mesh, and for int16 banks (engine `fetch="auto"`).
 
 Why this exists: the voice render needs `sound[pos[v, b]]` for V*B
 (voice, frame) pairs per block. XLA lowers that to a generic gather;
