@@ -91,17 +91,12 @@ class AudioEngine:
             # for the mesh-sharded path (no partitioning rule for the
             # pallas call).
             fetch = "gather"
-            if (backend == "jax" and mesh is None and not quirk_gain
+            if (backend == "jax" and not quirk_gain
                     and bank_dtype == "float32"):
                 import jax
 
                 if jax.default_backend() == "tpu":
                     fetch = "windows"
-        if fetch == "windows" and mesh is not None:
-            raise ValueError(
-                "fetch='windows' is single-chip only (no partitioning rule "
-                "for the pallas call); use fetch='gather' with a mesh"
-            )
         self.fetch = fetch
         if bank_dtype not in ("float32", "int16"):
             raise ValueError(f"bank_dtype must be float32|int16: {bank_dtype}")
@@ -121,9 +116,12 @@ class AudioEngine:
                     f"num_voices ({num_voices}) must divide evenly over the "
                     f"{mesh.size}-device mesh"
                 )
-            from ..parallel.sharding import make_sharded_packed_render
+            # shard_map: each device renders its local voice shard (any
+            # fetch path — the Pallas kernel runs per shard), explicit psum
+            # mixdown over ICI, replicated strip/meter tail
+            from ..parallel.sharding import make_shardmap_packed_render
 
-            self._sharded_render = make_sharded_packed_render(
+            self._sharded_render = make_shardmap_packed_render(
                 mesh, block_frames=block_frames, quirk_gain=quirk_gain,
                 fetch=self.fetch,
             )

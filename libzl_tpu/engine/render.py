@@ -47,19 +47,10 @@ class RenderOutputs(NamedTuple):
     voice_peaks: Any   # [V] reference peak metric: max(l+r, 0)
 
 
-def render_block_math(
-    xp,
-    sound_data,
-    prog: voice_ops.VoiceProgram,
-    strips: mixer_ops.StripParams,
-    block_frames: int,
-    quirk_gain: bool = False,
-    fetch: str = "gather",
-) -> RenderOutputs:
-    """Backend-generic render math (numpy golden mirror + jax device path)."""
-    lane_mix, voice_peaks = voice_ops.render_voices(
-        xp, sound_data, prog, block_frames, quirk_gain=quirk_gain, fetch=fetch
-    )
+def finish_block(xp, lane_mix, strips, voice_peaks) -> RenderOutputs:
+    """Everything downstream of the additive lane mixdown: strips, master,
+    meters. Shared by the single-device path and the shard_map path (where
+    lane_mix arrives as a psum over voice shards)."""
     master_raw = lane_mix.sum(axis=0)  # the JACK system:playback additive sum
 
     # Channel strips act on sketchpad-channel lanes 2..11; the global strip
@@ -84,6 +75,22 @@ def render_block_math(
         master_peak=master_peak,
         voice_peaks=voice_peaks,
     )
+
+
+def render_block_math(
+    xp,
+    sound_data,
+    prog: voice_ops.VoiceProgram,
+    strips: mixer_ops.StripParams,
+    block_frames: int,
+    quirk_gain: bool = False,
+    fetch: str = "gather",
+) -> RenderOutputs:
+    """Backend-generic render math (numpy golden mirror + jax device path)."""
+    lane_mix, voice_peaks = voice_ops.render_voices(
+        xp, sound_data, prog, block_frames, quirk_gain=quirk_gain, fetch=fetch
+    )
+    return finish_block(xp, lane_mix, strips, voice_peaks)
 
 
 @functools.partial(

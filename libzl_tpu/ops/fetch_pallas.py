@@ -138,31 +138,42 @@ def _make_kernel(block_frames: int, region: int):
             inv = jnp.where(valid, 1.0 - alpha, 0.0)[None, :]
             al = jnp.where(valid, alpha, 0.0)[None, :]
 
-            def region_dot(r):
+            out_ref[g, :, c, :] = jnp.zeros((2, CHUNK), jnp.float32)
+
+            # Per-region compute is SKIPPED when no frame addresses the
+            # region: the banded weight build (two iota-compares over
+            # [SLAB, CHUNK]) is the kernel's dominant VPU cost, and region B
+            # (the loop-reset target) is only touched on the rare block
+            # where a voice actually wraps — likewise inactive voices touch
+            # neither region.
+            for r in (0, 1):
                 lo, hi = r * region, (r + 1) * region
                 in_r = valid & (idx >= lo) & (idx < hi)
                 any_r = in_r.any()
-                # slab offset: chunk minimum, aligned down to the lane tile
-                off = jnp.min(jnp.where(in_r, idx, big))
-                off = jnp.clip((off // CHUNK) * CHUNK, lo, hi - SLAB)
-                off = pl.multiple_of(off, 128)
-                rel = idx - off                              # [CHUNK]
-                wmask = in_r[None, :].astype(jnp.float32)
-                w = (
-                    (row_ids == rel[None, :]).astype(jnp.float32) * inv
-                    + (row_ids == rel[None, :] + 1).astype(jnp.float32) * al
-                ) * wmask                                    # [SLAB, CHUNK]
-                slab = win_scratch[slot, g, :, pl.ds(off, SLAB)]  # [2, SLAB]
-                part = jax.lax.dot_general(
-                    slab, w,
-                    dimension_numbers=(((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST,
-                )                                            # [2, CHUNK]
-                return jnp.where(any_r, part, 0.0)
 
-            outc = region_dot(0) + region_dot(1)             # [2, CHUNK]
-            out_ref[g, :, c, :] = outc
+                @pl.when(any_r)
+                def _(lo=lo, hi=hi, in_r=in_r):
+                    # slab offset: chunk min, aligned down to the lane tile
+                    off = jnp.min(jnp.where(in_r, idx, big))
+                    off = jnp.clip((off // CHUNK) * CHUNK, lo, hi - SLAB)
+                    off = pl.multiple_of(off, 128)
+                    rel = idx - off                          # [CHUNK]
+                    wmask = in_r[None, :].astype(jnp.float32)
+                    w = (
+                        (row_ids == rel[None, :]).astype(jnp.float32) * inv
+                        + (row_ids == rel[None, :] + 1).astype(jnp.float32)
+                        * al
+                    ) * wmask                                # [SLAB, CHUNK]
+                    slab = win_scratch[
+                        slot, g, :, pl.ds(off, SLAB)
+                    ]                                        # [2, SLAB]
+                    part = jax.lax.dot_general(
+                        slab, w,
+                        dimension_numbers=(((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST,
+                    )                                        # [2, CHUNK]
+                    out_ref[g, :, c, :] += part
             return 0
 
         jax.lax.fori_loop(0, GROUP * n_chunks, chunk_body, 0, unroll=False)

@@ -97,6 +97,47 @@ def make_sharded_render(
     )
 
 
+def make_shardmap_packed_render(
+    mesh: Mesh,
+    block_frames: int = DEFAULT_BLOCK_FRAMES,
+    quirk_gain: bool = False,
+    fetch: str = "gather",
+):
+    """shard_map variant of the packed render: each device renders its local
+    voice shard (any fetch path, including the Pallas windows kernel — the
+    kernel runs per shard, no partitioning rule needed), the additive lane
+    mixdown is an explicit psum over ICI, and the strip/meter tail runs
+    replicated. Bit-equal to the unsharded engine because the per-lane
+    reduction tree (local one-hot matmul, then psum over ordered shards) is
+    mesh-invariant for these values (test_sharding.py asserts it)."""
+    import jax.numpy as jnp
+    from jax import shard_map
+
+    def local_fn(sound_data, prog_i, prog_f, strips_packed):
+        prog = voice_ops.unpack_program(prog_i, prog_f)
+        strips = voice_ops.unpack_strips(strips_packed)
+        lane_mix, voice_peaks = voice_ops.render_voices(
+            jnp, sound_data, prog, block_frames,
+            quirk_gain=quirk_gain, fetch=fetch,
+        )
+        lane_mix = jax.lax.psum(lane_mix, VOICE_AXIS)
+        return render_mod.finish_block(jnp, lane_mix, strips, voice_peaks)
+
+    Pv = P(VOICE_AXIS, None)
+    out_specs = render_mod.RenderOutputs(
+        master=P(), lane_mix=P(), strip_dry=P(), strip_wet1=P(),
+        strip_wet2=P(), lane_peaks=P(), lane_rms=P(), master_peak=P(),
+        voice_peaks=P(VOICE_AXIS),
+    )
+    fn = shard_map(
+        local_fn, mesh=mesh,
+        in_specs=(P(), Pv, Pv, P()),
+        out_specs=out_specs,
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
 def make_sharded_packed_render(
     mesh: Mesh,
     block_frames: int = DEFAULT_BLOCK_FRAMES,

@@ -134,6 +134,47 @@ def _run_random_session(mesh, blocks=30, seed=3):
     )
 
 
+def test_shardmap_render_matches_insharding_render():
+    """The shard_map packed render (explicit local render + psum mixdown)
+    must be bit-equal to the jit+in_shardings variant, and the Pallas
+    windows kernel must run per shard under it (interpret mode on CPU)."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __graft_entry__ as ge
+    from libzl_tpu.ops.voice import pack_program, pack_strips
+    from libzl_tpu.parallel.sharding import (
+        make_mesh,
+        make_shardmap_packed_render,
+        make_sharded_packed_render,
+    )
+
+    sound, prog, strips = ge._example_inputs(64, 128, 1 << 12)
+    pi, pf = pack_program(prog)
+    sp = pack_strips(strips)
+    mesh = make_mesh(8)
+    o_map = make_shardmap_packed_render(mesh, 128)(
+        np.ascontiguousarray(sound.T), pi, pf, sp
+    )
+    o_jit = make_sharded_packed_render(mesh, 128)(
+        np.ascontiguousarray(sound.T), pi, pf, sp
+    )
+    np.testing.assert_array_equal(
+        np.asarray(o_map.master), np.asarray(o_jit.master)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(o_map.voice_peaks), np.asarray(o_jit.voice_peaks)
+    )
+    # windows kernel per shard (planar bank)
+    o_win = make_shardmap_packed_render(mesh, 128, fetch="windows")(
+        sound, pi, pf, sp
+    )
+    np.testing.assert_allclose(
+        np.asarray(o_win.master), np.asarray(o_map.master),
+        rtol=1e-5, atol=1e-6,
+    )
+
+
 @pytest.mark.parametrize("n_devices", [1, 2, 8])
 def test_randomized_session_sharded_equals_unsharded(n_devices):
     """Master mix and meters from a mesh-sharded engine must be
