@@ -50,6 +50,8 @@ class EngineRuntime:
         # (each level hides one block of host->device sync behind device
         # render; costs pipeline_depth blocks of meter/recorder latency)
         self.pipeline_depth = max(int(pipeline_depth), 0)
+        # schedule-ahead tracks real output latency (render + pipeline)
+        self.engine.output_latency_blocks = 1 + self.pipeline_depth
         # audio output sink (io/sinks): the system:playback_1/2 analog; the
         # pump writes every consumed block's master mix here, in order
         self.sink = None

@@ -308,13 +308,20 @@ class AudioEngine:
     def set_bpm(self, bpm: float) -> None:
         self.clock.set_bpm(float(np.clip(bpm, BPM_MINIMUM, BPM_MAXIMUM)))
 
+    # output latency in blocks: 1 render block + the pump's pipeline depth;
+    # the runtime updates this when the depth changes (the JACK latency-
+    # callback analog, lib/SyncTimer.cpp:726-743)
+    output_latency_blocks = 2
+
     def schedule_ahead_amount(self) -> int:
         """Ticks of schedule-ahead covering the engine's output latency
         (scheduleAheadAmount analog, lib/SyncTimer.cpp:711-715): the block
         pipeline depth in ticks plus one guard tick."""
         from ..timebase import schedule_ahead_ticks
 
-        latency = 2 * self.block_frames / self.sample_rate
+        latency = (
+            self.output_latency_blocks * self.block_frames / self.sample_rate
+        )
         return schedule_ahead_ticks(self.bpm, latency)
 
     def stop_all_clips(self) -> None:
