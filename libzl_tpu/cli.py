@@ -199,7 +199,9 @@ def cmd_play(args) -> int:
     runtime.start_pump()
     try:
         if seconds:
-            time.sleep(seconds)
+            # small slack so slow hosts (rendering near realtime) finish
+            # the final blocks before the stop lands
+            time.sleep(seconds + 0.25)
         else:
             while True:  # looping until interrupted
                 time.sleep(0.5)

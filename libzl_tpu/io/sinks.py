@@ -85,9 +85,20 @@ class AlsaPcmSink(AudioSink):
         )
         self.device = device
         self.frames_written = 0
+        self._consecutive_failures = 0
 
     def write(self, block: np.ndarray) -> None:
-        self.frames_written += alsa.pcm_write(self._handle, block)
+        n = alsa.pcm_write(self._handle, block)
+        self.frames_written += n
+        if n == 0:
+            # device gone / persistent error: stop claiming to pace the
+            # pump, or the render loop spins at full speed against a dead
+            # write. The pump falls back to wall-clock pacing.
+            self._consecutive_failures += 1
+            if self._consecutive_failures >= 50:
+                self.pacing = False
+        else:
+            self._consecutive_failures = 0
 
     def close(self) -> None:
         if self._handle is not None:

@@ -406,3 +406,15 @@ def test_file_source_loops_and_one_pass(tmp_path):
     once = FileSource(str(src), loop=False)
     blk = once.read(250)
     assert np.all(blk[:100] == 0.5) and np.all(blk[100:] == 0.0)
+
+
+def test_alsa_sink_stops_pacing_on_dead_device(fake_alsa):
+    """An unplugged/dead PCM must not leave a pacing sink claiming to pace
+    (the pump would spin at full speed against failed writes)."""
+    sink = make_sink("alsa:dying", SR)
+    block = np.zeros((128, 2), np.float32)
+    fake_alsa.py_pcm_write = lambda h, b: 0  # device dead
+    assert sink.pacing
+    for _ in range(60):
+        sink.write(block)
+    assert not sink.pacing
