@@ -138,42 +138,37 @@ def _make_kernel(block_frames: int, region: int):
             inv = jnp.where(valid, 1.0 - alpha, 0.0)[None, :]
             al = jnp.where(valid, alpha, 0.0)[None, :]
 
-            out_ref[g, :, c, :] = jnp.zeros((2, CHUNK), jnp.float32)
-
-            # Per-region compute is SKIPPED when no frame addresses the
-            # region: the banded weight build (two iota-compares over
-            # [SLAB, CHUNK]) is the kernel's dominant VPU cost, and region B
-            # (the loop-reset target) is only touched on the rare block
-            # where a voice actually wraps — likewise inactive voices touch
-            # neither region.
-            for r in (0, 1):
+            # NOTE (measured, round 2): conditional-skip variants of this
+            # loop LOSE — putting the per-region compute behind pl.when cost
+            # +0.2 ms/superblock (probe 5) and a dual-slab fast path for
+            # small pitch spans cost +2 ms (probe 8): Mosaic cannot pipeline
+            # through the scf.if, which outweighs the saved VPU work. The
+            # unconditional two-region form below is the fastest measured.
+            def region_dot(r):
                 lo, hi = r * region, (r + 1) * region
                 in_r = valid & (idx >= lo) & (idx < hi)
                 any_r = in_r.any()
+                # slab offset: chunk minimum, aligned down to the lane tile
+                off = jnp.min(jnp.where(in_r, idx, big))
+                off = jnp.clip((off // CHUNK) * CHUNK, lo, hi - SLAB)
+                off = pl.multiple_of(off, 128)
+                rel = idx - off                              # [CHUNK]
+                wmask = in_r[None, :].astype(jnp.float32)
+                w = (
+                    (row_ids == rel[None, :]).astype(jnp.float32) * inv
+                    + (row_ids == rel[None, :] + 1).astype(jnp.float32) * al
+                ) * wmask                                    # [SLAB, CHUNK]
+                slab = win_scratch[slot, g, :, pl.ds(off, SLAB)]  # [2, SLAB]
+                part = jax.lax.dot_general(
+                    slab, w,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
+                )                                            # [2, CHUNK]
+                return jnp.where(any_r, part, 0.0)
 
-                @pl.when(any_r)
-                def _(lo=lo, hi=hi, in_r=in_r):
-                    # slab offset: chunk min, aligned down to the lane tile
-                    off = jnp.min(jnp.where(in_r, idx, big))
-                    off = jnp.clip((off // CHUNK) * CHUNK, lo, hi - SLAB)
-                    off = pl.multiple_of(off, 128)
-                    rel = idx - off                          # [CHUNK]
-                    wmask = in_r[None, :].astype(jnp.float32)
-                    w = (
-                        (row_ids == rel[None, :]).astype(jnp.float32) * inv
-                        + (row_ids == rel[None, :] + 1).astype(jnp.float32)
-                        * al
-                    ) * wmask                                # [SLAB, CHUNK]
-                    slab = win_scratch[
-                        slot, g, :, pl.ds(off, SLAB)
-                    ]                                        # [2, SLAB]
-                    part = jax.lax.dot_general(
-                        slab, w,
-                        dimension_numbers=(((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                        precision=jax.lax.Precision.HIGHEST,
-                    )                                        # [2, CHUNK]
-                    out_ref[g, :, c, :] += part
+            outc = region_dot(0) + region_dot(1)             # [2, CHUNK]
+            out_ref[g, :, c, :] = outc
             return 0
 
         jax.lax.fori_loop(0, GROUP * n_chunks, chunk_body, 0, unroll=False)
