@@ -77,6 +77,7 @@ class AudioEngine:
         host_core: str = "auto",
         mesh=None,
         bank_dtype: str = "float32",
+        max_pitch_ratio: float = 4.0,
     ):
         self.sample_rate = sample_rate
         self.block_frames = block_frames
@@ -87,9 +88,9 @@ class AudioEngine:
             # toolchain the Pallas streaming-window kernel beats XLA gather
             # on v5e at both live and super blocks (4.2 vs 5.5 ms at B=128,
             # 7.8 vs 10.2 ms at B=1024, interleaved within-process A/B), so
-            # it is the TPU default. Gather remains the default off-TPU and
-            # for the mesh-sharded path (no partitioning rule for the
-            # pallas call).
+            # it is the TPU default, single-chip and per-shard under a
+            # mesh (shard_map). Gather remains the default off-TPU and for
+            # int16 banks.
             fetch = "gather"
             if (backend == "jax" and not quirk_gain
                     and bank_dtype == "float32"):
@@ -100,6 +101,13 @@ class AudioEngine:
         self.fetch = fetch
         if bank_dtype not in ("float32", "int16"):
             raise ValueError(f"bank_dtype must be float32|int16: {bank_dtype}")
+        # declared transposition envelope: note pitch ratios clamp here and
+        # the windows kernel sizes its weight slab to it — a tighter ceiling
+        # is measurably faster (ops/fetch_pallas.slab_cols; probe 9). The
+        # default matches the round-1 envelope (+2 octaves).
+        if not 1.0 <= float(max_pitch_ratio) <= 4.0:
+            raise ValueError("max_pitch_ratio must be within [1.0, 4.0]")
+        self.max_pitch_ratio = float(max_pitch_ratio)
         if bank_dtype == "int16" and fetch == "windows":
             raise ValueError("the Pallas windows kernel requires a f32 bank")
         self.bank_dtype = bank_dtype
@@ -123,7 +131,7 @@ class AudioEngine:
 
             self._sharded_render = make_shardmap_packed_render(
                 mesh, block_frames=block_frames, quirk_gain=quirk_gain,
-                fetch=self.fetch,
+                fetch=self.fetch, max_pitch_ratio=float(max_pitch_ratio),
             )
         # native host core (native/zl_hostcore.cpp): one-pass program build +
         # state advance; numpy path remains the reference implementation
@@ -143,6 +151,7 @@ class AudioEngine:
         )
         self.ring = StepRing()
         self.pool = VoicePool(num_voices, block_frames, float(sample_rate))
+        self.pool.max_ratio = self.max_pitch_ratio
         self.allocator = VoiceAllocator(self.pool, voices_per_lane)
         self.bank = SoundBank()
         self._bank_version_on_device = -1
@@ -425,7 +434,7 @@ class AudioEngine:
         return render_mod.render_block_packed(
             sound, prog_i, prog_f, strips_packed,
             block_frames=self.block_frames, quirk_gain=self.quirk_gain,
-            fetch=self.fetch,
+            fetch=self.fetch, max_pitch_ratio=self.max_pitch_ratio,
         )
 
     def _zero_outputs(self) -> render_mod.RenderOutputs:

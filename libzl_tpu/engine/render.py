@@ -85,10 +85,12 @@ def render_block_math(
     block_frames: int,
     quirk_gain: bool = False,
     fetch: str = "gather",
+    max_pitch_ratio: float = 4.0,
 ) -> RenderOutputs:
     """Backend-generic render math (numpy golden mirror + jax device path)."""
     lane_mix, voice_peaks = voice_ops.render_voices(
-        xp, sound_data, prog, block_frames, quirk_gain=quirk_gain, fetch=fetch
+        xp, sound_data, prog, block_frames, quirk_gain=quirk_gain, fetch=fetch,
+        max_pitch_ratio=max_pitch_ratio,
     )
     return finish_block(xp, lane_mix, strips, voice_peaks)
 
@@ -113,7 +115,8 @@ def render_block_jit(
 
 @functools.partial(
     __import__("jax").jit,
-    static_argnames=("block_frames", "quirk_gain", "fetch"),
+    static_argnames=("block_frames", "quirk_gain", "fetch",
+                     "max_pitch_ratio"),
 )
 def render_block_packed(
     sound_data,
@@ -123,6 +126,7 @@ def render_block_packed(
     block_frames: int = DEFAULT_BLOCK_FRAMES,
     quirk_gain: bool = False,
     fetch: str = "gather",
+    max_pitch_ratio: float = 4.0,
 ) -> RenderOutputs:
     """Packed-argument variant: exactly three host->device buffers per block
     (program ints, program floats, strip params) — the hot dispatch path."""
@@ -132,5 +136,5 @@ def render_block_packed(
     strips = voice_ops.unpack_strips(strips_packed)
     return render_block_math(
         jnp, sound_data, prog, strips, block_frames, quirk_gain=quirk_gain,
-        fetch=fetch,
+        fetch=fetch, max_pitch_ratio=max_pitch_ratio,
     )

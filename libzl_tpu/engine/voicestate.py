@@ -55,6 +55,8 @@ class VoicePool:
     num_voices: int
     block_frames: int
     output_rate: float
+    # pitch-ratio ceiling (engine max_pitch_ratio; fetch regions size to it)
+    max_ratio: float = MAX_PITCH_RATIO
 
     def __post_init__(self):
         V = self.num_voices
@@ -152,8 +154,8 @@ class VoicePool:
 
         ratio = pitch_ratio(midi_note, root_note, source_rate, self.output_rate)
         # clamp so a block's position span stays inside one fetch region
-        # (constants.MAX_PITCH_RATIO = fetch_pallas.R_MAX)
-        ratio = min(ratio, MAX_PITCH_RATIO)
+        # (engine max_pitch_ratio; ceiling constants.MAX_PITCH_RATIO)
+        ratio = min(ratio, self.max_ratio)
         self.rate_int[v] = int(ratio)
         self.rate_frac[v] = np.float32(ratio - int(ratio))
         self.istart[v] = int(start_sec * source_rate)

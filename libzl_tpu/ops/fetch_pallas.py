@@ -68,14 +68,24 @@ from ..constants import MAX_PITCH_RATIO as _MAX_PITCH_RATIO  # noqa: E402
 assert R_MAX == _MAX_PITCH_RATIO, "keep in sync with constants.MAX_PITCH_RATIO"
 GROUP = 8             # voices per grid step (tile divisibility on [G, B])
 CHUNK = 128           # frames per inner compute chunk
-# slab columns per chunk dot: covers R_MAX*CHUNK + 2 plus up to 127 samples
-# of 128-alignment slack on the slab offset; multiple of 128 lanes
+# default slab columns per chunk dot: covers R_MAX*CHUNK + 2 plus up to 127
+# samples of 128-alignment slack on the slab offset; multiple of 128 lanes
 SLAB = 768
 
 
-def region_rows(block_frames: int) -> int:
+def slab_cols(r_max: float = R_MAX) -> int:
+    """Slab width for a pitch-ratio ceiling: the banded weight build costs
+    O(slab * CHUNK) VPU work per chunk — the kernel's dominant cost — so a
+    tighter declared transposition envelope buys a measurably faster render
+    (probe 9: slab 768 -> 7.8 ms, 512 -> ~7.2, 384 -> ~6.9 per 1024-frame
+    block at 1024 voices)."""
+    span = 127 + int(r_max * CHUNK) + 2   # alignment slack + span + 2 taps
+    return ((span + 127) // 128) * 128
+
+
+def region_rows(block_frames: int, r_max: float = R_MAX) -> int:
     """Samples per fetch region: anchor slack + max span, 512-aligned."""
-    span = int(R_MAX * block_frames) + 2
+    span = int(r_max * block_frames) + 2
     return ((span + SOUND_BLOCK - 1) // SOUND_BLOCK) * SOUND_BLOCK + SOUND_BLOCK
 
 
@@ -83,7 +93,7 @@ def max_ratio() -> float:
     return R_MAX
 
 
-def _make_kernel(block_frames: int, region: int):
+def _make_kernel(block_frames: int, region: int, slab: int = SLAB):
     n_chunks = block_frames // CHUNK
     window_rows = 2 * region
 
@@ -124,7 +134,7 @@ def _make_kernel(block_frames: int, region: int):
         slot = i % 2
         wait(slot, i)
 
-        row_ids = jax.lax.broadcasted_iota(jnp.int32, (SLAB, 1), 0)
+        row_ids = jax.lax.broadcasted_iota(jnp.int32, (slab, 1), 0)
         big = jnp.int32(window_rows)
 
         def chunk_body(t, _):
@@ -150,17 +160,17 @@ def _make_kernel(block_frames: int, region: int):
                 any_r = in_r.any()
                 # slab offset: chunk minimum, aligned down to the lane tile
                 off = jnp.min(jnp.where(in_r, idx, big))
-                off = jnp.clip((off // CHUNK) * CHUNK, lo, hi - SLAB)
+                off = jnp.clip((off // CHUNK) * CHUNK, lo, hi - slab)
                 off = pl.multiple_of(off, 128)
                 rel = idx - off                              # [CHUNK]
                 wmask = in_r[None, :].astype(jnp.float32)
                 w = (
                     (row_ids == rel[None, :]).astype(jnp.float32) * inv
                     + (row_ids == rel[None, :] + 1).astype(jnp.float32) * al
-                ) * wmask                                    # [SLAB, CHUNK]
-                slab = win_scratch[slot, g, :, pl.ds(off, SLAB)]  # [2, SLAB]
+                ) * wmask                                    # [slab, CHUNK]
+                slab_v = win_scratch[slot, g, :, pl.ds(off, slab)]  # [2, slab]
                 part = jax.lax.dot_general(
-                    slab, w,
+                    slab_v, w,
                     dimension_numbers=(((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
                     precision=jax.lax.Precision.HIGHEST,
@@ -176,7 +186,7 @@ def _make_kernel(block_frames: int, region: int):
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("block_frames",))
+@functools.partial(jax.jit, static_argnames=("block_frames", "r_max"))
 def fetch_interp(
     sound_data,      # [2, N] f32 planar; N % 512 == 0, tail >= region_rows(B)
     pos_local,       # [V, B] int32 (window-relative; see module docstring)
@@ -184,12 +194,13 @@ def fetch_interp(
     win_blk_a,       # [V] int32: region A anchor (512-sample block index)
     win_blk_b,       # [V] int32: region B anchor (loop-reset target)
     block_frames: int = 128,
+    r_max: float = R_MAX,
 ):
     """Returns interp [V, 2, B] f32: linear-interpolated, pre-gain samples."""
     V, B = pos_local.shape
     assert V % GROUP == 0, f"voice count {V} must be a multiple of {GROUP}"
     assert B % CHUNK == 0, f"block size {B} must be a multiple of {CHUNK}"
-    region = region_rows(B)
+    region = region_rows(B, r_max)
     n_steps = V // GROUP
 
     n_chunks = B // CHUNK
@@ -214,7 +225,7 @@ def fetch_interp(
     # windows path stays testable everywhere
     interpret = jax.default_backend() != "tpu"
     out = pl.pallas_call(
-        _make_kernel(B, region),
+        _make_kernel(B, region, slab_cols(r_max)),
         grid_spec=grid_spec,
         out_shape=out_shape,
         interpret=interpret,

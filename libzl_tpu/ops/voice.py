@@ -225,6 +225,7 @@ def render_voices(
     num_lanes: int = NUM_SAMPLER_CHANNELS,
     return_contrib: bool = False,
     fetch: str = "gather",
+    max_pitch_ratio: float = 4.0,
 ):
     """Render all voices for one block.
 
@@ -267,7 +268,7 @@ def render_voices(
 
         # window-relative addressing: segment 0 -> region A ([0, region)),
         # wrap segments -> region B (offset region)
-        region = region_rows(B)
+        region = region_rows(B, max_pitch_ratio)
         in_a = seg_idx == 0
         anchor = xp.where(in_a, prog.win_blk_a[:, None], prog.win_blk_b[:, None])
         pos_local = (
@@ -279,6 +280,7 @@ def render_voices(
         interp = fetch_interp(
             sound_data, pos_local, alpha,
             prog.win_blk_a, prog.win_blk_b, block_frames=B,
+            r_max=max_pitch_ratio,
         )  # [V, 2, B] planar
         l = interp[:, 0, :] * g
         r = interp[:, 1, :] * g

@@ -102,6 +102,7 @@ def make_shardmap_packed_render(
     block_frames: int = DEFAULT_BLOCK_FRAMES,
     quirk_gain: bool = False,
     fetch: str = "gather",
+    max_pitch_ratio: float = 4.0,
 ):
     """shard_map variant of the packed render: each device renders its local
     voice shard (any fetch path, including the Pallas windows kernel — the
@@ -119,6 +120,7 @@ def make_shardmap_packed_render(
         lane_mix, voice_peaks = voice_ops.render_voices(
             jnp, sound_data, prog, block_frames,
             quirk_gain=quirk_gain, fetch=fetch,
+            max_pitch_ratio=max_pitch_ratio,
         )
         lane_mix = jax.lax.psum(lane_mix, VOICE_AXIS)
         return render_mod.finish_block(jnp, lane_mix, strips, voice_peaks)

@@ -283,3 +283,49 @@ def test_int16_bank_backend_equality():
     i16j = run("jax", "int16")
     np.testing.assert_array_equal(i16n, i16j)
     assert np.abs(f32n - i16n).max() < 1e-4
+
+
+def test_max_pitch_ratio_option():
+    """A declared transposition envelope clamps note ratios and renders
+    identically to the default engine for in-envelope content (the windows
+    kernel sizes its slab to it — ops/fetch_pallas.slab_cols)."""
+    import numpy as np
+
+    from libzl_tpu.io.wav import AudioData
+    from libzl_tpu.models.clip import ClipAudioSource
+
+    def run(**kw):
+        e = AudioEngine(sample_rate=SR, backend="jax", num_voices=16,
+                        fetch="windows", **kw)
+        t = np.arange(12000) / SR
+        c = ClipAudioSource(e, audio=AudioData(
+            (0.4 * np.sin(2 * np.pi * 330 * t)).astype(np.float32)[:, None],
+            SR))
+        e.start_transport(bpm=120)
+        from libzl_tpu.engine.commands import ClipCommand
+
+        cmd = ClipCommand.channel(c.id, 1)
+        cmd.midi_note = 67  # ratio 1.5: inside a 2.0 envelope
+        cmd.change_volume = True
+        cmd.volume = 1.0
+        cmd.looping = True
+        cmd.start_playback = True
+        e.schedule_clip_command(cmd, 0)
+        return np.concatenate([
+            np.asarray(e.process_block().outputs.master) for _ in range(12)
+        ]), e
+
+    full, e4 = run()
+    tight, e2 = run(max_pitch_ratio=2.0)
+    assert e4.pool.max_ratio == 4.0 and e2.pool.max_ratio == 2.0
+    np.testing.assert_allclose(tight, full, rtol=1e-5, atol=1e-7)
+
+    # out-of-envelope notes clamp to the ceiling instead of mis-fetching
+    _, e1 = run(max_pitch_ratio=1.0)
+    assert float(e1.pool.rate_int[e1.pool.active.argmax()]
+                 + e1.pool.rate_frac[e1.pool.active.argmax()]) <= 1.0
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        AudioEngine(sample_rate=SR, backend="numpy", num_voices=8,
+                    max_pitch_ratio=8.0)
