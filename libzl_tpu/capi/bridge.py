@@ -58,6 +58,8 @@ class EngineRuntime:
         # audio input source (io/sources): the SystemCapture tap analog;
         # the pump pulls one block per cycle into the capture meters
         self.source = None
+        # sinks/sources replaced while pumping await a safe close (set_sink)
+        self._retired_io: list = []
         self._pump: Optional[threading.Thread] = None
         self._running = False
         self._timer_callbacks: list = []
@@ -80,18 +82,43 @@ class EngineRuntime:
             self._pump = None
 
     def set_sink(self, sink) -> None:
-        """Attach/replace the audio output sink (None detaches)."""
+        """Attach/replace the audio output sink (None detaches).
+
+        Safe while the pump runs: the old sink is retired to the pump
+        thread (its only user), which closes it at a safe point between
+        blocks — closing here would race an in-flight blocking write
+        (use-after-close on the ALSA handle)."""
         with self._lock:
             old, self.sink = self.sink, sink
+            if old is not None:
+                if self._pump is not None and self._running:
+                    self._retired_io.append(old)
+                    old = None
         if old is not None:
             old.close()
 
     def set_source(self, source) -> None:
-        """Attach/replace the audio capture source (None detaches)."""
+        """Attach/replace the audio capture source (None detaches); same
+        retirement discipline as set_sink."""
         with self._lock:
             old, self.source = self.source, source
+            if old is not None:
+                if self._pump is not None and self._running:
+                    self._retired_io.append(old)
+                    old = None
         if old is not None:
             old.close()
+
+    def _close_retired_io(self) -> None:
+        """Pump-side: close sinks/sources retired by set_sink/set_source
+        (no block is in flight on them once the pump reaches this point)."""
+        with self._lock:
+            retired, self._retired_io = self._retired_io, []
+        for item in retired:
+            try:
+                item.close()
+            except Exception:
+                pass
 
     def _consume(self, block_no: int, res) -> None:
         """Deliver one rendered block: the audio sink and recorders need
@@ -170,10 +197,23 @@ class EngineRuntime:
                 inflight.append((engine.total_blocks, res))
             while len(inflight) > depth:
                 consume(*inflight.popleft())
+            if self._retired_io:
+                self._close_retired_io()
+            # hardware MIDI discovery on the reference's 300 ms connector
+            # cadence: the blocking libasound enumeration runs here on the
+            # pump thread with NO lock held; only the cheap diff/open/close
+            # applies under the lock (render blocks never stall on it)
+            router = self.engine.router
+            if router.auto_discover and router.scanner.due():
+                hints = router.scanner.scan_hints()
+                if hints is not None:
+                    with self._lock:
+                        router.scanner.apply(hints)
             rendered += spb
         # drain in-flight blocks so sink/recorders keep the final audio
         while inflight:
             consume(*inflight.popleft())
+        self._close_retired_io()
 
     def _fan_timer_callbacks(self, tick: int) -> None:
         for cb in list(self._timer_callbacks):
@@ -213,18 +253,22 @@ def init_engine(sample_rate: int = 48000, block_frames: int = 128,
         depth = int(os.environ.get("LIBZL_TPU_PIPELINE", 1))
         if os.environ.get("LIBZL_TPU_NO_PUMP"):
             pump = False
-        _runtime = EngineRuntime(sample_rate, block_frames, num_voices, backend,
-                                 pipeline_depth=depth)
+        # build fully before publishing the singleton: a bad sink/source
+        # spec must raise WITHOUT leaving a half-initialized, pump-less
+        # engine behind (a retry would then silently no-op)
+        runtime = EngineRuntime(sample_rate, block_frames, num_voices, backend,
+                                pipeline_depth=depth)
         sink_spec = os.environ.get("LIBZL_TPU_SINK")
         if sink_spec:
             from ..io.sinks import make_sink
 
-            _runtime.set_sink(make_sink(sink_spec, sample_rate))
+            runtime.set_sink(make_sink(sink_spec, sample_rate))
         source_spec = os.environ.get("LIBZL_TPU_SOURCE")
         if source_spec:
             from ..io.sources import make_source
 
-            _runtime.set_source(make_source(source_spec, sample_rate))
+            runtime.set_source(make_source(source_spec, sample_rate))
+        _runtime = runtime
         if pump:
             _runtime.start_pump()
 

@@ -168,10 +168,7 @@ def cmd_play(args) -> int:
     from .io.wav import read_wav
     from .models.clip import ClipAudioSource
 
-    try:
-        sample_rate = read_wav(args.input).sample_rate
-    except FileNotFoundError:
-        raise
+    sample_rate = read_wav(args.input).sample_rate
     runtime = EngineRuntime(
         sample_rate=sample_rate,
         block_frames=args.block_frames,
@@ -275,6 +272,15 @@ def main(argv=None) -> int:
     except FileNotFoundError as e:
         print(f"error: no such file: {e.filename}", file=sys.stderr)
         return 2
+    except Exception as e:
+        import wave
+
+        if isinstance(e, (wave.Error, EOFError, ValueError)):
+            # unreadable/corrupt input or bad argument combination: the
+            # CLI contract is a clean message + exit 2, not a traceback
+            print(f"error: {e}", file=sys.stderr)
+            return 2
+        raise
     return 1
 
 

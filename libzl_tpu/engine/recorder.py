@@ -55,6 +55,16 @@ class DiskRecorder:
               channels: int = 2) -> None:
         if self._recording:
             self.stop()
+        elif self._thread is not None:
+            # a failed writer may still be draining its old queue; unblock
+            # and join it so it cannot race the new session
+            if self._queue is not None:
+                try:
+                    self._queue.put_nowait(None)
+                except queue.Full:
+                    pass
+            self._thread.join(timeout=10.0)
+            self._thread = None
         import wave
 
         path = Path(path)
@@ -64,8 +74,8 @@ class DiskRecorder:
         self._wave.setnchannels(channels)
         self._wave.setsampwidth(self.bit_depth // 8)
         self._wave.setframerate(int(sample_rate))
-        # bound the queue like the reference FIFO (blocks if the writer falls
-        # behind rather than exhausting memory)
+        # bound the queue like the reference FIFO: a producer running ahead
+        # back-pressures (bounded, see push) rather than exhausting memory
         max_blocks = max(RECORDER_FIFO_SAMPLES // 128, 4)
         self._queue = queue.Queue(maxsize=max_blocks)
         self._recording = True
@@ -75,14 +85,21 @@ class DiskRecorder:
         self._thread = threading.Thread(target=self._run, daemon=True)
         self._thread.start()
 
+    # push() waits at most this long for queue space before dropping a
+    # block. Bounded so a dead writer can never freeze the engine (ADVICE
+    # r1), but long enough that a faster-than-realtime producer (offline
+    # bounce via step_blocks, FileSink renders) simply back-pressures on a
+    # healthy writer instead of silently losing audio.
+    PUSH_TIMEOUT_S = 2.0
+
     def push(self, block: np.ndarray) -> None:
-        """Append [frames, channels] float32 audio. Never blocks: push() is
-        called from the realtime pump (often under the engine lock), so a
-        stalled or dead writer must not freeze the engine — blocks are
-        dropped and counted instead."""
+        """Append [frames, channels] float32 audio. Bounded wait: a healthy
+        writer back-pressures the producer; a dead/stalled one causes a
+        counted drop after PUSH_TIMEOUT_S rather than a permanent freeze
+        (push may run under the engine lock on the pump thread)."""
         if self._recording and self._queue is not None:
             try:
-                self._queue.put_nowait(np.asarray(block))
+                self._queue.put(np.asarray(block), timeout=self.PUSH_TIMEOUT_S)
             except queue.Full:
                 self.dropped_blocks += 1
 
@@ -101,9 +118,13 @@ class DiskRecorder:
     def _run(self) -> None:
         scale = float((1 << (self.bit_depth - 1)) - 1)
         width = self.bit_depth // 8
+        # capture THIS session's queue: after a failure, start() may install
+        # a fresh queue while this thread is still draining — reading
+        # self._queue would steal the new session's blocks
+        q = self._queue
         try:
             while True:
-                block = self._queue.get()
+                block = q.get()
                 if block is None:
                     break
                 clipped = np.clip(block, -1.0, 1.0)
@@ -128,7 +149,7 @@ class DiskRecorder:
             self._recording = False
             while True:
                 try:
-                    if self._queue.get(timeout=5.0) is None:
+                    if q.get(timeout=5.0) is None:
                         break
                 except queue.Empty:
                     break

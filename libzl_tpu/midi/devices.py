@@ -230,25 +230,45 @@ class HardwareScanner:
         self._known_out: dict[str, MidiPort] = {}
         self._next_poll = 0.0
 
-    def poll(self, now: Optional[float] = None) -> bool:
-        """Rescan if the cadence is due. Returns True if anything changed."""
+    def due(self, now: Optional[float] = None) -> bool:
+        """True when the 300 ms cadence has elapsed (and restarts it)."""
         import time
 
         now = time.monotonic() if now is None else now
         if now < self._next_poll:
             return False
         self._next_poll = now + self.poll_interval
+        return True
+
+    def poll(self, now: Optional[float] = None) -> bool:
+        """Rescan if the cadence is due. Returns True if anything changed."""
+        if not self.due(now):
+            return False
         return self.rescan()
 
-    def rescan(self) -> bool:
+    def scan_hints(self) -> Optional[list[dict]]:
+        """The slow half: enumerate rawmidi endpoints (blocking libasound
+        call — run this OUTSIDE any realtime lock; the pump thread does).
+        Returns None when no sound stack is present."""
         from ..io import alsa
 
         if not alsa.available():
+            return None
+        return alsa.enumerate_rawmidi()
+
+    def rescan(self) -> bool:
+        hints = self.scan_hints()
+        if hints is None:
             return False
+        return self.apply(hints)
+
+    def apply(self, hints: list[dict]) -> bool:
+        """The fast half: diff `hints` against known devices, open/close
+        ports, fire callbacks. Safe to run under the engine lock."""
         seen_in: set[str] = set()
         seen_out: set[str] = set()
         changed = False
-        for hint in alsa.enumerate_rawmidi():
+        for hint in hints:
             name, ioid = hint["name"], hint["ioid"]
             human = hint["desc"].split("\n")[0]
             if ioid in ("", "Input"):

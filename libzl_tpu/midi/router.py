@@ -208,9 +208,15 @@ class MidiRouter:
     def route_hardware(self) -> None:
         """Drain every enabled hardware input and route with retargeting
         (lib/MidiRouter.cpp:458-566). Events are treated as block-start
-        (offset 0) — hardware arrives between blocks."""
-        if self.auto_discover:
-            self.scanner.poll()
+        (offset 0) — hardware arrives between blocks.
+
+        Discovery does NOT run here: route_hardware sits on the realtime
+        render path (process_block, under the engine lock) and libasound's
+        device enumeration blocks for milliseconds. The pump thread drives
+        the scanner between blocks (capi/bridge._run), enumerating outside
+        the lock — matching the reference, whose connector runs on its own
+        300 ms timer, not in the process callback (lib/MidiRouter.cpp:813).
+        Hosts without the pump call router.scanner.poll() themselves."""
         for entry in self.registry.inputs:
             if not entry.port.enabled:
                 continue

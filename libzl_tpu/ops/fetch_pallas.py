@@ -4,8 +4,10 @@ STATUS: the TPU single-chip default since round 2. Round-1's Mosaic
 toolchain serialized the per-(voice,chunk) compute at ~56 us and the kernel
 lost to XLA's gather; on the round-2 toolchain it wins at both live and
 super blocks (4.2 vs 5.5 ms at B=128, 7.8 vs 10.2 ms at B=1024, 1024
-voices — NOTES_TPU_ENV.md carries the dated A/B). Gather remains the
-default off-TPU, under a mesh, and for int16 banks (engine `fetch="auto"`).
+voices — NOTES_TPU_ENV.md carries the dated A/B), single-chip and
+per-shard under a mesh (shard_map runs the kernel on each device's local
+voice shard). Gather remains the default off-TPU and for int16 banks
+(engine `fetch="auto"`).
 
 Why this exists: the voice render needs `sound[pos[v, b]]` for V*B
 (voice, frame) pairs per block. XLA lowers that to a generic gather;

@@ -147,9 +147,13 @@ def time_stretch(
         # scaled to the synthesis hop (first frame diffs against the carry)
         ddphi = np.empty((m, n_ch, n_bins), np.float32)
         if prev_phase is None:
-            ddphi[0] = 0.0
+            # frame 0 carries no advance: pre-load the expected bin advance
+            # so the unconditional subtraction below zeroes it exactly — a
+            # 0.0 here would inject a wrapped(-omega*ana_hop) rotation into
+            # every bin's accumulated phase and comb-cancel the mix
+            ddphi[0] = exp_ana[None, :]
             np.subtract(phase[1:], phase[:-1], out=ddphi[1:])
-            counts = np.arange(m)           # frame 0 carries no advance
+            counts = np.arange(m)
         else:
             np.subtract(phase[0], prev_phase, out=ddphi[0])
             np.subtract(phase[1:], phase[:-1], out=ddphi[1:])

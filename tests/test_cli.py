@@ -80,3 +80,20 @@ def test_error_exits(tmp_path, capsys):
     assert "must be greater than" in capsys.readouterr().err
     assert main(["render", "/nonexistent.wav", str(tmp_path / "z.wav"),
                  "--backend", "numpy"]) == 2
+
+
+def test_cli_bad_wav_clean_exit(tmp_path):
+    """Corrupt input gets a clean message + exit 2, not a traceback."""
+    import subprocess
+    import sys as _sys
+
+    bad = tmp_path / "bad.wav"
+    bad.write_text("not a wav")
+    proc = subprocess.run(
+        [_sys.executable, "-m", "libzl_tpu.cli", "info", str(bad)],
+        capture_output=True, text=True, timeout=120,
+        env={**__import__("os").environ, "JAX_PLATFORMS": "cpu"},
+    )
+    assert proc.returncode == 2
+    assert "error:" in proc.stderr
+    assert "Traceback" not in proc.stderr

@@ -171,3 +171,22 @@ def test_stretch_long_file_phase_integrity():
         # narrowband: the peak dominates its neighborhood (no phase noise)
         k = int(np.argmax(F))
         assert F[k] > 10 * np.sort(F)[-50]
+
+
+def test_stretch_preserves_amplitude():
+    """Regression (r2 code review): a first-frame phase-deviation bug
+    injected a wrapped(-omega*ana_hop) rotation per bin, comb-cancelling
+    multi-tone material (RMS 0.374 -> 0.25 measured). Steady two-tone RMS
+    must survive stretching within 3%."""
+    sr = int(SR)
+    t = np.arange(sr * 4) / sr
+    x = (
+        0.25 * np.sin(2 * np.pi * 440 * t)
+        + 0.25 * np.sin(2 * np.pi * 1210 * t)
+    ).astype(np.float32)[:, None]
+    in_rms = float(np.sqrt((x**2).mean()))
+    for s in (1.5, 0.75, 2.0):
+        y = time_stretch(x, s)
+        mid = y[sr // 2 : -sr // 2, 0]
+        rms = float(np.sqrt((mid**2).mean()))
+        assert abs(rms - in_rms) < 0.03 * in_rms, (s, rms, in_rms)

@@ -418,3 +418,43 @@ def test_alsa_sink_stops_pacing_on_dead_device(fake_alsa):
     for _ in range(60):
         sink.write(block)
     assert not sink.pacing
+
+
+def test_pump_thread_drives_discovery(fake_alsa, tmp_path):
+    """Discovery moved OFF the render path (r2 code review): the pump
+    thread enumerates outside the engine lock on the 300 ms cadence and
+    applies diffs under it. A device appearing while the pump runs must be
+    discovered without any route_hardware-side polling."""
+    from libzl_tpu.capi import bridge
+
+    os.environ["LIBZL_TPU_BACKEND"] = "numpy"
+    os.environ["LIBZL_TPU_VOICES"] = "16"
+    try:
+        bridge.init_engine(pump=True)
+        rt = bridge._rt()
+        router = rt.engine.router
+        router.auto_discover = True
+        added = []
+        router.registry.on_input_added = lambda p: added.append(p.name)
+        fake_alsa.devices = [
+            dict(name="hw:CARD=Live,DEV=0", desc="Live Keys", ioid="Input"),
+        ]
+        deadline = time.monotonic() + 5.0
+        while not added and time.monotonic() < deadline:
+            time.sleep(0.05)
+        assert added == ["hw:CARD=Live,DEV=0"]
+        # and replacing the sink mid-pump retires the old one safely
+        from libzl_tpu.io.sinks import NullSink
+
+        first = NullSink()
+        rt.set_sink(first)
+        second = NullSink()
+        rt.set_sink(second)
+        deadline = time.monotonic() + 5.0
+        while rt._retired_io and time.monotonic() < deadline:
+            time.sleep(0.05)
+        assert not rt._retired_io, "pump did not close the retired sink"
+    finally:
+        bridge.shutdown_engine()
+        os.environ.pop("LIBZL_TPU_BACKEND", None)
+        os.environ.pop("LIBZL_TPU_VOICES", None)
