@@ -62,6 +62,8 @@ class EngineRuntime:
         self._retired_io: list = []
         self._pump: Optional[threading.Thread] = None
         self._running = False
+        # last per-block exception seen by the pump (see _run's guard)
+        self.pump_error: Optional[BaseException] = None
         self._timer_callbacks: list = []
         self.engine.timer_callbacks.append(self._fan_timer_callbacks)
         self._lock = threading.RLock()
@@ -181,6 +183,7 @@ class EngineRuntime:
         inflight: deque = deque()  # (block_no, BlockResult) oldest first
 
         consume = self._consume
+        consecutive_errors = 0
         while self._running:
             # a pacing sink (ALSA PCM) blocks in write() at the hardware
             # rate — it IS the clock, like JACK's callback cadence; only
@@ -191,12 +194,33 @@ class EngineRuntime:
                 if rendered - now > ahead:
                     time.sleep(spb / 2)
                     continue
-            with self._lock:
-                engine = self.engine
-                res = engine.process_block()
-                inflight.append((engine.total_blocks, res))
-            while len(inflight) > depth:
-                consume(*inflight.popleft())
+            # per-block exception guard: a bad record-port name or malformed
+            # command must not silently kill audio forever (the thread looks
+            # alive from outside). Record, keep pumping; give up only after
+            # sustained failure.
+            try:
+                with self._lock:
+                    engine = self.engine
+                    res = engine.process_block()
+                    inflight.append((engine.total_blocks, res))
+                while len(inflight) > depth:
+                    consume(*inflight.popleft())
+                consecutive_errors = 0
+            except Exception as e:  # noqa: BLE001 — the guard IS the point
+                self.pump_error = e
+                consecutive_errors += 1
+                if consecutive_errors == 1:
+                    import sys
+                    import traceback
+
+                    print("libzl_tpu pump: block failed (continuing):",
+                          file=sys.stderr)
+                    traceback.print_exc()
+                if consecutive_errors >= 100:
+                    print("libzl_tpu pump: 100 consecutive block failures, "
+                          "stopping", file=__import__("sys").stderr)
+                    break
+                time.sleep(spb)
             if self._retired_io:
                 self._close_retired_io()
             # hardware MIDI discovery on the reference's 300 ms connector

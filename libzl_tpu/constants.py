@@ -70,6 +70,10 @@ MAX_SEGMENTS_PER_BLOCK = 4
 # asserts its R_MAX matches). Kept here so the realtime note-on path never
 # imports the pallas machinery (a multi-second import).
 MAX_PITCH_RATIO = 4.0
+# Fetch-window anchor granularity in samples (= fetch_pallas.SOUND_BLOCK,
+# asserted there); here for the same import-hygiene reason: build_program
+# computes window anchors every block and must never import pallas.
+WINDOW_ANCHOR_BLOCK = 512
 
 # --- Scheduler (lib/SyncTimer.cpp:265-268) ---
 STEP_RING_SIZE = 32768          # ticks of schedule-ahead capacity

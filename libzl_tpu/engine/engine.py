@@ -153,7 +153,11 @@ class AudioEngine:
         self.pool = VoicePool(num_voices, block_frames, float(sample_rate))
         self.pool.max_ratio = self.max_pitch_ratio
         self.allocator = VoiceAllocator(self.pool, voices_per_lane)
-        self.bank = SoundBank()
+        from .soundbank import region_tail_guard
+
+        self.bank = SoundBank(
+            tail_guard=region_tail_guard(block_frames, self.max_pitch_ratio)
+        )
         self._bank_version_on_device = -1
         self._device_sound_data = None
         self._device_strips = None
@@ -188,6 +192,9 @@ class AudioEngine:
         self._last_analyze_block = -(10**9)
         # device-side running peak max (see accumulate_peaks)
         self._peak_accum = None
+        # completed deferred clip renders awaiting their block-boundary swap
+        # (models/clip._render_worker appends; drained in process_block)
+        self._pending_renders: list = []
         self.transport_running = False
         # per-block time-weighted transport BPM (the quantized blend the
         # reference publishes to the JACK timebase, lib/SyncTimer.cpp:644-673)
@@ -308,7 +315,11 @@ class AudioEngine:
         note_offs, zeroed = self.ring.flush_for_stop()
         for cmd in zeroed:
             self.ring.schedule_clip_command(cmd, 0)
-        self._pending_immediate_midi = [ev.data for ev in note_offs]
+        # extend, don't overwrite: a second stop landing before the next
+        # block must not discard the first flush's undelivered note-offs
+        pending = getattr(self, "_pending_immediate_midi", [])
+        pending.extend(ev.data for ev in note_offs)
+        self._pending_immediate_midi = pending
         # musical position resets (beat/cumulativeBeat/jackPlayhead zeroing)
         self.clock.tick_position = 0
         self.clock.anchor_tick = 0
@@ -414,14 +425,18 @@ class AudioEngine:
     def _apply_clip_command(self, cmd: ClipCommand, tick: int,
                             frame_offset: int) -> None:
         clip = self.clips.get(cmd.clip_id)
-        # speed/pitch/gain changes route to the clip's offline render
+        # speed/pitch/gain changes route to the clip's offline render —
+        # DEFERRED to the render worker: a whole-clip STFT must not stall
+        # the realtime block loop (the old buffer plays until the new one
+        # lands, exactly the reference's needsRender/playbackFileChanged
+        # behavior, lib/ClipAudioSource.cpp:404-413)
         if clip is not None:
             if cmd.change_pitch:
-                clip.set_pitch(cmd.pitch_change)
+                clip.set_pitch(cmd.pitch_change, defer=True)
             if cmd.change_speed:
-                clip.set_speed_ratio(cmd.speed_ratio)
+                clip.set_speed_ratio(cmd.speed_ratio, defer=True)
             if cmd.change_gain_db:
-                clip.set_gain(cmd.gain_db)
+                clip.set_gain(cmd.gain_db, defer=True)
         self.allocator.handle(cmd, clip, tick, frame_offset)
         for cb in self.clip_command_sent_callbacks:
             cb(cmd)
@@ -514,6 +529,12 @@ class AudioEngine:
         import time as _time
 
         _t0 = _time.perf_counter()
+        # swap in any completed deferred clip renders (single-threaded here;
+        # the worker only appends)
+        if self._pending_renders:
+            pending_renders, self._pending_renders = self._pending_renders, []
+            for fn in pending_renders:
+                fn()
         midi_out: list[tuple[int, bytes]] = []
         pending = getattr(self, "_pending_immediate_midi", None)
         if pending:

@@ -20,6 +20,26 @@ _NATIVE_DIR = Path(__file__).resolve().parent.parent.parent / "native"
 NUM_INT_COLS = 20
 NUM_F32_COLS = 15
 
+# the native core writes these matrices with a HARDCODED layout
+# (zl_hostcore.cpp); desynchronizing it from ops/voice.pack_program would
+# corrupt programs silently — fail at import time instead
+from ..constants import MAX_SEGMENTS_PER_BLOCK as _S  # noqa: E402
+from ..ops.voice import (  # noqa: E402
+    _F32_ENV as _VF32E,
+    _F32_SCALARS as _VF32,
+    _INT_ENV as _VINTE,
+    _INT_SCALARS as _VINT,
+)
+
+assert NUM_INT_COLS == len(_VINT) + len(_VINTE) + 2 * _S, (
+    "packed int layout changed in ops/voice.py — update NUM_INT_COLS AND "
+    "native/zl_hostcore.cpp together"
+)
+assert NUM_F32_COLS == len(_VF32) + len(_VF32E) + _S, (
+    "packed f32 layout changed in ops/voice.py — update NUM_F32_COLS AND "
+    "native/zl_hostcore.cpp together"
+)
+
 
 class _Params(ctypes.Structure):
     _fields_ = [

@@ -47,13 +47,24 @@ _GUARD_FRAMES = 8
 # The Pallas fetch kernel DMAs whole fetch regions anchored at any allocated
 # 512-row boundary; keep a tail covering the largest region so the DMA never
 # runs off the array (ops/fetch_pallas.region_rows; 5120 rows at B=1024).
+# Engines with larger windows blocks pass a bigger `tail_guard` (see
+# region_tail_guard / AudioEngine.__init__).
 _TAIL_GUARD = 6144
+
+
+def region_tail_guard(block_frames: int, max_pitch_ratio: float) -> int:
+    """Tail rows needed for the windows kernel's region DMAs — mirrors
+    ops/fetch_pallas.region_rows without importing the pallas machinery."""
+    span = int(max_pitch_ratio * block_frames) + 2
+    return ((span + 511) // 512) * 512 + 512
 
 
 class SoundBank:
     """Packs sounds into one planar [2, N] float32 buffer + slot table."""
 
-    def __init__(self, capacity_frames: int = 1 << 22):
+    def __init__(self, capacity_frames: int = 1 << 22,
+                 tail_guard: int = _TAIL_GUARD):
+        self._tail_guard = max(int(tail_guard), _TAIL_GUARD)
         self._data = np.zeros((2, capacity_frames), dtype=np.float32)
         self._used = 0
         self._slots: list[SoundSlot] = []
@@ -77,8 +88,8 @@ class SoundBank:
         samples = to_stereo(np.asarray(audio.samples, dtype=np.float32))
         length = samples.shape[0]
         padded = length + _GUARD_FRAMES
-        if self._used + padded > self.capacity_frames - _TAIL_GUARD:
-            self._grow(self._used + padded + _TAIL_GUARD)
+        if self._used + padded > self.capacity_frames - self._tail_guard:
+            self._grow(self._used + padded + self._tail_guard)
         base = self._used
         self._data[:, base : base + length] = samples.T
         self._data[:, base + length : base + padded] = 0.0
@@ -112,8 +123,8 @@ class SoundBank:
             self._data[:, base + length : base + padded] = 0.0
         else:
             padded = length + _GUARD_FRAMES
-            if self._used + padded > self.capacity_frames - _TAIL_GUARD:
-                self._grow(self._used + padded + _TAIL_GUARD)
+            if self._used + padded > self.capacity_frames - self._tail_guard:
+                self._grow(self._used + padded + self._tail_guard)
             base = self._used
             self._data[:, base : base + length] = samples.T
             self._used += padded

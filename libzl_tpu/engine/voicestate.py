@@ -35,7 +35,11 @@ import dataclasses
 
 import numpy as np
 
-from ..constants import MAX_PITCH_RATIO, MAX_SEGMENTS_PER_BLOCK
+from ..constants import (
+    MAX_PITCH_RATIO,
+    MAX_SEGMENTS_PER_BLOCK,
+    WINDOW_ANCHOR_BLOCK,
+)
 from ..ops import adsr as adsr_ops
 from ..ops.voice import VoiceProgram, empty_program
 
@@ -346,12 +350,10 @@ class VoicePool:
         release_frames_local = np.clip(release_frames - start_f, 0, _BIG)
 
         # fetch-window anchors for the Pallas streaming kernel
-        # (ops/fetch_pallas.py): A around the current segment position, B
-        # around the loop-reset target
-        from ..ops.fetch_pallas import SOUND_BLOCK as _WBLK
-
-        win_blk_a = (self.base + seg_pos_int[:, 0]) // _WBLK
-        win_blk_b = (self.base + istart64) // _WBLK
+        # (ops/fetch_pallas.py; constant mirrored in constants.py so this
+        # realtime path never imports the pallas machinery)
+        win_blk_a = (self.base + seg_pos_int[:, 0]) // WINDOW_ANCHOR_BLOCK
+        win_blk_b = (self.base + istart64) // WINDOW_ANCHOR_BLOCK
 
         # --- fill program arrays ---
         prog = prog._replace(

@@ -43,6 +43,52 @@ from .positions import PositionsModel
 _ids = itertools.count(1)
 _registry: dict[int, "ClipAudioSource"] = {}
 
+# ---------------------------------------------------------- render worker
+# The reference renders stretch/pitch OFFLINE (tracktion needsRender ->
+# playbackFileChanged, lib/ClipAudioSource.cpp:404-413) while the old
+# playback file keeps playing. Same here: deferred re-renders run on this
+# worker thread; the completed buffer is swapped in by the engine at the
+# next block boundary (engine._pending_renders), so a sequenced
+# change_pitch/speed/gain command never stalls the realtime block loop on
+# a whole-clip STFT.
+_render_queue = None
+_render_thread = None
+
+
+def _render_worker() -> None:
+    while True:
+        clip, gen = _render_queue.get()
+        if clip is None:
+            return
+        if gen != clip._render_generation:
+            continue  # superseded by a newer parameter change
+        try:
+            rendered = clip._compute_playback()
+        except Exception:
+            continue
+
+        def done(clip=clip, gen=gen, rendered=rendered):
+            clip._finish_playback_update(rendered, gen)
+
+        engine = clip.engine
+        if engine is not None:
+            # applied at the start of the next process_block (the
+            # playbackFileChanged reload analog) — single-threaded there
+            engine._pending_renders.append(done)
+        else:
+            done()
+
+
+def _ensure_render_worker() -> None:
+    global _render_queue, _render_thread
+    if _render_thread is None or not _render_thread.is_alive():
+        import queue as _q
+        import threading as _t
+
+        _render_queue = _q.Queue()
+        _render_thread = _t.Thread(target=_render_worker, daemon=True)
+        _render_thread.start()
+
 PROGRESS_THROTTLE_S = 0.100   # lib/ClipAudioSource.cpp:237
 LEVEL_THROTTLE_S = 0.030      # lib/ClipAudioSource.cpp:111
 LEVEL_DECAY = 0.94            # positions-model peak fade (lib/ClipAudioSource.cpp:95)
@@ -115,6 +161,7 @@ class ClipAudioSource:
         self.playback_changed_callback: Optional[Callable[[], None]] = None
 
         self.playback_audio = audio  # replaced by renders
+        self._render_generation = 0
         self.slot = None
         if engine is not None:
             engine.register_clip(self)
@@ -123,6 +170,7 @@ class ClipAudioSource:
     # ------------------------------------------------------------- lifecycle
 
     def destroy(self) -> None:
+        self._render_generation += 1  # drop any in-flight deferred render
         self.stop(-3)
         if self.engine is not None:
             self.engine.unregister_clip(self)
@@ -130,8 +178,8 @@ class ClipAudioSource:
 
     # ------------------------------------------------------------ stretching
 
-    def _update_playback(self) -> None:
-        """Re-render the playback buffer (tracktion needsRender analog)."""
+    def _compute_playback(self):
+        """The pure render: stretch/pitch/gain + optional crossfade bake."""
         rendered = render_playback(
             self.source.samples,
             speed_ratio=self.speed_ratio,
@@ -150,11 +198,35 @@ class ClipAudioSource:
                 min(int(self.get_stop_position() * sr), rendered.shape[0]),
                 int(self.loop_crossfade_seconds * sr),
             )
+        return rendered
+
+    def _finish_playback_update(self, rendered, gen=None) -> None:
+        """Swap the rendered buffer in (playbackFileChanged analog)."""
+        if gen is not None and gen != self._render_generation:
+            return  # a newer render superseded this one
         self.playback_audio = AudioData(rendered, self.source.sample_rate)
-        if self.engine is not None:
+        if self.engine is not None and self.id in getattr(
+            self.engine, "clips", {}
+        ):
             self.engine.reload_clip_sound(self)
         if self.playback_changed_callback is not None:
             self.playback_changed_callback()
+
+    def _update_playback(self, defer: bool = False) -> None:
+        """Re-render the playback buffer (tracktion needsRender analog).
+
+        defer=True hands the whole-clip STFT to the render worker and
+        returns immediately — the old buffer keeps playing until the new
+        one lands at a block boundary. Used by the engine's scheduled
+        command path (realtime); direct API calls stay synchronous."""
+        self._render_generation += 1
+        if defer:
+            _ensure_render_worker()
+            _render_queue.put((self, self._render_generation))
+            return
+        self._finish_playback_update(
+            self._compute_playback(), self._render_generation
+        )
 
     # -------------------------------------------------------------- timing
 
@@ -190,20 +262,20 @@ class ClipAudioSource:
 
     # ---------------------------------------------------------- stretch/pitch
 
-    def set_speed_ratio(self, ratio: float) -> None:
+    def set_speed_ratio(self, ratio: float, defer: bool = False) -> None:
         if ratio != self.speed_ratio:
             self.speed_ratio = float(ratio)
-            self._update_playback()
+            self._update_playback(defer=defer)
 
-    def set_pitch(self, semitones: float) -> None:
+    def set_pitch(self, semitones: float, defer: bool = False) -> None:
         if semitones != self.pitch_change:
             self.pitch_change = float(semitones)
-            self._update_playback()
+            self._update_playback(defer=defer)
 
-    def set_gain(self, db: float) -> None:
+    def set_gain(self, db: float, defer: bool = False) -> None:
         if db != self.gain_db:
             self.gain_db = float(db)
-            self._update_playback()
+            self._update_playback(defer=defer)
 
     def set_loop_crossfade(self, seconds: float) -> None:
         """Loop crossfade baked into the playback render (beyond the

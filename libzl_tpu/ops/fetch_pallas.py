@@ -65,9 +65,15 @@ from jax.experimental.pallas import tpu as pltpu
 SOUND_BLOCK = 512     # window anchor granularity (samples, lane-aligned)
 R_MAX = 4.0           # max pitch ratio (span per block = R_MAX * B)
 
-from ..constants import MAX_PITCH_RATIO as _MAX_PITCH_RATIO  # noqa: E402
+from ..constants import (  # noqa: E402
+    MAX_PITCH_RATIO as _MAX_PITCH_RATIO,
+    WINDOW_ANCHOR_BLOCK as _WINDOW_ANCHOR_BLOCK,
+)
 
 assert R_MAX == _MAX_PITCH_RATIO, "keep in sync with constants.MAX_PITCH_RATIO"
+assert SOUND_BLOCK == _WINDOW_ANCHOR_BLOCK, (
+    "keep in sync with constants.WINDOW_ANCHOR_BLOCK"
+)
 GROUP = 8             # voices per grid step (tile divisibility on [G, B])
 CHUNK = 128           # frames per inner compute chunk
 # default slab columns per chunk dot: covers R_MAX*CHUNK + 2 plus up to 127

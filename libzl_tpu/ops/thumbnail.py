@@ -27,6 +27,13 @@ def thumbnail_math(xp, samples, num_buckets: int):
     T = samples.shape[t_axis]
     bucket = max(T // num_buckets, 1)
     usable = bucket * num_buckets
+    if T < usable:
+        # window shorter than the bucket count (tight zooms, tiny clips):
+        # edge-pad so every bucket exists instead of crashing the reshape
+        pad = usable - T
+        widths = [(0, 0)] * samples.ndim
+        widths[t_axis] = (0, pad)
+        samples = xp.pad(samples, widths, mode="edge")
     if samples.ndim == 2:
         trimmed = samples[:usable].reshape(num_buckets, bucket, -1)
         return trimmed.min(axis=1), trimmed.max(axis=1)

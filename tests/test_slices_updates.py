@@ -158,3 +158,54 @@ def test_live_slice_change_moves_loop_points():
     engine.process_block()
     engine.process_block()
     assert engine.pool.gain[v] == np.float32(0.5)
+
+
+def test_scheduled_pitch_change_renders_off_the_block_path():
+    """A sequenced change_pitch command must NOT run the whole-clip STFT
+    inside process_block (r2 code review): the old buffer keeps playing and
+    the new render lands at a later block boundary, like the reference's
+    needsRender -> playbackFileChanged flow."""
+    import time
+
+    import numpy as np
+
+    from libzl_tpu.engine.commands import ClipCommand
+    from libzl_tpu.engine.engine import AudioEngine
+    from libzl_tpu.io.wav import AudioData
+    from libzl_tpu.models.clip import ClipAudioSource
+
+    sr = 48000
+    engine = AudioEngine(sample_rate=sr, backend="numpy", num_voices=8)
+    # a long clip so a synchronous render would be clearly measurable
+    t = np.arange(sr * 10) / sr
+    clip = ClipAudioSource(engine, audio=AudioData(
+        (0.4 * np.sin(2 * np.pi * 220 * t)).astype(np.float32)[:, None], sr))
+    engine.start_transport(bpm=120)
+    changed = []
+    clip.playback_changed_callback = lambda: changed.append(True)
+
+    cmd = ClipCommand.channel(clip.id, 0)
+    cmd.midi_note = 60
+    cmd.change_pitch = True
+    cmd.pitch_change = 3.0
+    engine.schedule_clip_command(cmd, 0)
+
+    t0 = time.perf_counter()
+    engine.process_block()
+    dispatch_ms = (time.perf_counter() - t0) * 1e3
+    # the 10 s STFT takes ~1 s; the block must come back far faster
+    assert dispatch_ms < 200, f"block stalled {dispatch_ms:.0f} ms on render"
+    assert clip.pitch_change == 3.0
+    assert not changed, "render applied synchronously inside the block"
+
+    # the worker finishes and the swap lands at a block boundary
+    deadline = time.monotonic() + 30.0
+    while not changed and time.monotonic() < deadline:
+        engine.process_block()
+        time.sleep(0.01)
+    assert changed, "deferred render never landed"
+    # rendered pitch actually moved: dominant frequency of the playback
+    seg = clip.playback_audio.samples[sr : 2 * sr, 0]
+    F = np.abs(np.fft.rfft(seg * np.hanning(len(seg))))
+    hz = np.argmax(F)
+    assert abs(hz - 220 * 2 ** (3 / 12)) < 4
