@@ -23,6 +23,8 @@ import threading
 import time
 from typing import Optional
 
+import numpy as np
+
 _PROGRESS_CB = ctypes.CFUNCTYPE(None, ctypes.c_float)
 _LEVEL_CB = ctypes.CFUNCTYPE(None, ctypes.c_float)
 _TIMER_CB = ctypes.CFUNCTYPE(None, ctypes.c_int)
@@ -128,8 +130,6 @@ class EngineRuntime:
         (each sync is a round trip). The sink write happens OUTSIDE the
         engine lock: a pacing sink (ALSA PCM) blocks at the hardware rate
         and must not stall C-API calls."""
-        import numpy as np
-
         sink = self.sink
         if sink is not None:
             sink.write(np.asarray(res.outputs.master))

@@ -51,7 +51,7 @@ from .commands import (
     TimerCommand,
 )
 from .scheduler import StepRing, midi_clock_due
-from .soundbank import SoundBank
+from .soundbank import SoundBank, region_tail_guard
 from .voicestate import VoicePool
 
 
@@ -153,8 +153,6 @@ class AudioEngine:
         self.pool = VoicePool(num_voices, block_frames, float(sample_rate))
         self.pool.max_ratio = self.max_pitch_ratio
         self.allocator = VoiceAllocator(self.pool, voices_per_lane)
-        from .soundbank import region_tail_guard
-
         self.bank = SoundBank(
             tail_guard=region_tail_guard(block_frames, self.max_pitch_ratio)
         )

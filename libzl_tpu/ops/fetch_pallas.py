@@ -97,10 +97,6 @@ def region_rows(block_frames: int, r_max: float = R_MAX) -> int:
     return ((span + SOUND_BLOCK - 1) // SOUND_BLOCK) * SOUND_BLOCK + SOUND_BLOCK
 
 
-def max_ratio() -> float:
-    return R_MAX
-
-
 def _make_kernel(block_frames: int, region: int, slab: int = SLAB):
     n_chunks = block_frames // CHUNK
     window_rows = 2 * region
