@@ -149,8 +149,7 @@ def _make_kernel(block_frames: int, region: int, slab: int = SLAB):
             idx = pos_ref[g, c, :]                          # [CHUNK] i32
             alpha = alpha_ref[g, c, :]                      # [CHUNK] f32
             valid = (idx >= 0) & (idx < window_rows - 1)
-            inv = jnp.where(valid, 1.0 - alpha, 0.0)[None, :]
-            al = jnp.where(valid, alpha, 0.0)[None, :]
+            alpha_m = jnp.where(valid, alpha, 0.0)
 
             # NOTE (measured, round 2): conditional-skip variants of this
             # loop LOSE — putting the per-region compute behind pl.when cost
@@ -166,12 +165,16 @@ def _make_kernel(block_frames: int, region: int, slab: int = SLAB):
                 off = jnp.min(jnp.where(in_r, idx, big))
                 off = jnp.clip((off // CHUNK) * CHUNK, lo, hi - slab)
                 off = pl.multiple_of(off, 128)
-                rel = idx - off                              # [CHUNK]
-                wmask = in_r[None, :].astype(jnp.float32)
-                w = (
-                    (row_ids == rel[None, :]).astype(jnp.float32) * inv
-                    + (row_ids == rel[None, :] + 1).astype(jnp.float32) * al
-                ) * wmask                                    # [slab, CHUNK]
+                # hat-function weights: the linear-interp column is exactly
+                # max(1 - |(u - rel) - alpha|, 0) — (1-alpha) at u=rel,
+                # alpha at u=rel+1, 0 elsewhere; (u-rel) stays exact int
+                # math so weights match the two-tap expression to f32
+                # rounding. Invalid frames park rel far away -> all-zero
+                # column. Fewer VPU passes than building two iota-compares
+                # and scaling each (probe 11).
+                rel = jnp.where(in_r, idx - off, jnp.int32(-8 * slab))
+                d = (row_ids - rel[None, :]).astype(jnp.float32)
+                w = jnp.maximum(1.0 - jnp.abs(d - alpha_m[None, :]), 0.0)
                 slab_v = win_scratch[slot, g, :, pl.ds(off, slab)]  # [2, slab]
                 part = jax.lax.dot_general(
                     slab_v, w,
