@@ -222,3 +222,17 @@ def test_schedule_note_reaches_sampler_with_duration():
     assert on_seen is not None and off_seen is not None
     # 96 ticks at 120bpm = 24000 samples = 187.5 blocks
     assert 180 <= (off_seen - on_seen) <= 195
+
+
+def test_double_stop_keeps_flushed_note_offs():
+    """Regression (r2 review): two stops between blocks must not discard
+    the first flush's undelivered note-offs (stuck external notes)."""
+    engine = AudioEngine(sample_rate=SR, backend="numpy", num_voices=8)
+    engine.start_transport(bpm=120)
+    # schedule a note-off in the future; stop flushes it immediately
+    engine.schedule_note(64, 2, set_on=False, delay=200)
+    engine.stop_transport()
+    engine.stop_transport()  # second stop: empty flush must extend, not clear
+    res = engine.process_block()
+    offs = [d for _, d in res.midi_out if d and (d[0] & 0xF0) == 0x80]
+    assert offs, "flushed note-off was lost by the double stop"
