@@ -121,9 +121,18 @@ def main() -> int:
 
     seconds_per_bar = 2.0  # 4 beats at 120 bpm
     n_blocks = int(args.bars * seconds_per_bar * SR) // engine.block_frames
-    for _ in range(n_blocks):
+    for i in range(n_blocks):
         res = engine.process_block()
-        engine.update_session(res)
+        # recorders need every block; meters/positions at the 50 ms cadence
+        # (the pump's discipline, capi/bridge._consume — each update_session
+        # is a device->host sync, which on remote-attached TPUs costs a
+        # relay round trip per call)
+        if engine.levels.is_recording:
+            engine.levels.feed_recorders(res.outputs)
+        if i % engine._levels_every == 0:
+            engine.update_session(res, include_recorders=False)
+        else:
+            engine.accumulate_peaks(res)
     engine.levels.stop_recording()
 
     save_session(engine, args.output + ".zlsession")
