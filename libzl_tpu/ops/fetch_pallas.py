@@ -138,16 +138,14 @@ def _make_kernel(block_frames: int, region: int, slab: int = SLAB):
         slot = i % 2
         wait(slot, i)
 
-        row_ids = jax.lax.broadcasted_iota(jnp.int32, (slab, 1), 0)
+        row_ids3 = jax.lax.broadcasted_iota(jnp.int32, (1, slab, 1), 1)
         big = jnp.int32(window_rows)
 
-        def chunk_body(t, _):
+        def chunk_body(c, _):
             # chunks live on a sublane axis: dynamic indexing on the lane
             # (minor) dimension is not implemented by Mosaic for loads/stores
-            g = t // n_chunks
-            c = t % n_chunks
-            idx = pos_ref[g, c, :]                          # [CHUNK] i32
-            alpha = alpha_ref[g, c, :]                      # [CHUNK] f32
+            idx = pos_ref[:, c, :]                          # [G, CHUNK] i32
+            alpha = alpha_ref[:, c, :]                      # [G, CHUNK] f32
             valid = (idx >= 0) & (idx < window_rows - 1)
             alpha_m = jnp.where(valid, alpha, 0.0)
 
@@ -156,39 +154,49 @@ def _make_kernel(block_frames: int, region: int, slab: int = SLAB):
             # +0.2 ms/superblock (probe 5) and a dual-slab fast path for
             # small pitch spans cost +2 ms (probe 8): Mosaic cannot pipeline
             # through the scf.if, which outweighs the saved VPU work. The
-            # unconditional two-region form below is the fastest measured.
+            # weight build is batched over the whole GROUP ([G, slab, CHUNK]
+            # in one VPU op chain instead of G small ones); only the
+            # dynamic-offset slab slices and the dots stay per-voice.
             def region_dot(r):
                 lo, hi = r * region, (r + 1) * region
-                in_r = valid & (idx >= lo) & (idx < hi)
-                any_r = in_r.any()
-                # slab offset: chunk minimum, aligned down to the lane tile
-                off = jnp.min(jnp.where(in_r, idx, big))
+                in_r = valid & (idx >= lo) & (idx < hi)          # [G, CHUNK]
+                any_r = in_r.any(axis=1)                         # [G]
+                # slab offset per voice: chunk minimum, lane-tile aligned
+                off = jnp.min(jnp.where(in_r, idx, big), axis=1)  # [G]
                 off = jnp.clip((off // CHUNK) * CHUNK, lo, hi - slab)
-                off = pl.multiple_of(off, 128)
                 # hat-function weights: the linear-interp column is exactly
                 # max(1 - |(u - rel) - alpha|, 0) — (1-alpha) at u=rel,
                 # alpha at u=rel+1, 0 elsewhere; (u-rel) stays exact int
                 # math so weights match the two-tap expression to f32
                 # rounding. Invalid frames park rel far away -> all-zero
-                # column. Fewer VPU passes than building two iota-compares
-                # and scaling each (probe 11).
-                rel = jnp.where(in_r, idx - off, jnp.int32(-8 * slab))
-                d = (row_ids - rel[None, :]).astype(jnp.float32)
-                w = jnp.maximum(1.0 - jnp.abs(d - alpha_m[None, :]), 0.0)
-                slab_v = win_scratch[slot, g, :, pl.ds(off, slab)]  # [2, slab]
-                part = jax.lax.dot_general(
-                    slab_v, w,
-                    dimension_numbers=(((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST,
-                )                                            # [2, CHUNK]
-                return jnp.where(any_r, part, 0.0)
+                # column (probe 11).
+                rel = jnp.where(in_r, idx - off[:, None],
+                                jnp.int32(-8 * slab))            # [G, CHUNK]
+                d = (row_ids3 - rel[:, None, :]).astype(jnp.float32)
+                w = jnp.maximum(
+                    1.0 - jnp.abs(d - alpha_m[:, None, :]), 0.0
+                )                                                # [G,slab,CH]
+                parts = []
+                for g in range(GROUP):
+                    off_g = pl.multiple_of(off[g], 128)
+                    slab_v = win_scratch[
+                        slot, g, :, pl.ds(off_g, slab)
+                    ]                                            # [2, slab]
+                    part = jax.lax.dot_general(
+                        slab_v, w[g],
+                        dimension_numbers=(((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST,
+                    )                                            # [2, CHUNK]
+                    parts.append(part)
+                stacked = jnp.stack(parts, axis=0)               # [G,2,CHUNK]
+                return jnp.where(any_r[:, None, None], stacked, 0.0)
 
-            outc = region_dot(0) + region_dot(1)             # [2, CHUNK]
-            out_ref[g, :, c, :] = outc
+            outc = region_dot(0) + region_dot(1)                 # [G,2,CHUNK]
+            out_ref[:, :, c, :] = outc
             return 0
 
-        jax.lax.fori_loop(0, GROUP * n_chunks, chunk_body, 0, unroll=False)
+        jax.lax.fori_loop(0, n_chunks, chunk_body, 0, unroll=False)
 
     return kernel
 
