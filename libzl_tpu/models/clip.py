@@ -185,6 +185,7 @@ class ClipAudioSource:
             speed_ratio=self.speed_ratio,
             pitch_semitones=self.pitch_change,
             gain_db=self.gain_db,
+            sample_rate=self.source.sample_rate,
         )
         if self.loop_crossfade_seconds > 0:
             from ..ops.resample import bake_loop_crossfade

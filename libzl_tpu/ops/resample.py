@@ -244,8 +244,46 @@ def time_stretch(
     return result[:target].astype(np.float32)
 
 
+def resolve_stretch_backend(backend: str = "auto") -> str:
+    """Resolve the stretch backend: 'wsola' (native/zl_stretch.cpp, the
+    reference's SoundTouch-class algorithm) or 'vocoder' (the numpy phase
+    vocoder above). `auto` (overridable via LIBZL_TPU_STRETCH) picks the
+    native WSOLA when the library builds, else the vocoder."""
+    import os
+
+    choice = os.environ.get("LIBZL_TPU_STRETCH", backend or "auto").lower()
+    if choice in ("wsola", "native"):
+        return "wsola"
+    if choice in ("vocoder", "pv", "python"):
+        return "vocoder"
+    from . import stretch_native
+
+    return "wsola" if stretch_native.available() else "vocoder"
+
+
+def stretch(
+    samples: np.ndarray,
+    factor: float,
+    sample_rate: int = 48000,
+    backend: str = "auto",
+) -> np.ndarray:
+    """Time stretch [T, C] by `factor` (output duration = input * factor),
+    pitch preserved, via the resolved backend."""
+    if factor == 1.0:
+        return np.asarray(samples, np.float32)
+    if resolve_stretch_backend(backend) == "wsola":
+        from . import stretch_native
+
+        if stretch_native.available():
+            return stretch_native.time_stretch_wsola(
+                samples, factor, sample_rate
+            )
+    return time_stretch(samples, factor)
+
+
 def pitch_shift(
-    samples: np.ndarray, semitones: float, fft_size: int = 2048, hop: int = 512
+    samples: np.ndarray, semitones: float, fft_size: int = 2048,
+    hop: int = 512, sample_rate: int = 48000, backend: str = "vocoder"
 ) -> np.ndarray:
     """Pitch shift [T, C] by `semitones`, duration preserved."""
     if semitones == 0.0:
@@ -253,8 +291,10 @@ def pitch_shift(
     ratio = 2.0 ** (semitones / 12.0)
     # resample (shifts pitch by ratio, shortens by ratio), then stretch back
     shifted = linear_resample(samples, ratio)
-    out = time_stretch(shifted, samples.shape[0] / shifted.shape[0],
-                       fft_size, hop)
+    out = stretch(shifted, samples.shape[0] / shifted.shape[0],
+                  sample_rate, backend) if backend != "vocoder" else \
+        time_stretch(shifted, samples.shape[0] / shifted.shape[0],
+                     fft_size, hop)
     target = samples.shape[0]
     if out.shape[0] < target:
         out = np.pad(out, ((0, target - out.shape[0]), (0, 0)))
@@ -296,13 +336,22 @@ def render_playback(
     speed_ratio: float = 1.0,
     pitch_semitones: float = 0.0,
     gain_db: float = 0.0,
+    sample_rate: int = 48000,
+    backend: str = "auto",
 ) -> np.ndarray:
-    """Full offline render: stretch + pitch + gain -> playback buffer."""
+    """Full offline render: stretch + pitch + gain -> playback buffer.
+
+    `backend` selects the stretcher (resolve_stretch_backend): the native
+    WSOLA matches the reference's SoundTouch time-domain design
+    (CMakeLists.txt:86) and is ~an order of magnitude faster than the
+    numpy phase vocoder; both preserve durations and pitch.
+    """
     out = np.asarray(samples, np.float32)
     if speed_ratio not in (0.0, 1.0):
-        out = time_stretch(out, 1.0 / speed_ratio)
+        out = stretch(out, 1.0 / speed_ratio, sample_rate, backend)
     if pitch_semitones != 0.0:
-        out = pitch_shift(out, pitch_semitones)
+        out = pitch_shift(out, pitch_semitones, sample_rate=sample_rate,
+                          backend=backend)
     if gain_db != 0.0:
         out = (out * np.float32(10.0 ** (gain_db / 20.0))).astype(np.float32)
     return out

@@ -1,0 +1,102 @@
+"""ctypes binding for the native WSOLA stretcher (native/zl_stretch.cpp).
+
+The reference's time-stretch is tracktion's TimeStretcher with the
+SoundTouch backend (reference CMakeLists.txt:86) — a time-domain WSOLA.
+This binding exposes the native reimplementation as the fast path behind
+`ops/resample.render_playback`; the numpy phase vocoder in `ops/resample`
+remains the portable fallback (and is still selectable via
+LIBZL_TPU_STRETCH=vocoder).
+
+Builds on demand with g++ (same pattern as engine/hostcore.py) and degrades
+gracefully: `available()` is False when no compiler/library exists.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import subprocess
+from pathlib import Path
+from typing import Optional
+
+import numpy as np
+
+_NATIVE_DIR = Path(__file__).resolve().parent.parent.parent / "native"
+
+_lib: Optional[ctypes.CDLL] = None
+_load_failed = False
+
+
+def _build() -> Optional[Path]:
+    src = _NATIVE_DIR / "zl_stretch.cpp"
+    so = _NATIVE_DIR / "zl_stretch.so"
+    if not src.exists():
+        return None
+    if so.exists() and so.stat().st_mtime >= src.stat().st_mtime:
+        return so
+    try:
+        subprocess.run(
+            ["g++", "-O3", "-fPIC", "-shared", "-std=c++17",
+             "-o", str(so), str(src)],
+            check=True, capture_output=True, timeout=120,
+        )
+        return so
+    except Exception:
+        return None
+
+
+def load() -> Optional[ctypes.CDLL]:
+    global _lib, _load_failed
+    if _lib is not None or _load_failed:
+        return _lib
+    so = _build()
+    if so is None:
+        _load_failed = True
+        return None
+    try:
+        lib = ctypes.CDLL(str(so))
+        if lib.zl_stretch_abi_version() != 1:
+            raise OSError("zl_stretch ABI mismatch")
+    except OSError:
+        _load_failed = True
+        return None
+    lib.zl_stretch_out_len.restype = ctypes.c_int64
+    lib.zl_stretch_out_len.argtypes = [ctypes.c_int64, ctypes.c_double]
+    lib.zl_stretch_process.restype = ctypes.c_int64
+    lib.zl_stretch_process.argtypes = [
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_int,
+        ctypes.c_double, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+    ]
+    _lib = lib
+    return _lib
+
+
+def available() -> bool:
+    return load() is not None
+
+
+def time_stretch_wsola(
+    samples: np.ndarray, stretch: float, sample_rate: int
+) -> np.ndarray:
+    """WSOLA time stretch of [T, C] (or [T]) by `stretch` (output duration =
+    input * stretch), pitch preserved. Requires `available()`.
+    """
+    lib = load()
+    assert lib is not None, "native stretcher unavailable"
+    x = np.asarray(samples, np.float32)
+    mono_in = x.ndim == 1
+    if mono_in:
+        x = x[:, None]
+    x = np.ascontiguousarray(x)
+    n_in, n_ch = x.shape
+    n_out = int(lib.zl_stretch_out_len(n_in, float(stretch)))
+    out = np.empty((n_out, n_ch), np.float32)
+    wrote = lib.zl_stretch_process(
+        x.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        n_in, n_ch, float(stretch), int(sample_rate),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        n_out,
+    )
+    if wrote != n_out:
+        raise RuntimeError(f"zl_stretch_process failed (rc={wrote})")
+    return out[:, 0] if mono_in else out
