@@ -108,7 +108,7 @@ class AudioEngine:
         if not 1.0 <= float(max_pitch_ratio) <= 4.0:
             raise ValueError("max_pitch_ratio must be within [1.0, 4.0]")
         self.max_pitch_ratio = float(max_pitch_ratio)
-        if bank_dtype == "int16" and fetch == "windows":
+        if bank_dtype == "int16" and fetch.startswith("windows"):
             raise ValueError("the Pallas windows kernel requires a f32 bank")
         self.bank_dtype = bank_dtype
         # multi-chip: shard the voice axis over a jax.sharding.Mesh; the

@@ -97,9 +97,18 @@ def region_rows(block_frames: int, r_max: float = R_MAX) -> int:
     return ((span + SOUND_BLOCK - 1) // SOUND_BLOCK) * SOUND_BLOCK + SOUND_BLOCK
 
 
-def _make_kernel(block_frames: int, region: int, slab: int = SLAB):
+_PRECISIONS = {
+    "highest": jax.lax.Precision.HIGHEST,
+    "high": jax.lax.Precision.HIGH,
+    "default": jax.lax.Precision.DEFAULT,
+}
+
+
+def _make_kernel(block_frames: int, region: int, slab: int = SLAB,
+                 precision: str = "highest"):
     n_chunks = block_frames // CHUNK
     window_rows = 2 * region
+    dot_precision = _PRECISIONS[precision]
 
     def kernel(wa_ref, wb_ref, sound_ref, pos_ref, alpha_ref, out_ref,
                win_scratch, sems):
@@ -186,7 +195,7 @@ def _make_kernel(block_frames: int, region: int, slab: int = SLAB):
                         slab_v, w[g],
                         dimension_numbers=(((1,), (0,)), ((), ())),
                         preferred_element_type=jnp.float32,
-                        precision=jax.lax.Precision.HIGHEST,
+                        precision=dot_precision,
                     )                                            # [2, CHUNK]
                     parts.append(part)
                 stacked = jnp.stack(parts, axis=0)               # [G,2,CHUNK]
@@ -201,7 +210,9 @@ def _make_kernel(block_frames: int, region: int, slab: int = SLAB):
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("block_frames", "r_max"))
+@functools.partial(
+    jax.jit, static_argnames=("block_frames", "r_max", "precision")
+)
 def fetch_interp(
     sound_data,      # [2, N] f32 planar; N % 512 == 0, tail >= region_rows(B)
     pos_local,       # [V, B] int32 (window-relative; see module docstring)
@@ -210,6 +221,7 @@ def fetch_interp(
     win_blk_b,       # [V] int32: region B anchor (loop-reset target)
     block_frames: int = 128,
     r_max: float = R_MAX,
+    precision: str = "highest",  # dot precision: highest|high|default
 ):
     """Returns interp [V, 2, B] f32: linear-interpolated, pre-gain samples."""
     V, B = pos_local.shape
@@ -240,7 +252,7 @@ def fetch_interp(
     # windows path stays testable everywhere
     interpret = jax.default_backend() != "tpu"
     out = pl.pallas_call(
-        _make_kernel(B, region, slab_cols(r_max)),
+        _make_kernel(B, region, slab_cols(r_max), precision),
         grid_spec=grid_spec,
         out_shape=out_shape,
         interpret=interpret,

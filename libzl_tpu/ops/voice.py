@@ -259,11 +259,14 @@ def render_voices(
     g = (prog.gain[:, None] * env * prog.clip_volume[:, None]).astype(f32)
     inv_alpha = f32(1.0) - alpha
 
-    if fetch == "windows" and quirk_gain:
+    if fetch.startswith("windows") and quirk_gain:
         # the reference-exact parity expression needs the taps separately;
         # parity testing is not a hot path — use the gather fetch
         fetch = "gather"
-    if fetch == "windows":
+    if fetch.startswith("windows"):
+        # optional dot-precision suffix, probe/tuning surface:
+        # "windows:high" / "windows:default" (default highest)
+        dot_precision = fetch.partition(":")[2] or "highest"
         from .fetch_pallas import SOUND_BLOCK, fetch_interp, region_rows
 
         # window-relative addressing: segment 0 -> region A ([0, region)),
@@ -280,7 +283,7 @@ def render_voices(
         interp = fetch_interp(
             sound_data, pos_local, alpha,
             prog.win_blk_a, prog.win_blk_b, block_frames=B,
-            r_max=max_pitch_ratio,
+            r_max=max_pitch_ratio, precision=dot_precision,
         )  # [V, 2, B] planar
         l = interp[:, 0, :] * g
         r = interp[:, 1, :] * g
