@@ -73,6 +73,23 @@ def _build_parser() -> argparse.ArgumentParser:
                     help="pump pipeline depth (blocks in flight)")
     pl.add_argument("--quiet", action="store_true")
 
+    st = sub.add_parser(
+        "stretch",
+        help="offline time-stretch / pitch-shift a WAV (the tracktion "
+             "playback-render pass, without the sampler engine)",
+    )
+    st.add_argument("input")
+    st.add_argument("output")
+    st.add_argument("--speed", type=float, default=1.0,
+                    help="speed ratio (2.0 = twice as fast, half duration)")
+    st.add_argument("--pitch", type=float, default=0.0, help="semitones")
+    st.add_argument("--gain", type=float, default=0.0, help="gain dB")
+    st.add_argument("--stretch-backend", choices=["auto", "wsola", "vocoder"],
+                    default="auto",
+                    help="wsola = native/zl_stretch.cpp (SoundTouch-class), "
+                         "vocoder = numpy phase vocoder")
+    st.add_argument("--quiet", action="store_true")
+
     i = sub.add_parser("info", help="print WAV info")
     i.add_argument("input")
 
@@ -218,6 +235,34 @@ def cmd_play(args) -> int:
     return 0
 
 
+def cmd_stretch(args) -> int:
+    """Offline render only (lib/ClipAudioSource.cpp:384-402's
+    updateTempoAndPitch -> playback file, minus the engine)."""
+    from .io.wav import read_wav, write_wav
+    from .ops.resample import render_playback, resolve_stretch_backend
+
+    a = read_wav(args.input)
+    t0 = time.perf_counter()
+    out = render_playback(
+        a.samples,
+        speed_ratio=args.speed,
+        pitch_semitones=args.pitch,
+        gain_db=args.gain,
+        sample_rate=a.sample_rate,
+        backend=args.stretch_backend,
+    )
+    dt = time.perf_counter() - t0
+    write_wav(args.output, out, a.sample_rate)
+    if not args.quiet:
+        print(
+            f"{args.input}: {a.duration_seconds:.2f}s -> "
+            f"{out.shape[0] / a.sample_rate:.2f}s in {dt:.2f}s "
+            f"(backend={resolve_stretch_backend(args.stretch_backend)}) "
+            f"-> {args.output}"
+        )
+    return 0
+
+
 def cmd_info(args) -> int:
     from .io.wav import read_wav
 
@@ -265,6 +310,8 @@ def main(argv=None) -> int:
             return cmd_render(args)
         if args.command == "play":
             return cmd_play(args)
+        if args.command == "stretch":
+            return cmd_stretch(args)
         if args.command == "info":
             return cmd_info(args)
         if args.command == "thumbnail":

@@ -97,9 +97,10 @@ def region_rows(block_frames: int, r_max: float = R_MAX) -> int:
     return ((span + SOUND_BLOCK - 1) // SOUND_BLOCK) * SOUND_BLOCK + SOUND_BLOCK
 
 
+# Mosaic's dot lowering supports only HIGHEST and DEFAULT (HIGH raises
+# NotImplementedError, probe 14)
 _PRECISIONS = {
     "highest": jax.lax.Precision.HIGHEST,
-    "high": jax.lax.Precision.HIGH,
     "default": jax.lax.Precision.DEFAULT,
 }
 

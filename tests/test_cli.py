@@ -97,3 +97,29 @@ def test_cli_bad_wav_clean_exit(tmp_path):
     assert proc.returncode == 2
     assert "error:" in proc.stderr
     assert "Traceback" not in proc.stderr
+
+
+def test_stretch_subcommand(tmp_path, capsys):
+    src = tmp_path / "in.wav"
+    out = tmp_path / "out.wav"
+    make_tone(src, seconds=1.0)
+    rc = main(["stretch", str(src), str(out), "--speed", "0.5"])
+    assert rc == 0
+    a = read_wav(out)
+    # speed 0.5 doubles the duration; pitch preserved
+    assert abs(a.duration_seconds - 2.0) < 0.01
+    core = np.asarray(a.samples)[SR // 4 : -SR // 4, 0]
+    w = np.hanning(len(core))
+    peak_hz = np.argmax(np.abs(np.fft.rfft(core * w))) * SR / len(core)
+    assert abs(peak_hz - 440.0) < 5.0
+
+
+def test_stretch_backend_flag(tmp_path):
+    src = tmp_path / "in.wav"
+    make_tone(src, seconds=0.5)
+    for backend in ("wsola", "vocoder"):
+        out = tmp_path / f"out_{backend}.wav"
+        rc = main(["stretch", str(src), str(out), "--speed", "2.0",
+                   "--stretch-backend", backend, "--quiet"])
+        assert rc == 0
+        assert abs(read_wav(out).duration_seconds - 0.25) < 0.01

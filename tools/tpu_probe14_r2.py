@@ -21,7 +21,9 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-VARIANTS = ("windows", "windows:high", "windows:default", "gather")
+# Mosaic's dot lowering supports only HIGHEST and DEFAULT (HIGH raises
+# NotImplementedError on this toolchain — first probe attempt)
+VARIANTS = ("windows", "windows:default", "gather")
 
 
 def main():
