@@ -21,6 +21,7 @@ follow SyncTimer::start/stop (:870-929).
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Callable, Optional
 
 import numpy as np
@@ -83,6 +84,18 @@ class AudioEngine:
         self.block_frames = block_frames
         self.backend = backend
         self.quirk_gain = quirk_gain
+        if backend == "jax":
+            # persistent XLA compilation cache: first-block compile on a
+            # fresh process drops from tens of seconds to cache-read time
+            # (the deployment analog of tracktion's cached stretch renders
+            # — pay the compile once per kernel shape, not per boot)
+            cache_dir = os.environ.get("LIBZL_TPU_COMPILE_CACHE")
+            if cache_dir:
+                import jax
+
+                jax.config.update("jax_compilation_cache_dir", cache_dir)
+                jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                                  0.5)
         if fetch == "auto":
             # re-measured every round (NOTES_TPU_ENV.md): on the round-2
             # toolchain the Pallas streaming-window kernel beats XLA gather

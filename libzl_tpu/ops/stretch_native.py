@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import ctypes
 import subprocess
+import threading
 from pathlib import Path
 from typing import Optional
 
@@ -24,6 +25,9 @@ _NATIVE_DIR = Path(__file__).resolve().parent.parent.parent / "native"
 
 _lib: Optional[ctypes.CDLL] = None
 _load_failed = False
+# the deferred clip-render worker and direct API calls can both trigger the
+# first load; serialize the build-and-dlopen
+_load_lock = threading.Lock()
 
 
 def _build() -> Optional[Path]:
@@ -45,6 +49,14 @@ def _build() -> Optional[Path]:
 
 
 def load() -> Optional[ctypes.CDLL]:
+    global _lib, _load_failed
+    if _lib is not None or _load_failed:
+        return _lib
+    with _load_lock:
+        return _load_locked()
+
+
+def _load_locked() -> Optional[ctypes.CDLL]:
     global _lib, _load_failed
     if _lib is not None or _load_failed:
         return _lib

@@ -329,3 +329,25 @@ def test_max_pitch_ratio_option():
     with _pytest.raises(ValueError):
         AudioEngine(sample_rate=SR, backend="numpy", num_voices=8,
                     max_pitch_ratio=8.0)
+
+
+def test_compile_cache_env(tmp_path, monkeypatch):
+    """LIBZL_TPU_COMPILE_CACHE persists XLA compiles across processes (the
+    deployment fast-boot path; no-op without the env var)."""
+    import glob
+
+    import jax
+
+    monkeypatch.setenv("LIBZL_TPU_COMPILE_CACHE", str(tmp_path))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    try:
+        e = AudioEngine(sample_rate=SR, num_voices=8, backend="jax")
+        x = (0.3 * np.sin(2 * np.pi * 220 * np.arange(SR // 10) / SR)
+             ).astype(np.float32)[:, None]
+        clip = ClipAudioSource(e, audio=AudioData(x, SR))
+        clip.play(loop=True, midi_channel=0)
+        e.start_transport(bpm=120)
+        e.process_block()
+        assert len(glob.glob(str(tmp_path) + "/*")) >= 1
+    finally:
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
