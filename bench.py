@@ -138,15 +138,20 @@ def measure_live_mode(blocks: int = 300) -> dict:
         res = engine.process_block()
     jax.block_until_ready(res.outputs.master)
 
-    # chained: one sync for the whole run
-    t0 = time.perf_counter()
-    last = None
-    for _ in range(blocks):
-        last = engine.process_block()
-    jax.block_until_ready(last.outputs.master)
-    chained_dt = time.perf_counter() - t0
-    device_ms = chained_dt / blocks * 1e3
-    rt_live = blocks * LIVE_BLOCK / SAMPLE_RATE / chained_dt
+    # chained: one sync per round — best of 5 rounds (B=128 timings drift
+    # up to ~1.9x within a process, NOTES_TPU_ENV.md; the best sustained
+    # round is the device capability)
+    per_round = max(blocks // 5, 1)
+    round_ms = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        last = None
+        for _ in range(per_round):
+            last = engine.process_block()
+        jax.block_until_ready(last.outputs.master)
+        round_ms.append((time.perf_counter() - t0) / per_round * 1e3)
+    device_ms = min(round_ms)
+    rt_live = LIVE_BLOCK / SAMPLE_RATE / (device_ms * 1e-3)
 
     # synced: pay the round trip every block (what a naive pump would do)
     times = []
