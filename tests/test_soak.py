@@ -15,7 +15,14 @@ from libzl_tpu.models.clip import ClipAudioSource
 SR = 48000
 
 
-def _soak(backend, n_blocks, seed):
+def _soak(backend, n_blocks, seed, extended=False, tmp_dir=None):
+    """extended=True adds the heavier traffic classes: deferred
+    stretch/pitch re-renders (the render-worker path), recording toggles
+    and session checkpoints (requires tmp_dir)."""
+    import tempfile
+
+    if extended and tmp_dir is None:
+        tmp_dir = tempfile.mkdtemp(prefix="libzl_soak_")
     rng = np.random.default_rng(seed)
     engine = AudioEngine(sample_rate=SR, backend=backend, num_voices=24)
     engine.start_transport(bpm=120)
@@ -94,6 +101,36 @@ def _soak(backend, n_blocks, seed):
             engine.stop_transport()
         elif roll < 0.34 and not engine.transport_running:
             engine.start_transport()
+        elif extended and roll < 0.355:
+            # scheduled stretch/pitch/gain mutation: routes through
+            # _apply_clip_command's DEFERRED offline re-render (the
+            # needsRender/playbackFileChanged path + render worker + WSOLA)
+            cmd = ClipCommand.channel(clip.id, ch)
+            which = rng.random()
+            if which < 0.4:
+                cmd.change_speed = True
+                cmd.speed_ratio = float(rng.uniform(0.5, 2.0))
+            elif which < 0.8:
+                cmd.change_pitch = True
+                cmd.pitch_change = float(rng.uniform(-7, 7))
+            else:
+                cmd.change_gain_db = True
+                cmd.gain_db = float(rng.uniform(-12, 3))
+            engine.schedule_clip_command(cmd, int(rng.integers(0, 4)))
+        elif extended and roll < 0.365:
+            # recording toggles mid-flight (threaded WAV writers)
+            if engine.levels.is_recording:
+                engine.levels.stop_recording()
+            else:
+                engine.levels.set_record_global_playback(True)
+                engine.levels.set_global_playback_filename_prefix(
+                    str(tmp_dir) + "/soak-"
+                )
+                engine.levels.start_recording()
+        elif extended and roll < 0.37:
+            from libzl_tpu.models.session import save_session
+
+            save_session(engine, str(tmp_dir) + "/soak_session.json")
 
         res = engine.process_block()
         master = np.asarray(res.outputs.master)
@@ -116,6 +153,8 @@ def _soak(backend, n_blocks, seed):
         if b % 10 == 0:
             engine.update_session(res)
 
+    if engine.levels.is_recording:
+        engine.levels.stop_recording()
     # the session actually made sound for a substantial share of its life
     assert audible_blocks > n_blocks // 6
     # meters/profiling kept up
@@ -132,3 +171,9 @@ def test_soak_jax_backend():
     """Shorter run through the jit dispatch path: exercises program packing,
     the device strip cache (fuzzes invalidation), and the idle shortcut."""
     _soak("jax", 600, 99)
+
+
+def test_soak_extended_traffic(tmp_path):
+    """Deferred re-renders (render worker + WSOLA), recording toggles and
+    checkpoints under the same adversarial traffic."""
+    _soak("numpy", 1200, 4321, extended=True, tmp_dir=str(tmp_path))
