@@ -135,17 +135,31 @@ def _soak(backend, n_blocks, seed, extended=False, tmp_dir=None):
         res = engine.process_block()
         master = np.asarray(res.outputs.master)
         assert np.isfinite(master).all(), f"non-finite output at block {b}"
-        if np.abs(master).max() > 1e-4:
+        # liveness is measured PRE-strip (lane mixes): the strip fuzz can
+        # legitimately mute the global playback strip for the rest of a run
+        # (master goes silent by console state, not by engine failure)
+        if np.abs(np.asarray(res.outputs.lane_mix)).max() > 1e-4:
             audible_blocks += 1
 
         # invariants: positions stay in-range for positional/non-looping
         # voices (beat-quantized loops may legitimately play past the end of
-        # a short sound until the musical wrap, SamplerSynthVoice.cpp:231)
+        # a short sound until the musical wrap, SamplerSynthVoice.cpp:231).
+        # The bound is max(length, stop), not length: after a speed-up
+        # shrinks the playback render, the stop position (seconds into the
+        # playback file, unclamped — reference parity with
+        # SamplerSynthSound::stopPosition applied to a shorter tracktion
+        # render) can exceed the buffer; the voice then plays
+        # reference-correct silence (fetch masked past the end) until the
+        # positional wrap/stop at `stop`.
         pool = engine.pool
         act = pool.active
         assert (pool.pos_int[act] >= 0).all()
         bounded = act & ~(pool.looping & pool.beat_quantized)
-        assert (pool.pos_int[bounded] <= pool.length[bounded] + 1).all(), (
+        limit = (
+            np.maximum(pool.length[bounded], pool.stop[bounded])
+            + pool.rate_int[bounded] + 2
+        )
+        assert (pool.pos_int[bounded] <= limit).all(), (
             f"position escaped its sound at block {b}"
         )
         assert 50 <= engine.bpm <= 200
