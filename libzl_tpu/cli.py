@@ -111,7 +111,7 @@ def _build_parser() -> argparse.ArgumentParser:
 
 def cmd_render(args) -> int:
     from .engine.engine import AudioEngine
-    from .io.wav import read_wav, write_wav
+    from .io.wav import read_audio, write_wav
     from .models.clip import ClipAudioSource
 
     engine = AudioEngine(
@@ -182,10 +182,10 @@ def cmd_play(args) -> int:
     system:playback_1/2, lib/SamplerSynth.cpp:101-102; here a Sink)."""
     from .capi.bridge import EngineRuntime
     from .io.sinks import make_sink
-    from .io.wav import read_wav
+    from .io.wav import read_audio
     from .models.clip import ClipAudioSource
 
-    sample_rate = read_wav(args.input).sample_rate
+    sample_rate = read_audio(args.input).sample_rate
     runtime = EngineRuntime(
         sample_rate=sample_rate,
         block_frames=args.block_frames,
@@ -238,10 +238,10 @@ def cmd_play(args) -> int:
 def cmd_stretch(args) -> int:
     """Offline render only (lib/ClipAudioSource.cpp:384-402's
     updateTempoAndPitch -> playback file, minus the engine)."""
-    from .io.wav import read_wav, write_wav
+    from .io.wav import read_audio, write_wav
     from .ops.resample import render_playback, resolve_stretch_backend
 
-    a = read_wav(args.input)
+    a = read_audio(args.input)
     t0 = time.perf_counter()
     out = render_playback(
         a.samples,
@@ -264,9 +264,9 @@ def cmd_stretch(args) -> int:
 
 
 def cmd_info(args) -> int:
-    from .io.wav import read_wav
+    from .io.wav import read_audio
 
-    a = read_wav(args.input)
+    a = read_audio(args.input)
     print(
         f"{args.input}: {a.num_frames} frames, {a.num_channels}ch, "
         f"{a.sample_rate} Hz, {a.duration_seconds:.3f}s, "

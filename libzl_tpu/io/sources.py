@@ -42,9 +42,9 @@ class FileSource(AudioSource):
     name = "file"
 
     def __init__(self, path: str, loop: bool = True):
-        from .wav import read_wav
+        from .wav import read_audio
 
-        audio = read_wav(path)
+        audio = read_audio(path)
         data = audio.samples
         if data.ndim == 1:
             data = data[:, None]

@@ -1,9 +1,15 @@
-"""WAV file reading/writing with NumPy (no external deps).
+"""Audio file reading/writing with NumPy (no external deps).
 
 Replaces the reference's use of juce audio formats for both sample loading
-(lib/SamplerSynthSound.cpp:28-59) and disk recording (lib/AudioLevels.cpp:44-67).
-Supports PCM 16/24/32-bit and IEEE float32, mono or stereo (more channels pass
-through unchanged). All engine-internal audio is float32 in [-1, 1).
+(lib/SamplerSynthSound.cpp:28-59, formats registered at
+lib/WaveFormItem.cpp:29 registerBasicFormats) and disk recording
+(lib/AudioLevels.cpp:44-67). Read support: WAV (PCM 8/16/24/32-bit, IEEE
+float32, extensible) and AIFF/AIFC (PCM big/little-endian 'sowt', float
+'fl32'/'fl64') via `read_audio`, sniffed by container magic, not extension.
+Compressed formats (FLAC/OGG/MP3, which juce's basic formats also cover)
+are out of scope — no codec library exists in this environment; loading one
+raises with a clear message. Mono or stereo (more channels pass through
+unchanged). All engine-internal audio is float32 in [-1, 1).
 """
 
 from __future__ import annotations
@@ -99,6 +105,122 @@ def _read_wav_riff(path: Path) -> AudioData:
     else:
         raise ValueError(f"unsupported WAV format code: {audio_format}")
     return AudioData(samples.astype(np.float32), framerate)
+
+
+def _read_f80(b: bytes) -> float:
+    """80-bit IEEE 754 extended float (the AIFF COMM sampleRate field)."""
+    (se,) = struct.unpack_from(">H", b, 0)
+    (mant,) = struct.unpack_from(">Q", b, 2)
+    sign = -1.0 if se & 0x8000 else 1.0
+    exp = se & 0x7FFF
+    if exp == 0 and mant == 0:
+        return 0.0
+    return sign * mant * 2.0 ** (exp - 16383 - 63)
+
+
+def read_aiff(path: str | Path) -> AudioData:
+    """Read AIFF / AIFC to float32 [frames, channels].
+
+    Supports PCM ('NONE'/'twos' big-endian, 'sowt' little-endian) at
+    8/16/24/32 bits and float ('fl32'/'FL32'/'fl64') — the uncompressed
+    variants of juce's AiffAudioFormat."""
+    path = Path(path)
+    blob = path.read_bytes()
+    if blob[:4] != b"FORM" or blob[8:12] not in (b"AIFF", b"AIFC"):
+        raise ValueError(f"not an AIFF/AIFC file: {path}")
+    is_aifc = blob[8:12] == b"AIFC"
+    pos = 12
+    comm = None
+    ssnd = None
+    comp = b"NONE"
+    while pos + 8 <= len(blob):
+        cid = blob[pos : pos + 4]
+        (size,) = struct.unpack_from(">I", blob, pos + 4)
+        body = blob[pos + 8 : pos + 8 + size]
+        if cid == b"COMM":
+            n_channels, n_frames, bits = struct.unpack_from(">hLh", body, 0)
+            rate = _read_f80(body[8:18])
+            if is_aifc and len(body) >= 22:
+                comp = body[18:22]
+            comm = (n_channels, n_frames, bits, rate)
+        elif cid == b"SSND":
+            offset, _block = struct.unpack_from(">LL", body, 0)
+            ssnd = body[8 + offset :]
+        pos += 8 + size + (size & 1)
+    if comm is None or ssnd is None:
+        raise ValueError(f"missing COMM/SSND chunk: {path}")
+    n_channels, n_frames, bits, rate = comm
+    if comp in (b"NONE", b"twos", b"sowt"):
+        sampwidth = bits // 8
+        raw = ssnd[: n_frames * n_channels * sampwidth]
+        if comp == b"sowt":  # little-endian PCM: _decode_pcm's native order
+            if sampwidth == 1:  # AIFF 8-bit is signed (unlike WAV's u8)
+                data = (
+                    np.frombuffer(raw, np.int8).astype(np.float32) / 128.0
+                ).reshape(-1, n_channels)
+            else:
+                data = _decode_pcm(raw, sampwidth, n_channels)
+        elif sampwidth == 3:
+            b3 = np.frombuffer(raw, np.uint8).reshape(-1, 3)
+            ints = (
+                (b3[:, 0].astype(np.int32) << 16)
+                | (b3[:, 1].astype(np.int32) << 8)
+                | b3[:, 2].astype(np.int32)
+            )
+            ints = (ints ^ 0x800000) - 0x800000  # sign-extend 24-bit
+            data = (ints.astype(np.float32) / float(1 << 23)).reshape(
+                -1, n_channels
+            )
+        else:
+            dt = {1: ">i1", 2: ">i2", 4: ">i4"}.get(sampwidth)
+            if dt is None:
+                raise ValueError(f"unsupported AIFF sample width: {sampwidth}")
+            scale = float(1 << (bits - 1))
+            data = (
+                np.frombuffer(raw, dt).astype(np.float32) / scale
+            ).reshape(-1, n_channels)
+    elif comp in (b"fl32", b"FL32"):
+        data = (
+            np.frombuffer(ssnd[: n_frames * n_channels * 4], ">f4")
+            .astype(np.float32)
+            .reshape(-1, n_channels)
+        )
+    elif comp in (b"fl64", b"FL64"):
+        data = (
+            np.frombuffer(ssnd[: n_frames * n_channels * 8], ">f8")
+            .astype(np.float32)
+            .reshape(-1, n_channels)
+        )
+    else:
+        raise ValueError(
+            f"compressed AIFC ({comp!r}) is not supported — no codec "
+            f"library in this environment; convert to PCM first: {path}"
+        )
+    return AudioData(data, int(round(rate)))
+
+
+def read_audio(path: str | Path) -> AudioData:
+    """Read any supported audio file, sniffed by container magic (the
+    juce AudioFormatManager analog): RIFF/WAVE or FORM/AIFF-AIFC."""
+    path = Path(path)
+    with open(path, "rb") as f:
+        magic = f.read(12)
+    if magic[:4] == b"RIFF" and magic[8:12] == b"WAVE":
+        return read_wav(path)
+    if magic[:4] == b"FORM" and magic[8:12] in (b"AIFF", b"AIFC"):
+        return read_aiff(path)
+    if magic[:4] == b"fLaC":
+        raise ValueError(
+            f"FLAC is not supported (no codec library in this "
+            f"environment); convert to WAV/AIFF first: {path}"
+        )
+    if magic[:4] == b"OggS":
+        raise ValueError(
+            f"OGG is not supported (no codec library in this "
+            f"environment); convert to WAV/AIFF first: {path}"
+        )
+    # fall through: let the WAV parser produce its error for near-WAVs
+    return read_wav(path)
 
 
 def write_wav(

@@ -34,7 +34,7 @@ from ..constants import (
     DEFAULT_ROOT_NOTE,
     DEFAULT_SLICE_COUNT,
 )
-from ..io.wav import AudioData, read_wav
+from ..io.wav import AudioData, read_audio
 from ..ops.resample import render_playback
 from ..timebase import ticks_to_seconds
 from .fader import db_to_fader_position, fader_position_to_db
@@ -114,7 +114,7 @@ class ClipAudioSource:
         if audio is None:
             if filepath is None:
                 raise ValueError("need filepath or audio")
-            audio = read_wav(filepath)
+            audio = read_audio(filepath)
         self.id = next(_ids)
         _registry[self.id] = self
         self.engine = engine

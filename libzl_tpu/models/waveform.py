@@ -15,7 +15,7 @@ from typing import Callable, Optional
 
 import numpy as np
 
-from ..io.wav import read_wav
+from ..io.wav import read_audio
 from ..ops.thumbnail import DEFAULT_THUMB_SIZE, thumbnail_region
 
 THUMBNAIL_CACHE_SIZE = 5  # lib/WaveFormItem.cpp:22
@@ -43,7 +43,7 @@ class WaveFormItem:
         """Accepts a file path or an AudioData (setSource,
         lib/WaveFormItem.cpp:38-55)."""
         if isinstance(path_or_audio, str):
-            audio = read_wav(path_or_audio)
+            audio = read_audio(path_or_audio)
             self._source = path_or_audio
         else:
             audio = path_or_audio
