@@ -201,7 +201,9 @@ def read_aiff(path: str | Path) -> AudioData:
 
 def read_audio(path: str | Path) -> AudioData:
     """Read any supported audio file, sniffed by container magic (the
-    juce AudioFormatManager analog): RIFF/WAVE or FORM/AIFF-AIFC."""
+    juce AudioFormatManager analog): RIFF/WAVE, FORM/AIFF-AIFC natively;
+    OGG Vorbis and MP3 via system codec libraries where present
+    (io/codecs.py). FLAC has no codec library in this environment."""
     path = Path(path)
     with open(path, "rb") as f:
         magic = f.read(12)
@@ -209,16 +211,21 @@ def read_audio(path: str | Path) -> AudioData:
         return read_wav(path)
     if magic[:4] == b"FORM" and magic[8:12] in (b"AIFF", b"AIFC"):
         return read_aiff(path)
+    if magic[:4] == b"OggS":
+        from .codecs import read_ogg
+
+        return read_ogg(path)  # raises clearly when libvorbisfile absent
     if magic[:4] == b"fLaC":
         raise ValueError(
             f"FLAC is not supported (no codec library in this "
-            f"environment); convert to WAV/AIFF first: {path}"
+            f"environment); convert to WAV/AIFF/OGG first: {path}"
         )
-    if magic[:4] == b"OggS":
-        raise ValueError(
-            f"OGG is not supported (no codec library in this "
-            f"environment); convert to WAV/AIFF first: {path}"
-        )
+    if magic[:3] == b"ID3" or (
+        len(magic) >= 2 and magic[0] == 0xFF and (magic[1] & 0xE0) == 0xE0
+    ):
+        from .codecs import read_mp3
+
+        return read_mp3(path)  # raises clearly when libmpg123 absent
     # fall through: let the WAV parser produce its error for near-WAVs
     return read_wav(path)
 

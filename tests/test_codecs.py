@@ -1,0 +1,112 @@
+"""OGG Vorbis / MP3 codec bindings (io/codecs.py): roundtrips through the
+system libraries, read_audio container dispatch, clip loading, and the
+clear-error path when a codec library is absent."""
+
+import numpy as np
+import pytest
+
+from libzl_tpu.io import codecs
+from libzl_tpu.io.wav import read_audio
+
+SR = 48000
+
+
+def tone(seconds=0.5):
+    t = np.arange(int(SR * seconds)) / SR
+    return np.stack(
+        [0.5 * np.sin(2 * np.pi * 440 * t), 0.5 * np.sin(2 * np.pi * 330 * t)],
+        axis=1,
+    ).astype(np.float32)
+
+
+def _aligned_corr(decoded, original, max_lag=4000):
+    """Best correlation over decoder-delay lags (MP3 adds encoder delay)."""
+    best = -2.0
+    ref = original[:20000, 0]
+    for lag in range(0, max_lag, 4):
+        seg = decoded[lag : lag + 20000, 0]
+        if len(seg) < 20000:
+            break
+        best = max(best, float(np.corrcoef(seg, ref)[0, 1]))
+    return best
+
+
+@pytest.mark.skipif(
+    not (codecs.ogg_read_available() and codecs.ogg_write_available()),
+    reason="no system vorbis libraries",
+)
+def test_ogg_roundtrip(tmp_path):
+    x = tone()
+    p = tmp_path / "t.ogg"
+    codecs.write_ogg(p, x, SR)
+    a = codecs.read_ogg(p)
+    assert a.sample_rate == SR
+    # vorbis is sample-aligned: exact frame count, high correlation
+    assert a.samples.shape == x.shape
+    assert float(np.corrcoef(a.samples[:, 0], x[:, 0])[0, 1]) > 0.99
+
+
+@pytest.mark.skipif(
+    not (codecs.mp3_read_available() and codecs.mp3_write_available()),
+    reason="no system mp3 libraries",
+)
+def test_mp3_roundtrip(tmp_path):
+    x = tone()
+    p = tmp_path / "t.mp3"
+    codecs.write_mp3(p, x, SR)
+    a = codecs.read_mp3(p)
+    assert a.sample_rate == SR
+    assert a.samples.shape[1] == 2
+    assert _aligned_corr(a.samples, x) > 0.99
+
+
+@pytest.mark.skipif(
+    not (codecs.ogg_write_available() and codecs.mp3_write_available()),
+    reason="no system codec libraries",
+)
+def test_read_audio_dispatches_codecs(tmp_path):
+    x = tone()
+    ogg = tmp_path / "a.dat"  # wrong extensions: magic-sniffed
+    mp3 = tmp_path / "b.dat"
+    codecs.write_ogg(ogg, x, SR)
+    codecs.write_mp3(mp3, x, SR)
+    a = read_audio(ogg)
+    assert a.sample_rate == SR and a.samples.shape == x.shape
+    b = read_audio(mp3)
+    assert b.sample_rate == SR and _aligned_corr(b.samples, x) > 0.99
+
+
+@pytest.mark.skipif(
+    not codecs.ogg_write_available(), reason="no system vorbis libraries"
+)
+def test_clip_loads_ogg(tmp_path):
+    from libzl_tpu.engine.engine import AudioEngine
+    from libzl_tpu.models.clip import ClipAudioSource
+
+    p = tmp_path / "clip.ogg"
+    codecs.write_ogg(p, tone(seconds=0.2), SR)
+    e = AudioEngine(sample_rate=SR, backend="numpy", num_voices=8)
+    clip = ClipAudioSource(e, filepath=str(p))
+    clip.play(loop=False, midi_channel=0)
+    e.start_transport(bpm=120)
+    out = np.concatenate(
+        [np.asarray(e.process_block().outputs.master) for _ in range(20)]
+    )
+    assert np.abs(out).max() > 0.05
+
+
+def test_absent_codec_raises_clearly(tmp_path, monkeypatch):
+    codecs.set_codec_lib_for_testing("vorbisfile", None)
+    codecs.set_codec_lib_for_testing("mpg123", None)
+    try:
+        ogg = tmp_path / "x.ogg"
+        ogg.write_bytes(b"OggS" + b"\x00" * 64)
+        with pytest.raises(ValueError, match="OGG is not supported"):
+            read_audio(ogg)
+        mp3 = tmp_path / "x.mp3"
+        mp3.write_bytes(b"ID3" + b"\x00" * 64)
+        with pytest.raises(ValueError, match="MP3 is not supported"):
+            read_audio(mp3)
+    finally:
+        codecs._overrides.clear()
+        codecs._libs.clear()
