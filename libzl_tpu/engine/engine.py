@@ -93,9 +93,9 @@ class AudioEngine:
             if cache_dir:
                 import jax
 
+                # only the directory: thresholds (min compile time / entry
+                # size) stay whatever jax defaults or the user configured
                 jax.config.update("jax_compilation_cache_dir", cache_dir)
-                jax.config.update("jax_persistent_cache_min_compile_time_secs",
-                                  0.5)
         if fetch == "auto":
             # re-measured every round (NOTES_TPU_ENV.md): on the round-2
             # toolchain the Pallas streaming-window kernel beats XLA gather
@@ -123,6 +123,14 @@ class AudioEngine:
         self.max_pitch_ratio = float(max_pitch_ratio)
         if bank_dtype == "int16" and fetch.startswith("windows"):
             raise ValueError("the Pallas windows kernel requires a f32 bank")
+        if fetch.startswith("windows"):
+            suffix = fetch.partition(":")[2]
+            if suffix not in ("", "highest", "default"):
+                raise ValueError(
+                    f"unknown windows dot-precision suffix {suffix!r}: "
+                    f"use 'windows', 'windows:highest' or 'windows:default' "
+                    f"(Mosaic does not lower Precision.HIGH)"
+                )
         self.bank_dtype = bank_dtype
         # multi-chip: shard the voice axis over a jax.sharding.Mesh; the
         # per-lane mixdown contraction becomes a local matmul + psum over ICI

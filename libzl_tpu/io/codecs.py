@@ -154,14 +154,19 @@ def read_ogg(path: str | Path) -> AudioData:
         pcm = ctypes.POINTER(ctypes.POINTER(ctypes.c_float))()
         bitstream = ctypes.c_int(0)
         chunks = []
+        OV_HOLE = -3
         while True:
             n = vf_lib.ov_read_float(
                 vf, ctypes.byref(pcm), 4096, ctypes.byref(bitstream)
             )
             if n == 0:
                 break
-            if n < 0:  # hole in data: skip (matches vorbisfile guidance)
+            if n == OV_HOLE:  # gap in data: skip (vorbisfile guidance)
                 continue
+            if n < 0:  # OV_EBADLINK/OV_EINVAL etc. can repeat forever
+                raise ValueError(
+                    f"corrupt OGG Vorbis stream (ov_read_float={n}): {path}"
+                )
             frames = np.empty((n, channels), np.float32)
             for c in range(channels):
                 frames[:, c] = np.ctypeslib.as_array(pcm[c], shape=(n,))
@@ -363,7 +368,11 @@ def read_mp3(path: str | Path) -> AudioData:
                 )
                 continue
             if rc != _MPG123_OK:
-                break
+                # mid-stream decoder error: raise rather than silently
+                # returning a truncated clip
+                raise ValueError(
+                    f"corrupt MP3 stream (mpg123_read rc={rc}): {path}"
+                )
         data = np.frombuffer(bytes(out), "<f4")
         if not np.isfinite(data).all() or (
             data.size and np.abs(data).max() > 64.0

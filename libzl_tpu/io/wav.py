@@ -3,12 +3,13 @@
 Replaces the reference's use of juce audio formats for both sample loading
 (lib/SamplerSynthSound.cpp:28-59, formats registered at
 lib/WaveFormItem.cpp:29 registerBasicFormats) and disk recording
-(lib/AudioLevels.cpp:44-67). Read support: WAV (PCM 8/16/24/32-bit, IEEE
-float32, extensible) and AIFF/AIFC (PCM big/little-endian 'sowt', float
-'fl32'/'fl64') via `read_audio`, sniffed by container magic, not extension.
-Compressed formats (FLAC/OGG/MP3, which juce's basic formats also cover)
-are out of scope — no codec library exists in this environment; loading one
-raises with a clear message. Mono or stereo (more channels pass through
+(lib/AudioLevels.cpp:44-67). Read support via `read_audio` (sniffed by
+container magic, not extension): WAV (PCM 8/16/24/32-bit, IEEE float32,
+extensible) and AIFF/AIFC (PCM big/little-endian 'sowt', float
+'fl32'/'fl64') parsed natively here; OGG Vorbis and MP3 through the system
+codec libraries where present (io/codecs.py, gated like the ALSA binding).
+FLAC has no codec library in this environment; loading one raises with a
+clear convert-first message. Mono or stereo (more channels pass through
 unchanged). All engine-internal audio is float32 in [-1, 1).
 """
 
@@ -151,7 +152,11 @@ def read_aiff(path: str | Path) -> AudioData:
         raise ValueError(f"missing COMM/SSND chunk: {path}")
     n_channels, n_frames, bits, rate = comm
     if comp in (b"NONE", b"twos", b"sowt"):
-        sampwidth = bits // 8
+        # sampleSize may be any 1..32 bits (AIFF-C spec); samples are
+        # left-justified in ceil(bits/8) bytes, so decoding at the storage
+        # width with a storage-width scale is exact (e.g. 20-bit in 3 bytes
+        # decodes as 24-bit)
+        sampwidth = (bits + 7) // 8
         raw = ssnd[: n_frames * n_channels * sampwidth]
         if comp == b"sowt":  # little-endian PCM: _decode_pcm's native order
             if sampwidth == 1:  # AIFF 8-bit is signed (unlike WAV's u8)
@@ -175,7 +180,7 @@ def read_aiff(path: str | Path) -> AudioData:
             dt = {1: ">i1", 2: ">i2", 4: ">i4"}.get(sampwidth)
             if dt is None:
                 raise ValueError(f"unsupported AIFF sample width: {sampwidth}")
-            scale = float(1 << (bits - 1))
+            scale = float(1 << (8 * sampwidth - 1))
             data = (
                 np.frombuffer(raw, dt).astype(np.float32) / scale
             ).reshape(-1, n_channels)

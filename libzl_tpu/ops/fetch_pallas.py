@@ -222,7 +222,7 @@ def fetch_interp(
     win_blk_b,       # [V] int32: region B anchor (loop-reset target)
     block_frames: int = 128,
     r_max: float = R_MAX,
-    precision: str = "highest",  # dot precision: highest|high|default
+    precision: str = "highest",  # dot precision: highest|default (probe 14)
 ):
     """Returns interp [V, 2, B] f32: linear-interpolated, pre-gain samples."""
     V, B = pos_local.shape

@@ -247,17 +247,27 @@ def time_stretch(
 def resolve_stretch_backend(backend: str = "auto") -> str:
     """Resolve the stretch backend: 'wsola' (native/zl_stretch.cpp, the
     reference's SoundTouch-class algorithm) or 'vocoder' (the numpy phase
-    vocoder above). `auto` (overridable via LIBZL_TPU_STRETCH) picks the
-    native WSOLA when the library builds, else the vocoder."""
+    vocoder above). An explicit `backend` wins; LIBZL_TPU_STRETCH overrides
+    only the 'auto' default, which picks the native WSOLA when the library
+    builds, else the vocoder. Requesting 'wsola' explicitly on a host where
+    it cannot build raises instead of silently substituting."""
     import os
 
-    choice = os.environ.get("LIBZL_TPU_STRETCH", backend or "auto").lower()
+    from . import stretch_native
+
+    choice = (backend or "auto").lower()
+    if choice == "auto":
+        choice = os.environ.get("LIBZL_TPU_STRETCH", "auto").lower()
     if choice in ("wsola", "native"):
+        if not stretch_native.available():
+            raise ValueError(
+                "stretch backend 'wsola' requested but the native "
+                "stretcher is unavailable (no compiler?); use 'auto' or "
+                "'vocoder'"
+            )
         return "wsola"
     if choice in ("vocoder", "pv", "python"):
         return "vocoder"
-    from . import stretch_native
-
     return "wsola" if stretch_native.available() else "vocoder"
 
 
@@ -274,10 +284,7 @@ def stretch(
     if resolve_stretch_backend(backend) == "wsola":
         from . import stretch_native
 
-        if stretch_native.available():
-            return stretch_native.time_stretch_wsola(
-                samples, factor, sample_rate
-            )
+        return stretch_native.time_stretch_wsola(samples, factor, sample_rate)
     return time_stretch(samples, factor)
 
 

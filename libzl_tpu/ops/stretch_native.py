@@ -101,6 +101,10 @@ def time_stretch_wsola(
         x = x[:, None]
     x = np.ascontiguousarray(x)
     n_in, n_ch = x.shape
+    if n_in == 0:
+        # match the vocoder's empty-input contract: one silent frame
+        out = np.zeros((1, n_ch), np.float32)
+        return out[:, 0] if mono_in else out
     n_out = int(lib.zl_stretch_out_len(n_in, float(stretch)))
     out = np.empty((n_out, n_ch), np.float32)
     wrote = lib.zl_stretch_process(

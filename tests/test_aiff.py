@@ -114,3 +114,22 @@ def test_compressed_formats_raise_clearly(tmp_path):
     aifc.write_bytes(b"FORM" + struct.pack(">I", len(body)) + body)
     with pytest.raises(ValueError, match="compressed AIFC"):
         read_audio(aifc)
+
+
+def test_aiff_20bit_left_justified(tmp_path):
+    """sampleSize need not be a multiple of 8 (AIFF-C spec): 20-bit samples
+    store left-justified in 3 bytes and must decode at the storage width."""
+    x = tone(seconds=0.05, channels=1)
+    n_frames = x.shape[0]
+    ints24 = (np.clip(x[:, 0], -1, 1) * (1 << 19)).astype(np.int32) << 4
+    raw = bytearray()
+    for v in ints24.tolist():
+        raw += int(v & 0xFFFFFF).to_bytes(3, "big")
+    comm = struct.pack(">hLh", 1, n_frames, 20) + _f80(SR)
+    ssnd = struct.pack(">LL", 0, 0) + bytes(raw)
+    body = b"AIFF" + _chunk(b"COMM", comm) + _chunk(b"SSND", ssnd)
+    p = tmp_path / "t20.aiff"
+    p.write_bytes(b"FORM" + struct.pack(">I", len(body)) + body)
+    a = read_aiff(p)
+    assert a.samples.shape == (n_frames, 1)
+    np.testing.assert_allclose(a.samples[:, 0], x[:, 0], atol=3e-6)

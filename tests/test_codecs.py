@@ -41,9 +41,11 @@ def test_ogg_roundtrip(tmp_path):
     codecs.write_ogg(p, x, SR)
     a = codecs.read_ogg(p)
     assert a.sample_rate == SR
-    # vorbis is sample-aligned: exact frame count, high correlation
+    # vorbis is sample-aligned: exact frame count; correlate the core
+    # region (the lossy codec's warm-up/tail transients are off-model)
     assert a.samples.shape == x.shape
-    assert float(np.corrcoef(a.samples[:, 0], x[:, 0])[0, 1]) > 0.99
+    core = slice(4096, -4096)
+    assert float(np.corrcoef(a.samples[core, 0], x[core, 0])[0, 1]) > 0.99
 
 
 @pytest.mark.skipif(

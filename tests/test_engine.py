@@ -339,6 +339,7 @@ def test_compile_cache_env(tmp_path, monkeypatch):
     import jax
 
     monkeypatch.setenv("LIBZL_TPU_COMPILE_CACHE", str(tmp_path))
+    old_dir = jax.config.jax_compilation_cache_dir
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     try:
         e = AudioEngine(sample_rate=SR, num_voices=8, backend="jax")
@@ -351,3 +352,10 @@ def test_compile_cache_env(tmp_path, monkeypatch):
         assert len(glob.glob(str(tmp_path) + "/*")) >= 1
     finally:
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_compilation_cache_dir", old_dir)
+
+
+def test_windows_precision_suffix_validated():
+    with pytest.raises(ValueError, match="windows"):
+        AudioEngine(sample_rate=SR, num_voices=8, backend="jax",
+                    fetch="windows:hi")

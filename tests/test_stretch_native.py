@@ -102,10 +102,28 @@ def test_transients_stay_impulsive():
 def test_backend_resolution(monkeypatch):
     monkeypatch.delenv("LIBZL_TPU_STRETCH", raising=False)
     assert resolve_stretch_backend("auto") == "wsola"
+    # env overrides only the auto default
     monkeypatch.setenv("LIBZL_TPU_STRETCH", "vocoder")
     assert resolve_stretch_backend("auto") == "vocoder"
+    # an explicit argument beats the env var
+    assert resolve_stretch_backend("wsola") == "wsola"
     monkeypatch.setenv("LIBZL_TPU_STRETCH", "wsola")
-    assert resolve_stretch_backend("vocoder") == "wsola"
+    assert resolve_stretch_backend("vocoder") == "vocoder"
+
+
+def test_explicit_wsola_unavailable_raises(monkeypatch):
+    monkeypatch.delenv("LIBZL_TPU_STRETCH", raising=False)
+    monkeypatch.setattr(sn, "available", lambda: False)
+    with pytest.raises(ValueError, match="wsola"):
+        resolve_stretch_backend("wsola")
+    # auto falls back silently
+    assert resolve_stretch_backend("auto") == "vocoder"
+
+
+def test_wsola_empty_input_matches_vocoder_contract():
+    out = sn.time_stretch_wsola(np.zeros((0, 2), np.float32), 1.5, SR)
+    assert out.shape == (1, 2)
+    assert not out.any()
 
 
 def test_stretch_dispatcher_uses_wsola(monkeypatch):
