@@ -221,10 +221,9 @@ def read_audio(path: str | Path) -> AudioData:
 
         return read_ogg(path)  # raises clearly when libvorbisfile absent
     if magic[:4] == b"fLaC":
-        raise ValueError(
-            f"FLAC is not supported (no codec library in this "
-            f"environment); convert to WAV/AIFF/OGG first: {path}"
-        )
+        from .flac import read_flac
+
+        return read_flac(path)  # raises clearly if the decoder can't build
     if magic[:3] == b"ID3" or (
         len(magic) >= 2 and magic[0] == 0xFF and (magic[1] & 0xE0) == 0xE0
     ):

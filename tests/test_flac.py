@@ -1,0 +1,122 @@
+"""FLAC codec (io/flac.py + native/zl_flac.cpp): lossless roundtrips.
+
+The encoder (pure Python, spec-derived) and decoder (native C++,
+spec-derived) are independent implementations of RFC 9639; every test
+asserts BIT-EXACT roundtrips, which a matched pair of misreadings would
+almost certainly break structurally. Covers: FIXED and LPC predictors,
+partition orders 0-3, escape (raw-bits) partitions, wasted bits, all four
+stereo decorrelation modes, CONSTANT/silence, odd tail blocks, and the
+read_audio dispatch.
+"""
+
+import numpy as np
+import pytest
+
+from libzl_tpu.io import flac
+from libzl_tpu.io.wav import read_audio
+
+SR = 48000
+
+pytestmark = pytest.mark.skipif(
+    not flac.available(), reason="native FLAC decoder unavailable (no g++?)"
+)
+
+
+def material(seconds=0.6, channels=2, seed=3):
+    rng = np.random.default_rng(seed)
+    n = int(SR * seconds)
+    t = np.arange(n) / SR
+    chans = [
+        0.5 * np.sin(2 * np.pi * (330 + 110 * c) * t)
+        + 0.02 * rng.standard_normal(n)
+        for c in range(channels)
+    ]
+    return np.stack(chans, axis=1).astype(np.float32)
+
+
+def as_pcm(x):
+    return np.clip(np.round(np.asarray(x) * 32768.0), -32768, 32767).astype(
+        np.int32
+    )
+
+
+def roundtrip(tmp_path, x, **kw):
+    p = tmp_path / "t.flac"
+    flac.write_flac(p, x, SR, **kw)
+    a = flac.read_flac(p)
+    assert a.sample_rate == SR
+    assert a.samples.shape == x.shape
+    np.testing.assert_array_equal(as_pcm(a.samples), as_pcm(x))
+    return p
+
+
+@pytest.mark.parametrize("mode", [
+    "independent", "mid-side", "left-side", "right-side",
+])
+def test_stereo_modes_lossless(tmp_path, mode):
+    roundtrip(tmp_path, material(), stereo_mode=mode)
+
+
+@pytest.mark.parametrize("predictor,po", [
+    ("fixed", 0), ("fixed", 2), ("lpc", 0), ("lpc", 3),
+])
+def test_predictors_and_partitions(tmp_path, predictor, po):
+    roundtrip(tmp_path, material(), predictor=predictor, partition_order=po)
+
+
+def test_lpc_compresses_better_than_fixed(tmp_path):
+    x = material(seconds=1.0)
+    p_fixed = tmp_path / "f.flac"
+    p_lpc = tmp_path / "l.flac"
+    flac.write_flac(p_fixed, x, SR, predictor="fixed")
+    flac.write_flac(p_lpc, x, SR, predictor="lpc")
+    assert p_lpc.stat().st_size < p_fixed.stat().st_size < x.nbytes // 2
+
+
+def test_wasted_bits(tmp_path):
+    # samples are multiples of 16: four common trailing zero bits
+    x = (np.round(material() * 2048.0) * 16.0 / 32768.0).astype(np.float32)
+    roundtrip(tmp_path, x, predictor="lpc")
+
+
+def test_escape_partitions(tmp_path, monkeypatch):
+    monkeypatch.setattr(flac, "_ESCAPE_QUOTIENT_LIMIT", 0)
+    roundtrip(tmp_path, material(), partition_order=2)
+
+
+def test_silence_and_mono_and_odd_tail(tmp_path):
+    roundtrip(tmp_path, np.zeros((10000, 2), np.float32))
+    roundtrip(tmp_path, material(channels=1))
+    # length deliberately not a multiple of the block size
+    roundtrip(tmp_path, material(seconds=0.171))
+
+
+def test_read_audio_dispatches_flac(tmp_path):
+    x = material()
+    p = tmp_path / "clip.dat"  # wrong extension: magic-sniffed
+    flac.write_flac(p, x, SR)
+    a = read_audio(p)
+    np.testing.assert_array_equal(as_pcm(a.samples), as_pcm(x))
+
+
+def test_clip_loads_flac(tmp_path):
+    from libzl_tpu.engine.engine import AudioEngine
+    from libzl_tpu.models.clip import ClipAudioSource
+
+    p = tmp_path / "clip.flac"
+    flac.write_flac(p, material(seconds=0.2), SR)
+    e = AudioEngine(sample_rate=SR, backend="numpy", num_voices=8)
+    clip = ClipAudioSource(e, filepath=str(p))
+    clip.play(loop=False, midi_channel=0)
+    e.start_transport(bpm=120)
+    out = np.concatenate(
+        [np.asarray(e.process_block().outputs.master) for _ in range(20)]
+    )
+    assert np.abs(out).max() > 0.05
+
+
+def test_corrupt_flac_raises(tmp_path):
+    p = tmp_path / "bad.flac"
+    p.write_bytes(b"fLaC" + b"\x00" * 64)
+    with pytest.raises(ValueError):
+        flac.read_flac(p)
