@@ -90,7 +90,16 @@ def _build_parser() -> argparse.ArgumentParser:
                          "vocoder = numpy phase vocoder")
     st.add_argument("--quiet", action="store_true")
 
-    i = sub.add_parser("info", help="print WAV info")
+    cv = sub.add_parser(
+        "convert",
+        help="convert between audio formats (wav/aiff in; wav/flac/ogg/mp3 "
+             "out by extension)",
+    )
+    cv.add_argument("input")
+    cv.add_argument("output")
+    cv.add_argument("--quiet", action="store_true")
+
+    i = sub.add_parser("info", help="print audio file info")
     i.add_argument("input")
 
     th = sub.add_parser(
@@ -263,6 +272,35 @@ def cmd_stretch(args) -> int:
     return 0
 
 
+def cmd_convert(args) -> int:
+    from .io.wav import read_audio, write_wav
+
+    a = read_audio(args.input)
+    suffix = args.output.rsplit(".", 1)[-1].lower()
+    if suffix == "flac":
+        from .io.flac import write_flac
+
+        write_flac(args.output, a.samples, a.sample_rate)
+    elif suffix == "ogg":
+        from .io.codecs import write_ogg
+
+        write_ogg(args.output, a.samples, a.sample_rate)
+    elif suffix == "mp3":
+        from .io.codecs import write_mp3
+
+        write_mp3(args.output, a.samples, a.sample_rate)
+    else:
+        write_wav(args.output, a.samples, a.sample_rate)
+    if not args.quiet:
+        import os
+
+        print(
+            f"{args.input} ({a.duration_seconds:.2f}s) -> {args.output} "
+            f"({os.path.getsize(args.output)} bytes)"
+        )
+    return 0
+
+
 def cmd_info(args) -> int:
     from .io.wav import read_audio
 
@@ -312,6 +350,8 @@ def main(argv=None) -> int:
             return cmd_play(args)
         if args.command == "stretch":
             return cmd_stretch(args)
+        if args.command == "convert":
+            return cmd_convert(args)
         if args.command == "info":
             return cmd_info(args)
         if args.command == "thumbnail":

@@ -123,3 +123,22 @@ def test_stretch_backend_flag(tmp_path):
                    "--stretch-backend", backend, "--quiet"])
         assert rc == 0
         assert abs(read_wav(out).duration_seconds - 0.25) < 0.01
+
+
+def test_convert_roundtrip(tmp_path):
+    from libzl_tpu.io import flac
+
+    src = tmp_path / "in.wav"
+    make_tone(src, seconds=0.3)
+    out_flac = tmp_path / "out.flac"
+    rc = main(["convert", str(src), str(out_flac), "--quiet"])
+    assert rc == 0
+    back = tmp_path / "back.wav"
+    rc = main(["convert", str(out_flac), str(back), "--quiet"])
+    assert rc == 0
+    a = read_wav(src)
+    b = read_wav(back)
+    # wav(16-bit) -> flac -> wav(16-bit) is lossless
+    np.testing.assert_allclose(
+        np.asarray(a.samples), np.asarray(b.samples), atol=4e-5
+    )
