@@ -92,8 +92,8 @@ def _build_parser() -> argparse.ArgumentParser:
 
     cv = sub.add_parser(
         "convert",
-        help="convert between audio formats (wav/aiff in; wav/flac/ogg/mp3 "
-             "out by extension)",
+        help="convert between audio formats (wav/aiff/flac/ogg/mp3 in, "
+             "magic-sniffed; wav/flac/ogg/mp3 out by extension)",
     )
     cv.add_argument("input")
     cv.add_argument("output")
@@ -289,8 +289,14 @@ def cmd_convert(args) -> int:
         from .io.codecs import write_mp3
 
         write_mp3(args.output, a.samples, a.sample_rate)
-    else:
+    elif suffix in ("wav", "wave"):
         write_wav(args.output, a.samples, a.sample_rate)
+    else:
+        print(
+            f"error: unsupported output format {suffix!r} "
+            f"(use .wav/.flac/.ogg/.mp3)", file=sys.stderr,
+        )
+        return 2
     if not args.quiet:
         import os
 

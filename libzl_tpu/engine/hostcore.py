@@ -9,13 +9,9 @@ tests/test_hostcore.py asserts bitwise agreement.
 from __future__ import annotations
 
 import ctypes
-import subprocess
-from pathlib import Path
 from typing import Optional
 
 import numpy as np
-
-_NATIVE_DIR = Path(__file__).resolve().parent.parent.parent / "native"
 
 NUM_INT_COLS = 20
 NUM_F32_COLS = 15
@@ -67,37 +63,17 @@ class _State(ctypes.Structure):
 
 
 _lib: Optional[ctypes.CDLL] = None
-_load_failed = False
-
-
-def _build() -> Optional[Path]:
-    so = _NATIVE_DIR / "zl_hostcore.so"
-    src = _NATIVE_DIR / "zl_hostcore.cpp"
-    if so.exists() and so.stat().st_mtime >= src.stat().st_mtime:
-        return so
-    try:
-        subprocess.run(
-            ["g++", "-O2", "-fPIC", "-shared", "-std=c++17",
-             "-o", str(so), str(src)],
-            check=True, capture_output=True, timeout=120,
-        )
-        return so
-    except Exception:
-        return None
 
 
 def load() -> Optional[ctypes.CDLL]:
     """Load (building if needed) the native core; None if unavailable."""
-    global _lib, _load_failed
-    if _lib is not None or _load_failed:
+    global _lib
+    if _lib is not None:
         return _lib
-    so = _build()
-    if so is None:
-        _load_failed = True
-        return None
-    lib = ctypes.CDLL(str(so))
-    if lib.zl_hostcore_abi_version() != 1:
-        _load_failed = True
+    from .._native import load_native
+
+    lib = load_native("zl_hostcore", "zl_hostcore_abi_version", 1)
+    if lib is None:
         return None
     lib.zl_voice_update.restype = ctypes.c_int64
     lib.zl_voice_update.argtypes = [

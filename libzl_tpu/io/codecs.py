@@ -272,11 +272,13 @@ def write_ogg(
         if n > 0:
             buf = vb.vorbis_analysis_buffer(vd, n)
             for c in range(channels):
-                ctypes.memmove(
-                    buf[c],
-                    np.ascontiguousarray(x[pos : pos + n, c]).ctypes.data,
-                    n * 4,
-                )
+                # keep the contiguous copy referenced until memmove returns:
+                # `arr.ctypes.data` alone drops the temporary's last
+                # reference before the call (use-after-free, process-
+                # dependent corruption)
+                col = np.ascontiguousarray(x[pos : pos + n, c])
+                ctypes.memmove(buf[c], col.ctypes.data, n * 4)
+                del col
         vb.vorbis_analysis_wrote(vd, n)
         while vb.vorbis_analysis_blockout(vd, vblk) == 1:
             vb.vorbis_analysis(vblk, None)

@@ -20,8 +20,6 @@ from __future__ import annotations
 
 import ctypes
 import struct
-import subprocess
-import threading
 from pathlib import Path
 from typing import Optional
 
@@ -29,62 +27,31 @@ import numpy as np
 
 from .wav import AudioData
 
-_NATIVE_DIR = Path(__file__).resolve().parent.parent.parent / "native"
-
 _lib: Optional[ctypes.CDLL] = None
-_load_failed = False
-_load_lock = threading.Lock()
-
-
-def _build() -> Optional[Path]:
-    src = _NATIVE_DIR / "zl_flac.cpp"
-    so = _NATIVE_DIR / "zl_flac.so"
-    if not src.exists():
-        return None
-    if so.exists() and so.stat().st_mtime >= src.stat().st_mtime:
-        return so
-    try:
-        subprocess.run(
-            ["g++", "-O2", "-fPIC", "-shared", "-std=c++17",
-             "-o", str(so), str(src)],
-            check=True, capture_output=True, timeout=120,
-        )
-        return so
-    except Exception:
-        return None
 
 
 def load() -> Optional[ctypes.CDLL]:
-    global _lib, _load_failed
-    if _lib is not None or _load_failed:
+    global _lib
+    if _lib is not None:
         return _lib
-    with _load_lock:
-        if _lib is not None or _load_failed:
-            return _lib
-        so = _build()
-        if so is None:
-            _load_failed = True
-            return None
-        try:
-            lib = ctypes.CDLL(str(so))
-            if lib.zl_flac_abi_version() != 1:
-                raise OSError("zl_flac ABI mismatch")
-        except OSError:
-            _load_failed = True
-            return None
-        lib.zl_flac_probe.restype = ctypes.c_int
-        lib.zl_flac_probe.argtypes = [
-            ctypes.c_char_p, ctypes.c_int64,
-            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
-            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int64),
-        ]
-        lib.zl_flac_decode.restype = ctypes.c_int64
-        lib.zl_flac_decode.argtypes = [
-            ctypes.c_char_p, ctypes.c_int64,
-            ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
-        ]
-        _lib = lib
-        return _lib
+    from .._native import load_native
+
+    lib = load_native("zl_flac", "zl_flac_abi_version", 1)
+    if lib is None:
+        return None
+    lib.zl_flac_probe.restype = ctypes.c_int
+    lib.zl_flac_probe.argtypes = [
+        ctypes.c_char_p, ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int64),
+    ]
+    lib.zl_flac_decode.restype = ctypes.c_int64
+    lib.zl_flac_decode.argtypes = [
+        ctypes.c_char_p, ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+    ]
+    _lib = lib
+    return _lib
 
 
 def available() -> bool:
@@ -172,7 +139,20 @@ def _crc16(data: bytes) -> int:
 
 
 def _utf8_number(n: int) -> bytes:
-    return chr(n).encode("utf-8")
+    """FLAC's UTF-8-like coded number (RFC 9639 §9.1.5): the UTF-8 framing
+    with no surrogate gap and widths up to 36 bits — chr().encode() would
+    reject 0xD800-0xDFFF and anything past 0x10FFFF."""
+    if n < 0x80:
+        return bytes([n])
+    for k, prefix, bits in ((1, 0xC0, 11), (2, 0xE0, 16), (3, 0xF0, 21),
+                            (4, 0xF8, 26), (5, 0xFC, 31), (6, 0xFE, 36)):
+        if n < (1 << bits):
+            lead_bits = bits - 6 * k
+            out = [prefix | ((n >> (6 * k)) & ((1 << lead_bits) - 1))]
+            for i in range(k - 1, -1, -1):
+                out.append(0x80 | ((n >> (6 * i)) & 0x3F))
+            return bytes(out)
+    raise ValueError(f"coded number out of range: {n}")
 
 
 # quotient cap above which a partition is written as an escape (raw bits)

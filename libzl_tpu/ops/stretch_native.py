@@ -14,62 +14,21 @@ gracefully: `available()` is False when no compiler/library exists.
 from __future__ import annotations
 
 import ctypes
-import subprocess
-import threading
-from pathlib import Path
 from typing import Optional
 
 import numpy as np
 
-_NATIVE_DIR = Path(__file__).resolve().parent.parent.parent / "native"
-
 _lib: Optional[ctypes.CDLL] = None
-_load_failed = False
-# the deferred clip-render worker and direct API calls can both trigger the
-# first load; serialize the build-and-dlopen
-_load_lock = threading.Lock()
-
-
-def _build() -> Optional[Path]:
-    src = _NATIVE_DIR / "zl_stretch.cpp"
-    so = _NATIVE_DIR / "zl_stretch.so"
-    if not src.exists():
-        return None
-    if so.exists() and so.stat().st_mtime >= src.stat().st_mtime:
-        return so
-    try:
-        subprocess.run(
-            ["g++", "-O3", "-fPIC", "-shared", "-std=c++17",
-             "-o", str(so), str(src)],
-            check=True, capture_output=True, timeout=120,
-        )
-        return so
-    except Exception:
-        return None
 
 
 def load() -> Optional[ctypes.CDLL]:
-    global _lib, _load_failed
-    if _lib is not None or _load_failed:
+    global _lib
+    if _lib is not None:
         return _lib
-    with _load_lock:
-        return _load_locked()
+    from .._native import load_native
 
-
-def _load_locked() -> Optional[ctypes.CDLL]:
-    global _lib, _load_failed
-    if _lib is not None or _load_failed:
-        return _lib
-    so = _build()
-    if so is None:
-        _load_failed = True
-        return None
-    try:
-        lib = ctypes.CDLL(str(so))
-        if lib.zl_stretch_abi_version() != 1:
-            raise OSError("zl_stretch ABI mismatch")
-    except OSError:
-        _load_failed = True
+    lib = load_native("zl_stretch", "zl_stretch_abi_version", 1, opt="-O3")
+    if lib is None:
         return None
     lib.zl_stretch_out_len.restype = ctypes.c_int64
     lib.zl_stretch_out_len.argtypes = [ctypes.c_int64, ctypes.c_double]

@@ -142,7 +142,7 @@ bool decode_subframe(BitReader& br, int64_t* sig, int blocksize, int bps) {
         for (int i = 0; i < order; ++i) sig[i] = br.bits_s(bps);  // warmup
         if (is_lpc) {
             int precision = br.bits_u(4) + 1;
-            if (precision > 15 + 1) { /* 0b1111 is invalid */ }
+            if (precision == 16) return false;  // code 0b1111 is invalid
             shift = (int)br.bits_s(5);
             if (shift < 0) return false;
             for (int i = 0; i < order; ++i)
@@ -267,10 +267,15 @@ int64_t zl_flac_decode(const uint8_t* data, int64_t size, float* out,
     int64_t frames_out = 0;
 
     while (br.byte + 2 <= br.size) {
-        // sync code 0b11111111_111110xx
+        // sync code 0b11111111_111110xx. Non-frame trailing bytes after at
+        // least one decoded frame (appended tags on unknown-length streams)
+        // end the decode instead of failing it.
         uint32_t sync = br.bits_u(14);
         if (br.error) break;
-        if (sync != 0x3FFE) return -3;
+        if (sync != 0x3FFE) {
+            if (frames_out > 0) break;
+            return -3;
+        }
         br.bits_u(1);                       // reserved
         br.bits_u(1);                       // blocking strategy
         uint32_t bs_code = br.bits_u(4);
@@ -311,6 +316,7 @@ int64_t zl_flac_decode(const uint8_t* data, int64_t size, float* out,
         br.bits_u(8);  // CRC-8 (not verified)
         if (br.error) return -8;
 
+        if (ch_code > 10) return -12;  // 11-15 are reserved
         int nch = ch_code < 8 ? (int)ch_code + 1 : 2;
         if (nch != C) return -9;
         for (int c = 0; c < C; ++c)

@@ -120,3 +120,14 @@ def test_corrupt_flac_raises(tmp_path):
     p.write_bytes(b"fLaC" + b"\x00" * 64)
     with pytest.raises(ValueError):
         flac.read_flac(p)
+
+
+def test_coded_number_framing():
+    """FLAC's coded number is UTF-8 framing WITHOUT the surrogate gap: it
+    must agree with UTF-8 below the gap and not raise inside/above it."""
+    for n in (0, 0x7F, 0x80, 0x7FF, 0x800, 0xD7FF, 0xFFFF, 0x10FFFF):
+        if n < 0xD800:
+            assert flac._utf8_number(n) == chr(n).encode("utf-8")
+    assert flac._utf8_number(0xD800) == b"\xed\xa0\x80"
+    assert len(flac._utf8_number((1 << 31) - 1)) == 6
+    assert len(flac._utf8_number((1 << 36) - 1)) == 7
