@@ -19,11 +19,16 @@ import numpy as np
 from ..constants import RECORDER_BIT_DEPTH, RECORDER_FIFO_SAMPLES
 
 
+_COMPRESSED_SUFFIXES = (".flac", ".ogg", ".mp3")
+
+
 def timestamped_filename(prefix: str, suffix: str = ".wav") -> str:
     """Reference naming rule: the prefix is used verbatim when it already
     ends in .wav, otherwise a timestamp is appended
-    (lib/AudioLevels.cpp:539-547)."""
-    if prefix.endswith(".wav"):
+    (lib/AudioLevels.cpp:539-547). Extended beyond the reference: a prefix
+    ending in .flac/.ogg/.mp3 is also used verbatim and selects that
+    recording format (see DiskRecorder)."""
+    if prefix.endswith((".wav",) + _COMPRESSED_SUFFIXES):
         return prefix
     stamp = time.strftime("%Y%m%d-%H%M") + f"{time.time() % 60:06.3f}"
     return f"{prefix}{stamp}{suffix}"
@@ -37,6 +42,8 @@ class DiskRecorder:
         self._queue: Optional[queue.Queue] = None
         self._thread: Optional[threading.Thread] = None
         self._file: Optional[Path] = None
+        self._convert_to: Optional[Path] = None
+        self._wav_path: Optional[Path] = None
         self._wave = None
         self._recording = False
         self.frames_written = 0
@@ -70,7 +77,16 @@ class DiskRecorder:
         path = Path(path)
         path.parent.mkdir(parents=True, exist_ok=True)
         self._file = path
-        self._wave = wave.open(str(path), "wb")
+        # compressed targets (beyond the reference's WAV-only recorder):
+        # stream realtime audio to a sidecar WAV, transcode when the take
+        # ends (the writer thread does it post-roll; see _run)
+        self._convert_to: Optional[Path] = None
+        wav_path = path
+        if path.suffix.lower() in _COMPRESSED_SUFFIXES:
+            self._convert_to = path
+            wav_path = path.parent / (path.name + ".part.wav")
+        self._wave = wave.open(str(wav_path), "wb")
+        self._wav_path = wav_path
         self._wave.setnchannels(channels)
         self._wave.setsampwidth(self.bit_depth // 8)
         self._wave.setframerate(int(sample_rate))
@@ -112,7 +128,9 @@ class DiskRecorder:
         except queue.Full:
             pass  # writer is wedged; the join below times out, thread is daemon
         if self._thread is not None:
-            self._thread.join(timeout=10.0)
+            # generous: compressed targets transcode post-roll on this
+            # thread (FLAC of a long take can run tens of seconds)
+            self._thread.join(timeout=60.0)
         self._thread = None
 
     def _run(self) -> None:
@@ -160,3 +178,32 @@ class DiskRecorder:
             except Exception:
                 self.failed = True
             self._wave = None
+            if self._convert_to is not None and not self.failed:
+                self._transcode()
+
+    def _transcode(self) -> None:
+        """Post-roll conversion of the sidecar WAV to the requested
+        compressed target (FLAC lossless, OGG, MP3)."""
+        target = self._convert_to
+        try:
+            from ..io.wav import read_audio
+
+            a = read_audio(self._wav_path)
+            suffix = target.suffix.lower()
+            if suffix == ".flac":
+                from ..io.flac import write_flac
+
+                write_flac(target, a.samples, a.sample_rate)
+            elif suffix == ".ogg":
+                from ..io.codecs import write_ogg
+
+                write_ogg(target, a.samples, a.sample_rate)
+            else:
+                from ..io.codecs import write_mp3
+
+                write_mp3(target, a.samples, a.sample_rate)
+            self._wav_path.unlink(missing_ok=True)
+        except Exception:
+            # keep the sidecar WAV: the audio is never lost to a failed
+            # or unavailable codec
+            self.failed = True

@@ -309,7 +309,14 @@ def write_flac(
     si.write(channels - 1, 3)
     si.write(16 - 1, 5)
     si.write(n_frames, 36)
-    body = si.bytes() + bytes(16)  # MD5 unset (not verified by loaders)
+    # STREAMINFO MD5: over the raw interleaved little-endian 16-bit samples
+    # (lets external FLAC tools verify our streams; our decoder doesn't)
+    import hashlib
+
+    md5 = hashlib.md5(
+        np.ascontiguousarray(pcm.astype("<i2")).tobytes()
+    ).digest()
+    body = si.bytes() + md5
     out += bytes([0x80]) + struct.pack(">I", len(body))[1:] + bytes(body)
 
     mode_code = {

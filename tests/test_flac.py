@@ -131,3 +131,29 @@ def test_coded_number_framing():
     assert flac._utf8_number(0xD800) == b"\xed\xa0\x80"
     assert len(flac._utf8_number((1 << 31) - 1)) == 6
     assert len(flac._utf8_number((1 << 36) - 1)) == 7
+
+
+def test_recorder_flac_target(tmp_path):
+    """A record prefix ending .flac selects lossless FLAC recording (the
+    sidecar WAV streams in realtime, transcoding happens post-roll)."""
+    from libzl_tpu.engine.recorder import DiskRecorder
+
+    target = tmp_path / "take.flac"
+    rec = DiskRecorder()
+    rec.start(target, SR)
+    rng = np.random.default_rng(0)
+    blocks = [
+        (0.2 * rng.standard_normal((128, 2))).astype(np.float32)
+        for _ in range(50)
+    ]
+    for b in blocks:
+        rec.push(b)
+    rec.stop()
+    assert target.exists()
+    assert not (tmp_path / "take.flac.part.wav").exists()
+    a = flac.read_flac(target)
+    ref = np.concatenate(blocks)
+    # the realtime WAV writer quantizes with round(x * 32767) — the FLAC
+    # transcode preserves exactly those samples
+    expected = np.round(np.clip(ref, -1.0, 1.0) * 32767.0).astype(np.int32)
+    np.testing.assert_array_equal(as_pcm(a.samples), expected)
