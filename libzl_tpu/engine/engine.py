@@ -124,13 +124,9 @@ class AudioEngine:
         if bank_dtype == "int16" and fetch.startswith("windows"):
             raise ValueError("the Pallas windows kernel requires a f32 bank")
         if fetch.startswith("windows"):
-            suffix = fetch.partition(":")[2]
-            if suffix not in ("", "highest", "default"):
-                raise ValueError(
-                    f"unknown windows dot-precision suffix {suffix!r}: "
-                    f"use 'windows', 'windows:highest' or 'windows:default' "
-                    f"(Mosaic does not lower Precision.HIGH)"
-                )
+            from ..ops.fetch_pallas import parse_suffix
+
+            parse_suffix(fetch.partition(":")[2])  # raises on unknown tokens
         self.bank_dtype = bank_dtype
         # multi-chip: shard the voice axis over a jax.sharding.Mesh; the
         # per-lane mixdown contraction becomes a local matmul + psum over ICI

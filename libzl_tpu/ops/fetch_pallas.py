@@ -105,11 +105,29 @@ _PRECISIONS = {
 }
 
 
+# chunk-compute variants (probe surface, NOTES round-3 candidates):
+#   loop     — two per-region weight chains + 2 dots/voice (round-2 default
+#              until probe 16)
+#   fusedw   — ONE hat chain over both regions ([G, 2*slab, CHUNK]) shared
+#              by both dots: halves the weight-build op launches and drops
+#              the per-region any/where selects (zero weights already give
+#              zero contributions). DEFAULT since probe 16 (wins 8/10
+#              order-alternated paired trials at B=1024, medians 5.16 vs
+#              5.59 ms; tie at B=128 — NOTES_TPU_ENV.md).
+#   batchdot — fusedw weights + one G-batched dot_general over stacked
+#              [G, 2, 2*slab] slabs (replaces 2*G small dots per chunk).
+#              LOSES (probe 15: the stack/concat copies cost more than the
+#              saved dot launches, +12% at B=128) — kept as a probe surface.
+_VARIANTS = ("loop", "fusedw", "batchdot")
+_DEFAULT_VARIANT = "fusedw"
+
+
 def _make_kernel(block_frames: int, region: int, slab: int = SLAB,
-                 precision: str = "highest"):
+                 precision: str = "highest", variant: str = "loop"):
     n_chunks = block_frames // CHUNK
     window_rows = 2 * region
     dot_precision = _PRECISIONS[precision]
+    assert variant in _VARIANTS, variant
 
     def kernel(wa_ref, wb_ref, sound_ref, pos_ref, alpha_ref, out_ref,
                win_scratch, sems):
@@ -149,7 +167,75 @@ def _make_kernel(block_frames: int, region: int, slab: int = SLAB,
         wait(slot, i)
 
         row_ids3 = jax.lax.broadcasted_iota(jnp.int32, (1, slab, 1), 1)
+        row_ids2s = jax.lax.broadcasted_iota(jnp.int32, (1, 2 * slab, 1), 1)
         big = jnp.int32(window_rows)
+
+        def chunk_body_fused(c, _):
+            # region-merged weight build: one hat chain over u in [0, 2*slab)
+            # where [0, slab) maps onto region A's slab slice and
+            # [slab, 2*slab) onto region B's. Each frame's index lives in
+            # exactly one region, so a single rel per frame suffices; parked
+            # rel (-8*slab) gives an all-zero column for invalid frames.
+            idx = pos_ref[:, c, :]                          # [G, CHUNK] i32
+            alpha = alpha_ref[:, c, :]                      # [G, CHUNK] f32
+            valid = (idx >= 0) & (idx < window_rows - 1)
+            alpha_m = jnp.where(valid, alpha, 0.0)
+            in_a = valid & (idx < region)
+            in_b = valid & (idx >= region)
+            off_a = jnp.min(jnp.where(in_a, idx, big), axis=1)      # [G]
+            off_a = jnp.clip((off_a // CHUNK) * CHUNK, 0, region - slab)
+            off_b = jnp.min(jnp.where(in_b, idx, big), axis=1)      # [G]
+            off_b = jnp.clip((off_b // CHUNK) * CHUNK, region,
+                             2 * region - slab)
+            rel = jnp.where(
+                in_a, idx - off_a[:, None],
+                jnp.where(in_b, idx - off_b[:, None] + slab,
+                          jnp.int32(-8 * slab)))             # [G, CHUNK]
+            d = (row_ids2s - rel[:, None, :]).astype(jnp.float32)
+            w = jnp.maximum(
+                1.0 - jnp.abs(d - alpha_m[:, None, :]), 0.0
+            )                                                # [G,2*slab,CH]
+            if variant == "batchdot":
+                slabs = []
+                for g in range(GROUP):
+                    sa = win_scratch[
+                        slot, g, :, pl.ds(pl.multiple_of(off_a[g], 128), slab)
+                    ]
+                    sb = win_scratch[
+                        slot, g, :, pl.ds(pl.multiple_of(off_b[g], 128), slab)
+                    ]
+                    slabs.append(jnp.concatenate([sa, sb], axis=1))
+                stacked_slabs = jnp.stack(slabs, axis=0)     # [G, 2, 2*slab]
+                outc = jax.lax.dot_general(
+                    stacked_slabs, w,
+                    dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32,
+                    precision=dot_precision,
+                )                                            # [G, 2, CHUNK]
+            else:
+                parts = []
+                for g in range(GROUP):
+                    sa = win_scratch[
+                        slot, g, :, pl.ds(pl.multiple_of(off_a[g], 128), slab)
+                    ]
+                    sb = win_scratch[
+                        slot, g, :, pl.ds(pl.multiple_of(off_b[g], 128), slab)
+                    ]
+                    part = jax.lax.dot_general(
+                        sa, w[g, :slab],
+                        dimension_numbers=(((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                        precision=dot_precision,
+                    ) + jax.lax.dot_general(
+                        sb, w[g, slab:],
+                        dimension_numbers=(((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                        precision=dot_precision,
+                    )                                        # [2, CHUNK]
+                    parts.append(part)
+                outc = jnp.stack(parts, axis=0)              # [G, 2, CHUNK]
+            out_ref[:, :, c, :] = outc
+            return 0
 
         def chunk_body(c, _):
             # chunks live on a sublane axis: dynamic indexing on the lane
@@ -206,13 +292,34 @@ def _make_kernel(block_frames: int, region: int, slab: int = SLAB,
             out_ref[:, :, c, :] = outc
             return 0
 
-        jax.lax.fori_loop(0, n_chunks, chunk_body, 0, unroll=False)
+        body = chunk_body if variant == "loop" else chunk_body_fused
+        jax.lax.fori_loop(0, n_chunks, body, 0, unroll=False)
 
     return kernel
 
 
+def parse_suffix(suffix: str):
+    """Parse a `fetch="windows:..."` suffix into (precision, variant).
+
+    Tokens: a precision ("highest"|"default") and/or a kernel variant
+    ("loop"|"fusedw"|"batchdot"), comma-separated. Unknown tokens raise.
+    """
+    precision, variant = "highest", _DEFAULT_VARIANT
+    for tok in filter(None, suffix.split(",")):
+        if tok in _PRECISIONS:
+            precision = tok
+        elif tok in _VARIANTS:
+            variant = tok
+        else:
+            raise ValueError(
+                f"unknown windows fetch suffix token {tok!r}: precision in "
+                f"{sorted(_PRECISIONS)} or variant in {list(_VARIANTS)}"
+            )
+    return precision, variant
+
+
 @functools.partial(
-    jax.jit, static_argnames=("block_frames", "r_max", "precision")
+    jax.jit, static_argnames=("block_frames", "r_max", "precision", "variant")
 )
 def fetch_interp(
     sound_data,      # [2, N] f32 planar; N % 512 == 0, tail >= region_rows(B)
@@ -223,6 +330,7 @@ def fetch_interp(
     block_frames: int = 128,
     r_max: float = R_MAX,
     precision: str = "highest",  # dot precision: highest|default (probe 14)
+    variant: str = _DEFAULT_VARIANT,  # chunk-compute variant (_VARIANTS)
 ):
     """Returns interp [V, 2, B] f32: linear-interpolated, pre-gain samples."""
     V, B = pos_local.shape
@@ -253,7 +361,7 @@ def fetch_interp(
     # windows path stays testable everywhere
     interpret = jax.default_backend() != "tpu"
     out = pl.pallas_call(
-        _make_kernel(B, region, slab_cols(r_max), precision),
+        _make_kernel(B, region, slab_cols(r_max), precision, variant),
         grid_spec=grid_spec,
         out_shape=out_shape,
         interpret=interpret,

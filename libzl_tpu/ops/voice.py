@@ -264,10 +264,14 @@ def render_voices(
         # parity testing is not a hot path — use the gather fetch
         fetch = "gather"
     if fetch.startswith("windows"):
-        # optional dot-precision suffix, probe/tuning surface:
-        # "windows:high" / "windows:default" (default highest)
-        dot_precision = fetch.partition(":")[2] or "highest"
-        from .fetch_pallas import SOUND_BLOCK, fetch_interp, region_rows
+        # optional suffix, probe/tuning surface: dot precision and/or kernel
+        # variant, e.g. "windows:default", "windows:fusedw" (see
+        # fetch_pallas.parse_suffix)
+        from .fetch_pallas import (
+            SOUND_BLOCK, fetch_interp, parse_suffix, region_rows,
+        )
+
+        dot_precision, kernel_variant = parse_suffix(fetch.partition(":")[2])
 
         # window-relative addressing: segment 0 -> region A ([0, region)),
         # wrap segments -> region B (offset region)
@@ -284,6 +288,7 @@ def render_voices(
             sound_data, pos_local, alpha,
             prog.win_blk_a, prog.win_blk_b, block_frames=B,
             r_max=max_pitch_ratio, precision=dot_precision,
+            variant=kernel_variant,
         )  # [V, 2, B] planar
         l = interp[:, 0, :] * g
         r = interp[:, 1, :] * g

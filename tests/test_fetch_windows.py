@@ -104,6 +104,50 @@ def test_superblock_windows_matches_gather():
         pool.advance(prog)
 
 
+def test_windows_variants_match_gather_over_blocks():
+    """The fusedw/batchdot chunk-compute variants (fetch_pallas._VARIANTS)
+    must agree with gather across positional loop wraps, like the default
+    loop variant does."""
+    import pytest
+    import jax.numpy as jnp
+
+    # the default suffix-less path exercises _DEFAULT_VARIANT (fusedw);
+    # keep the other two variants covered explicitly
+    for variant in ("loop", "batchdot"):
+        padded, pool = _make_pool_with_wraps()
+        for b in range(25):
+            prog = pool.build_program(
+                block_start_sample=b * B, tick_anchor_sample=0.0,
+                tick_anchor=0, samples_per_tick=250.0,
+            )
+            _, _, c_g = render_voices(
+                jnp, padded, prog, B, return_contrib=True, fetch="gather"
+            )
+            _, _, c_w = render_voices(
+                jnp, padded, prog, B, return_contrib=True,
+                fetch=f"windows:{variant}",
+            )
+            np.testing.assert_allclose(
+                np.asarray(c_w), np.asarray(c_g), atol=2e-6,
+                err_msg=f"variant {variant} block {b}",
+            )
+            pool.advance(prog)
+
+
+def test_windows_suffix_parsing():
+    from libzl_tpu.ops.fetch_pallas import parse_suffix
+
+    assert parse_suffix("") == ("highest", "fusedw")
+    assert parse_suffix("default") == ("default", "fusedw")
+    assert parse_suffix("loop") == ("highest", "loop")
+    assert parse_suffix("batchdot") == ("highest", "batchdot")
+    assert parse_suffix("default,fusedw") == ("default", "fusedw")
+    import pytest
+
+    with pytest.raises(ValueError):
+        parse_suffix("nope")
+
+
 def test_windows_quirk_gain_matches():
     import jax.numpy as jnp
 
