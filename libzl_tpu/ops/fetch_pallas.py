@@ -81,13 +81,16 @@ CHUNK = 128           # frames per inner compute chunk
 SLAB = 768
 
 
-def slab_cols(r_max: float = R_MAX) -> int:
+def slab_cols(r_max: float = R_MAX, chunk: int = CHUNK,
+              align: int = 128) -> int:
     """Slab width for a pitch-ratio ceiling: the banded weight build costs
-    O(slab * CHUNK) VPU work per chunk — the kernel's dominant cost — so a
+    O(slab * chunk) VPU work per chunk — the kernel's dominant cost — so a
     tighter declared transposition envelope buys a measurably faster render
     (probe 9: slab 768 -> 7.8 ms, 512 -> ~7.2, 384 -> ~6.9 per 1024-frame
-    block at 1024 voices)."""
-    span = 127 + int(r_max * CHUNK) + 2   # alignment slack + span + 2 taps
+    block at 1024 voices). `align` is the slab-offset alignment granularity
+    (the lane-dim dynamic-slice hint): smaller alignment = fewer slack
+    columns, if Mosaic accepts it."""
+    span = (align - 1) + int(r_max * chunk) + 2  # align slack + span + taps
     return ((span + 127) // 128) * 128
 
 
@@ -123,8 +126,9 @@ _DEFAULT_VARIANT = "fusedw"
 
 
 def _make_kernel(block_frames: int, region: int, slab: int = SLAB,
-                 precision: str = "highest", variant: str = "loop"):
-    n_chunks = block_frames // CHUNK
+                 precision: str = "highest", variant: str = "loop",
+                 chunk: int = CHUNK, align: int = 128):
+    n_chunks = block_frames // chunk
     window_rows = 2 * region
     dot_precision = _PRECISIONS[precision]
     assert variant in _VARIANTS, variant
@@ -183,9 +187,9 @@ def _make_kernel(block_frames: int, region: int, slab: int = SLAB,
             in_a = valid & (idx < region)
             in_b = valid & (idx >= region)
             off_a = jnp.min(jnp.where(in_a, idx, big), axis=1)      # [G]
-            off_a = jnp.clip((off_a // CHUNK) * CHUNK, 0, region - slab)
+            off_a = jnp.clip((off_a // align) * align, 0, region - slab)
             off_b = jnp.min(jnp.where(in_b, idx, big), axis=1)      # [G]
-            off_b = jnp.clip((off_b // CHUNK) * CHUNK, region,
+            off_b = jnp.clip((off_b // align) * align, region,
                              2 * region - slab)
             rel = jnp.where(
                 in_a, idx - off_a[:, None],
@@ -199,10 +203,10 @@ def _make_kernel(block_frames: int, region: int, slab: int = SLAB,
                 slabs = []
                 for g in range(GROUP):
                     sa = win_scratch[
-                        slot, g, :, pl.ds(pl.multiple_of(off_a[g], 128), slab)
+                        slot, g, :, pl.ds(pl.multiple_of(off_a[g], align), slab)
                     ]
                     sb = win_scratch[
-                        slot, g, :, pl.ds(pl.multiple_of(off_b[g], 128), slab)
+                        slot, g, :, pl.ds(pl.multiple_of(off_b[g], align), slab)
                     ]
                     slabs.append(jnp.concatenate([sa, sb], axis=1))
                 stacked_slabs = jnp.stack(slabs, axis=0)     # [G, 2, 2*slab]
@@ -216,10 +220,10 @@ def _make_kernel(block_frames: int, region: int, slab: int = SLAB,
                 parts = []
                 for g in range(GROUP):
                     sa = win_scratch[
-                        slot, g, :, pl.ds(pl.multiple_of(off_a[g], 128), slab)
+                        slot, g, :, pl.ds(pl.multiple_of(off_a[g], align), slab)
                     ]
                     sb = win_scratch[
-                        slot, g, :, pl.ds(pl.multiple_of(off_b[g], 128), slab)
+                        slot, g, :, pl.ds(pl.multiple_of(off_b[g], align), slab)
                     ]
                     part = jax.lax.dot_general(
                         sa, w[g, :slab],
@@ -259,7 +263,7 @@ def _make_kernel(block_frames: int, region: int, slab: int = SLAB,
                 any_r = in_r.any(axis=1)                         # [G]
                 # slab offset per voice: chunk minimum, lane-tile aligned
                 off = jnp.min(jnp.where(in_r, idx, big), axis=1)  # [G]
-                off = jnp.clip((off // CHUNK) * CHUNK, lo, hi - slab)
+                off = jnp.clip((off // align) * align, lo, hi - slab)
                 # hat-function weights: the linear-interp column is exactly
                 # max(1 - |(u - rel) - alpha|, 0) — (1-alpha) at u=rel,
                 # alpha at u=rel+1, 0 elsewhere; (u-rel) stays exact int
@@ -274,7 +278,7 @@ def _make_kernel(block_frames: int, region: int, slab: int = SLAB,
                 )                                                # [G,slab,CH]
                 parts = []
                 for g in range(GROUP):
-                    off_g = pl.multiple_of(off[g], 128)
+                    off_g = pl.multiple_of(off[g], align)
                     slab_v = win_scratch[
                         slot, g, :, pl.ds(off_g, slab)
                     ]                                            # [2, slab]
@@ -299,27 +303,42 @@ def _make_kernel(block_frames: int, region: int, slab: int = SLAB,
 
 
 def parse_suffix(suffix: str):
-    """Parse a `fetch="windows:..."` suffix into (precision, variant).
+    """Parse a `fetch="windows:..."` suffix into
+    (precision, variant, chunk, align).
 
-    Tokens: a precision ("highest"|"default") and/or a kernel variant
-    ("loop"|"fusedw"|"batchdot"), comma-separated. Unknown tokens raise.
+    Comma-separated tokens: a precision ("highest"|"default"), a kernel
+    variant ("loop"|"fusedw"|"batchdot"), a compute-chunk size ("c64",
+    "c128"), and/or a slab-offset alignment ("a32", "a128"). Unknown
+    tokens raise.
     """
     precision, variant = "highest", _DEFAULT_VARIANT
+    chunk, align = CHUNK, 128
     for tok in filter(None, suffix.split(",")):
         if tok in _PRECISIONS:
             precision = tok
         elif tok in _VARIANTS:
             variant = tok
+        elif tok[:1] == "c" and tok[1:].isdigit():
+            chunk = int(tok[1:])
+            if chunk not in (32, 64, 128, 256):
+                raise ValueError(f"chunk {chunk} not in (32, 64, 128, 256)")
+        elif tok[:1] == "a" and tok[1:].isdigit():
+            align = int(tok[1:])
+            if align not in (8, 16, 32, 64, 128):
+                raise ValueError(f"align {align} not in (8..128, pow2)")
         else:
             raise ValueError(
                 f"unknown windows fetch suffix token {tok!r}: precision in "
-                f"{sorted(_PRECISIONS)} or variant in {list(_VARIANTS)}"
+                f"{sorted(_PRECISIONS)}, variant in {list(_VARIANTS)}, "
+                f"chunk 'c<n>' or alignment 'a<n>'"
             )
-    return precision, variant
+    return precision, variant, chunk, align
 
 
 @functools.partial(
-    jax.jit, static_argnames=("block_frames", "r_max", "precision", "variant")
+    jax.jit, static_argnames=(
+        "block_frames", "r_max", "precision", "variant", "chunk", "align",
+    )
 )
 def fetch_interp(
     sound_data,      # [2, N] f32 planar; N % 512 == 0, tail >= region_rows(B)
@@ -331,43 +350,46 @@ def fetch_interp(
     r_max: float = R_MAX,
     precision: str = "highest",  # dot precision: highest|default (probe 14)
     variant: str = _DEFAULT_VARIANT,  # chunk-compute variant (_VARIANTS)
+    chunk: int = CHUNK,          # frames per inner compute chunk
+    align: int = 128,            # slab-offset alignment (lane-slice hint)
 ):
     """Returns interp [V, 2, B] f32: linear-interpolated, pre-gain samples."""
     V, B = pos_local.shape
     assert V % GROUP == 0, f"voice count {V} must be a multiple of {GROUP}"
-    assert B % CHUNK == 0, f"block size {B} must be a multiple of {CHUNK}"
+    assert B % chunk == 0, f"block size {B} must be a multiple of {chunk}"
     region = region_rows(B, r_max)
     n_steps = V // GROUP
 
-    n_chunks = B // CHUNK
+    n_chunks = B // chunk
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(n_steps,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),   # sound stays in HBM
-            pl.BlockSpec((GROUP, n_chunks, CHUNK), lambda i, wa, wb: (i, 0, 0)),
-            pl.BlockSpec((GROUP, n_chunks, CHUNK), lambda i, wa, wb: (i, 0, 0)),
+            pl.BlockSpec((GROUP, n_chunks, chunk), lambda i, wa, wb: (i, 0, 0)),
+            pl.BlockSpec((GROUP, n_chunks, chunk), lambda i, wa, wb: (i, 0, 0)),
         ],
         out_specs=pl.BlockSpec(
-            (GROUP, 2, n_chunks, CHUNK), lambda i, wa, wb: (i, 0, 0, 0)
+            (GROUP, 2, n_chunks, chunk), lambda i, wa, wb: (i, 0, 0, 0)
         ),
         scratch_shapes=[
             pltpu.VMEM((2, GROUP, 2, 2 * region), jnp.float32),
             pltpu.SemaphoreType.DMA((2, GROUP, 2)),
         ],
     )
-    out_shape = jax.ShapeDtypeStruct((V, 2, n_chunks, CHUNK), jnp.float32)
+    out_shape = jax.ShapeDtypeStruct((V, 2, n_chunks, chunk), jnp.float32)
     # off-TPU (CI, CPU dev) the kernel runs in interpreter mode so the
     # windows path stays testable everywhere
     interpret = jax.default_backend() != "tpu"
     out = pl.pallas_call(
-        _make_kernel(B, region, slab_cols(r_max), precision, variant),
+        _make_kernel(B, region, slab_cols(r_max, chunk, align), precision,
+                     variant, chunk, align),
         grid_spec=grid_spec,
         out_shape=out_shape,
         interpret=interpret,
     )(
         win_blk_a, win_blk_b, sound_data,
-        pos_local.reshape(V, n_chunks, CHUNK),
-        alpha.reshape(V, n_chunks, CHUNK),
+        pos_local.reshape(V, n_chunks, chunk),
+        alpha.reshape(V, n_chunks, chunk),
     )
     return out.reshape(V, 2, B)

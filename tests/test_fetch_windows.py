@@ -112,8 +112,8 @@ def test_windows_variants_match_gather_over_blocks():
     import jax.numpy as jnp
 
     # the default suffix-less path exercises _DEFAULT_VARIANT (fusedw);
-    # keep the other two variants covered explicitly
-    for variant in ("loop", "batchdot"):
+    # keep the other variants and the chunk/align probe knobs covered
+    for variant in ("loop", "batchdot", "c64", "a32", "a32,c64"):
         padded, pool = _make_pool_with_wraps()
         for b in range(25):
             prog = pool.build_program(
@@ -137,15 +137,21 @@ def test_windows_variants_match_gather_over_blocks():
 def test_windows_suffix_parsing():
     from libzl_tpu.ops.fetch_pallas import parse_suffix
 
-    assert parse_suffix("") == ("highest", "fusedw")
-    assert parse_suffix("default") == ("default", "fusedw")
-    assert parse_suffix("loop") == ("highest", "loop")
-    assert parse_suffix("batchdot") == ("highest", "batchdot")
-    assert parse_suffix("default,fusedw") == ("default", "fusedw")
+    assert parse_suffix("") == ("highest", "fusedw", 128, 128)
+    assert parse_suffix("default") == ("default", "fusedw", 128, 128)
+    assert parse_suffix("loop") == ("highest", "loop", 128, 128)
+    assert parse_suffix("batchdot") == ("highest", "batchdot", 128, 128)
+    assert parse_suffix("default,fusedw") == ("default", "fusedw", 128, 128)
+    assert parse_suffix("c64") == ("highest", "fusedw", 64, 128)
+    assert parse_suffix("a32,c64") == ("highest", "fusedw", 64, 32)
     import pytest
 
     with pytest.raises(ValueError):
         parse_suffix("nope")
+    with pytest.raises(ValueError):
+        parse_suffix("c100")
+    with pytest.raises(ValueError):
+        parse_suffix("a256")
 
 
 def test_windows_quirk_gain_matches():
