@@ -121,8 +121,87 @@ _PRECISIONS = {
 #              [G, 2, 2*slab] slabs (replaces 2*G small dots per chunk).
 #              LOSES (probe 15: the stack/concat copies cost more than the
 #              saved dot launches, +12% at B=128) — kept as a probe surface.
-_VARIANTS = ("loop", "fusedw", "batchdot")
-_DEFAULT_VARIANT = "fusedw"
+#   grid     — fusedw compute with the chunk axis as a second grid
+#              dimension instead of a fori_loop (Mosaic pipelines the
+#              pos/alpha/out block copies across chunk steps). WINS at
+#              B=128 (probes 19/20: 11/16 paired trials, medians -17% and
+#              -24%, best-seen 2.94 ms/block at 1024 voices); a wash at
+#              B=1024 (median +5%, pairs 5/8 — drift-dominated).
+#   auto     — (default) grid for single-chunk blocks (live mode),
+#              fusedw for multi-chunk super-blocks; resolved per shape in
+#              fetch_interp.
+_VARIANTS = ("loop", "fusedw", "batchdot", "grid", "auto")
+_DEFAULT_VARIANT = "auto"
+
+
+def _fused_chunk(win_scratch, slot, idx, alpha, *, region, slab,
+                 window_rows, align, dot_precision, variant):
+    """One chunk's interpolation via the region-merged weight build.
+
+    One hat chain over u in [0, 2*slab) where [0, slab) maps onto region
+    A's slab slice and [slab, 2*slab) onto region B's. Each frame's index
+    lives in exactly one region, so a single rel per frame suffices;
+    parked rel (-8*slab) gives an all-zero column for invalid frames.
+    Returns outc [G, 2, chunk]. Shared by the fori_loop kernel body and
+    the grid-variant kernel.
+    """
+    row_ids2s = jax.lax.broadcasted_iota(jnp.int32, (1, 2 * slab, 1), 1)
+    big = jnp.int32(window_rows)
+    valid = (idx >= 0) & (idx < window_rows - 1)
+    alpha_m = jnp.where(valid, alpha, 0.0)
+    in_a = valid & (idx < region)
+    in_b = valid & (idx >= region)
+    off_a = jnp.min(jnp.where(in_a, idx, big), axis=1)      # [G]
+    off_a = jnp.clip((off_a // align) * align, 0, region - slab)
+    off_b = jnp.min(jnp.where(in_b, idx, big), axis=1)      # [G]
+    off_b = jnp.clip((off_b // align) * align, region,
+                     2 * region - slab)
+    rel = jnp.where(
+        in_a, idx - off_a[:, None],
+        jnp.where(in_b, idx - off_b[:, None] + slab,
+                  jnp.int32(-8 * slab)))             # [G, chunk]
+    d = (row_ids2s - rel[:, None, :]).astype(jnp.float32)
+    w = jnp.maximum(
+        1.0 - jnp.abs(d - alpha_m[:, None, :]), 0.0
+    )                                                # [G, 2*slab, chunk]
+    if variant == "batchdot":
+        slabs = []
+        for g in range(GROUP):
+            sa = win_scratch[
+                slot, g, :, pl.ds(pl.multiple_of(off_a[g], align), slab)
+            ]
+            sb = win_scratch[
+                slot, g, :, pl.ds(pl.multiple_of(off_b[g], align), slab)
+            ]
+            slabs.append(jnp.concatenate([sa, sb], axis=1))
+        stacked_slabs = jnp.stack(slabs, axis=0)     # [G, 2, 2*slab]
+        return jax.lax.dot_general(
+            stacked_slabs, w,
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+            precision=dot_precision,
+        )                                            # [G, 2, chunk]
+    parts = []
+    for g in range(GROUP):
+        sa = win_scratch[
+            slot, g, :, pl.ds(pl.multiple_of(off_a[g], align), slab)
+        ]
+        sb = win_scratch[
+            slot, g, :, pl.ds(pl.multiple_of(off_b[g], align), slab)
+        ]
+        part = jax.lax.dot_general(
+            sa, w[g, :slab],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=dot_precision,
+        ) + jax.lax.dot_general(
+            sb, w[g, slab:],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=dot_precision,
+        )                                        # [2, chunk]
+        parts.append(part)
+    return jnp.stack(parts, axis=0)              # [G, 2, chunk]
 
 
 def _make_kernel(block_frames: int, region: int, slab: int = SLAB,
@@ -171,74 +250,14 @@ def _make_kernel(block_frames: int, region: int, slab: int = SLAB,
         wait(slot, i)
 
         row_ids3 = jax.lax.broadcasted_iota(jnp.int32, (1, slab, 1), 1)
-        row_ids2s = jax.lax.broadcasted_iota(jnp.int32, (1, 2 * slab, 1), 1)
         big = jnp.int32(window_rows)
 
         def chunk_body_fused(c, _):
-            # region-merged weight build: one hat chain over u in [0, 2*slab)
-            # where [0, slab) maps onto region A's slab slice and
-            # [slab, 2*slab) onto region B's. Each frame's index lives in
-            # exactly one region, so a single rel per frame suffices; parked
-            # rel (-8*slab) gives an all-zero column for invalid frames.
-            idx = pos_ref[:, c, :]                          # [G, CHUNK] i32
-            alpha = alpha_ref[:, c, :]                      # [G, CHUNK] f32
-            valid = (idx >= 0) & (idx < window_rows - 1)
-            alpha_m = jnp.where(valid, alpha, 0.0)
-            in_a = valid & (idx < region)
-            in_b = valid & (idx >= region)
-            off_a = jnp.min(jnp.where(in_a, idx, big), axis=1)      # [G]
-            off_a = jnp.clip((off_a // align) * align, 0, region - slab)
-            off_b = jnp.min(jnp.where(in_b, idx, big), axis=1)      # [G]
-            off_b = jnp.clip((off_b // align) * align, region,
-                             2 * region - slab)
-            rel = jnp.where(
-                in_a, idx - off_a[:, None],
-                jnp.where(in_b, idx - off_b[:, None] + slab,
-                          jnp.int32(-8 * slab)))             # [G, CHUNK]
-            d = (row_ids2s - rel[:, None, :]).astype(jnp.float32)
-            w = jnp.maximum(
-                1.0 - jnp.abs(d - alpha_m[:, None, :]), 0.0
-            )                                                # [G,2*slab,CH]
-            if variant == "batchdot":
-                slabs = []
-                for g in range(GROUP):
-                    sa = win_scratch[
-                        slot, g, :, pl.ds(pl.multiple_of(off_a[g], align), slab)
-                    ]
-                    sb = win_scratch[
-                        slot, g, :, pl.ds(pl.multiple_of(off_b[g], align), slab)
-                    ]
-                    slabs.append(jnp.concatenate([sa, sb], axis=1))
-                stacked_slabs = jnp.stack(slabs, axis=0)     # [G, 2, 2*slab]
-                outc = jax.lax.dot_general(
-                    stacked_slabs, w,
-                    dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-                    preferred_element_type=jnp.float32,
-                    precision=dot_precision,
-                )                                            # [G, 2, CHUNK]
-            else:
-                parts = []
-                for g in range(GROUP):
-                    sa = win_scratch[
-                        slot, g, :, pl.ds(pl.multiple_of(off_a[g], align), slab)
-                    ]
-                    sb = win_scratch[
-                        slot, g, :, pl.ds(pl.multiple_of(off_b[g], align), slab)
-                    ]
-                    part = jax.lax.dot_general(
-                        sa, w[g, :slab],
-                        dimension_numbers=(((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                        precision=dot_precision,
-                    ) + jax.lax.dot_general(
-                        sb, w[g, slab:],
-                        dimension_numbers=(((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                        precision=dot_precision,
-                    )                                        # [2, CHUNK]
-                    parts.append(part)
-                outc = jnp.stack(parts, axis=0)              # [G, 2, CHUNK]
-            out_ref[:, :, c, :] = outc
+            out_ref[:, :, c, :] = _fused_chunk(
+                win_scratch, slot, pos_ref[:, c, :], alpha_ref[:, c, :],
+                region=region, slab=slab, window_rows=window_rows,
+                align=align, dot_precision=dot_precision, variant=variant,
+            )
             return 0
 
         def chunk_body(c, _):
@@ -302,6 +321,64 @@ def _make_kernel(block_frames: int, region: int, slab: int = SLAB,
     return kernel
 
 
+def _make_kernel_grid(block_frames: int, region: int, slab: int,
+                      precision: str, chunk: int, align: int):
+    """Grid-variant kernel: chunks are a second grid dimension instead of a
+    fori_loop, so Mosaic's pipeliner can overlap each chunk's pos/alpha
+    input copy and out write with the neighboring chunks' compute. DMA
+    issue/wait happens on each step's first chunk only; the window scratch
+    persists across chunk steps (grid iterates the chunk axis fastest)."""
+    window_rows = 2 * region
+    dot_precision = _PRECISIONS[precision]
+
+    def kernel(wa_ref, wb_ref, sound_ref, pos_ref, alpha_ref, out_ref,
+               win_scratch, sems):
+        i = pl.program_id(0)
+        c = pl.program_id(1)
+        n_steps = pl.num_programs(0)
+
+        def dma(slot, step, g, r, tbl):
+            return pltpu.make_async_copy(
+                sound_ref.at[
+                    :, pl.ds(tbl[step * GROUP + g] * SOUND_BLOCK, region)
+                ],
+                win_scratch.at[slot, g, :, pl.ds(r * region, region)],
+                sems.at[slot, g, r],
+            )
+
+        def issue(slot, step):
+            for g in range(GROUP):
+                dma(slot, step, g, 0, wa_ref).start()
+                dma(slot, step, g, 1, wb_ref).start()
+
+        def wait(slot, step):
+            for g in range(GROUP):
+                dma(slot, step, g, 0, wa_ref).wait()
+                dma(slot, step, g, 1, wb_ref).wait()
+
+        @pl.when(c == 0)
+        def _():
+            @pl.when(i == 0)
+            def _():
+                issue(0, 0)
+
+            @pl.when(i + 1 < n_steps)
+            def _():
+                issue((i + 1) % 2, i + 1)
+
+            wait(i % 2, i)
+
+        # pos/alpha blocks are [G, chunk] (the chunk axis is folded into
+        # the grid); out block is [G, 2, chunk]
+        out_ref[:, :, :] = _fused_chunk(
+            win_scratch, i % 2, pos_ref[:, :], alpha_ref[:, :],
+            region=region, slab=slab, window_rows=window_rows,
+            align=align, dot_precision=dot_precision, variant="fusedw",
+        )
+
+    return kernel
+
+
 def parse_suffix(suffix: str):
     """Parse a `fetch="windows:..."` suffix into
     (precision, variant, chunk, align).
@@ -361,29 +438,67 @@ def fetch_interp(
     n_steps = V // GROUP
 
     n_chunks = B // chunk
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(n_steps,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),   # sound stays in HBM
-            pl.BlockSpec((GROUP, n_chunks, chunk), lambda i, wa, wb: (i, 0, 0)),
-            pl.BlockSpec((GROUP, n_chunks, chunk), lambda i, wa, wb: (i, 0, 0)),
-        ],
-        out_specs=pl.BlockSpec(
-            (GROUP, 2, n_chunks, chunk), lambda i, wa, wb: (i, 0, 0, 0)
-        ),
-        scratch_shapes=[
-            pltpu.VMEM((2, GROUP, 2, 2 * region), jnp.float32),
-            pltpu.SemaphoreType.DMA((2, GROUP, 2)),
-        ],
-    )
+    if variant == "auto":
+        # dated measurement (probes 19/20, NOTES_TPU_ENV.md): the grid
+        # variant wins clearly at one chunk (live blocks), and is
+        # drift-neutral at 8 chunks where fusedw's medians are better
+        variant = "grid" if n_chunks == 1 else "fusedw"
+    scratch_shapes = [
+        pltpu.VMEM((2, GROUP, 2, 2 * region), jnp.float32),
+        pltpu.SemaphoreType.DMA((2, GROUP, 2)),
+    ]
+    if variant == "grid":
+        # flat [V, B] pos/alpha and [V, 2, B] out: Mosaic requires block
+        # shapes whose trailing dims are 8/128-divisible or whole-array,
+        # which a [G, 1, chunk] block of a [V, n_chunks, chunk] array is not
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(n_steps, n_chunks),
+            in_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),   # sound stays in HBM
+                pl.BlockSpec((GROUP, chunk), lambda i, c, wa, wb: (i, c)),
+                pl.BlockSpec((GROUP, chunk), lambda i, c, wa, wb: (i, c)),
+            ],
+            out_specs=pl.BlockSpec(
+                (GROUP, 2, chunk), lambda i, c, wa, wb: (i, 0, c)
+            ),
+            scratch_shapes=scratch_shapes,
+        )
+        kernel = _make_kernel_grid(
+            B, region, slab_cols(r_max, chunk, align), precision, chunk,
+            align,
+        )
+        out_shape = jax.ShapeDtypeStruct((V, 2, B), jnp.float32)
+        interpret = jax.default_backend() != "tpu"
+        out = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=out_shape,
+            interpret=interpret,
+        )(win_blk_a, win_blk_b, sound_data, pos_local, alpha)
+        return out
+    else:
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(n_steps,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),   # sound stays in HBM
+                pl.BlockSpec((GROUP, n_chunks, chunk), lambda i, wa, wb: (i, 0, 0)),
+                pl.BlockSpec((GROUP, n_chunks, chunk), lambda i, wa, wb: (i, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec(
+                (GROUP, 2, n_chunks, chunk), lambda i, wa, wb: (i, 0, 0, 0)
+            ),
+            scratch_shapes=scratch_shapes,
+        )
+        kernel = _make_kernel(B, region, slab_cols(r_max, chunk, align),
+                              precision, variant, chunk, align)
     out_shape = jax.ShapeDtypeStruct((V, 2, n_chunks, chunk), jnp.float32)
     # off-TPU (CI, CPU dev) the kernel runs in interpreter mode so the
     # windows path stays testable everywhere
     interpret = jax.default_backend() != "tpu"
     out = pl.pallas_call(
-        _make_kernel(B, region, slab_cols(r_max, chunk, align), precision,
-                     variant, chunk, align),
+        kernel,
         grid_spec=grid_spec,
         out_shape=out_shape,
         interpret=interpret,

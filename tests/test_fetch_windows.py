@@ -101,6 +101,16 @@ def test_superblock_windows_matches_gather():
         np.testing.assert_allclose(
             np.asarray(c_w), np.asarray(c_g), atol=2e-6, err_msg=f"block {b}"
         )
+        if b < 2:
+            # the grid variant's multi-chunk path (8 chunk grid steps here)
+            _, _, c_gr = render_voices(
+                jnp, padded, prog, B_SUPER, return_contrib=True,
+                fetch="windows:grid",
+            )
+            np.testing.assert_allclose(
+                np.asarray(c_gr), np.asarray(c_g), atol=2e-6,
+                err_msg=f"grid block {b}",
+            )
         pool.advance(prog)
 
 
@@ -113,7 +123,7 @@ def test_windows_variants_match_gather_over_blocks():
 
     # the default suffix-less path exercises _DEFAULT_VARIANT (fusedw);
     # keep the other variants and the chunk/align probe knobs covered
-    for variant in ("loop", "batchdot", "c64", "a32", "a32,c64"):
+    for variant in ("loop", "batchdot", "grid", "c64", "a32", "a32,c64"):
         padded, pool = _make_pool_with_wraps()
         for b in range(25):
             prog = pool.build_program(
@@ -137,13 +147,14 @@ def test_windows_variants_match_gather_over_blocks():
 def test_windows_suffix_parsing():
     from libzl_tpu.ops.fetch_pallas import parse_suffix
 
-    assert parse_suffix("") == ("highest", "fusedw", 128, 128)
-    assert parse_suffix("default") == ("default", "fusedw", 128, 128)
+    assert parse_suffix("") == ("highest", "auto", 128, 128)
+    assert parse_suffix("default") == ("default", "auto", 128, 128)
     assert parse_suffix("loop") == ("highest", "loop", 128, 128)
     assert parse_suffix("batchdot") == ("highest", "batchdot", 128, 128)
+    assert parse_suffix("grid") == ("highest", "grid", 128, 128)
     assert parse_suffix("default,fusedw") == ("default", "fusedw", 128, 128)
-    assert parse_suffix("c64") == ("highest", "fusedw", 64, 128)
-    assert parse_suffix("a32,c64") == ("highest", "fusedw", 64, 32)
+    assert parse_suffix("c64") == ("highest", "auto", 64, 128)
+    assert parse_suffix("a32,c64") == ("highest", "auto", 64, 32)
     import pytest
 
     with pytest.raises(ValueError):
