@@ -79,6 +79,7 @@ class AudioEngine:
         mesh=None,
         bank_dtype: str = "float32",
         max_pitch_ratio: float = 4.0,
+        voice_buckets: str = "auto",
     ):
         self.sample_rate = sample_rate
         self.block_frames = block_frames
@@ -169,6 +170,30 @@ class AudioEngine:
         self.ring = StepRing()
         self.pool = VoicePool(num_voices, block_frames, float(sample_rate))
         self.pool.max_ratio = self.max_pitch_ratio
+        # Bucketed prefix rendering: the allocator claims the FIRST idle
+        # voice (lib/SamplerSynth.cpp:204-215), so live voices cluster at
+        # low indices and a sparse session only needs a prefix of the pool
+        # on the device. "auto" renders the smallest ladder bucket covering
+        # the highest active index — a reference-scale session (<= 96
+        # voices, lib/SamplerSynth.cpp:23) on a 1024-voice engine then pays
+        # 64-voice render cost. Each bucket size compiles once (ladder is
+        # geometric => at most log2(V/64)+2 compiles; LIBZL_TPU_COMPILE_CACHE
+        # persists them across processes). Inactive voices contribute
+        # nothing and do not advance, so outputs are identical; the
+        # voice_peaks tail is zero-padded to keep output shapes stable.
+        if voice_buckets not in ("auto", "off"):
+            raise ValueError("voice_buckets must be 'auto' or 'off'")
+        self._bucket_ladder = None
+        if (voice_buckets == "auto" and backend == "jax" and mesh is None
+                and num_voices > 64):
+            ladder = []
+            s = 64
+            while s < num_voices:
+                ladder.append(s)
+                s *= 2
+            ladder.append(num_voices)
+            self._bucket_ladder = ladder
+        self._peak_pad_cache = {}
         self.allocator = VoiceAllocator(self.pool, voices_per_lane)
         self.bank = SoundBank(
             tail_guard=region_tail_guard(block_frames, self.max_pitch_ratio)
@@ -458,9 +483,42 @@ class AudioEngine:
 
     # ------------------------------------------------------------- rendering
 
+    def _render_bucket(self) -> Optional[int]:
+        """Smallest ladder bucket covering the highest active voice index,
+        or None when bucketing is off. Callers reach the render only with
+        at least one active voice (idle shortcut in process_block)."""
+        if self._bucket_ladder is None:
+            return None
+        act = np.flatnonzero(self.pool.active)
+        if act.size == 0:
+            return self._bucket_ladder[0]
+        hi = int(act[-1]) + 1
+        for s in self._bucket_ladder:
+            if s >= hi:
+                return s
+        return self.pool.num_voices
+
     def _dispatch_packed(self, sound, prog_i, prog_f, strips_packed):
         if self._sharded_render is not None:
             return self._sharded_render(sound, prog_i, prog_f, strips_packed)
+        bucket = self._render_bucket()
+        if bucket is not None and bucket < prog_i.shape[0]:
+            out = render_mod.render_block_packed(
+                sound, prog_i[:bucket], prog_f[:bucket], strips_packed,
+                block_frames=self.block_frames, quirk_gain=self.quirk_gain,
+                fetch=self.fetch, max_pitch_ratio=self.max_pitch_ratio,
+            )
+            pad = self._peak_pad_cache.get(bucket)
+            if pad is None:
+                import jax.numpy as jnp
+
+                pad = jnp.zeros(self.pool.num_voices - bucket, jnp.float32)
+                self._peak_pad_cache[bucket] = pad
+            import jax.numpy as jnp
+
+            return out._replace(
+                voice_peaks=jnp.concatenate([out.voice_peaks, pad])
+            )
         return render_mod.render_block_packed(
             sound, prog_i, prog_f, strips_packed,
             block_frames=self.block_frames, quirk_gain=self.quirk_gain,

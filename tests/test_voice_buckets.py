@@ -1,0 +1,110 @@
+"""Bucketed prefix rendering (engine voice_buckets="auto").
+
+First-idle allocation (lib/SamplerSynth.cpp:204-215) keeps live voices at
+low indices, so the engine renders only the smallest ladder bucket
+covering the highest active index. Outputs must be bit-identical to the
+full-pool render, bucket choice must track the active high-water mark,
+and output shapes (voice_peaks) must stay stable.
+"""
+
+import numpy as np
+
+from libzl_tpu.engine.commands import ClipCommand
+from libzl_tpu.engine.engine import AudioEngine
+from libzl_tpu.io.wav import AudioData
+from libzl_tpu.models.clip import ClipAudioSource
+
+SR = 48000
+
+
+def _make_engine(**kw):
+    eng = AudioEngine(
+        sample_rate=SR, block_frames=128, num_voices=128, backend="jax", **kw
+    )
+    t = np.arange(SR // 4) / SR
+    wave = (0.3 * np.sin(2 * np.pi * 220 * t)).astype(np.float32)[:, None]
+    clip = ClipAudioSource(eng, audio=AudioData(wave, SR))
+    eng.start_transport(bpm=120)
+    return eng, clip
+
+
+def _play(eng, clip, note, channel=0):
+    cmd = ClipCommand.channel(clip.id, channel)
+    cmd.midi_note = note
+    cmd.start_playback = True
+    cmd.looping = True
+    eng.schedule_clip_command(cmd, 0)
+
+
+def test_ladder_shape():
+    eng, _ = _make_engine()
+    assert eng._bucket_ladder == [64, 128]
+    eng_off, _ = _make_engine(voice_buckets="off")
+    assert eng_off._bucket_ladder is None
+    eng_small = AudioEngine(
+        sample_rate=SR, block_frames=128, num_voices=64, backend="jax"
+    )
+    assert eng_small._bucket_ladder is None  # <= smallest bucket: no-op
+    eng_big = AudioEngine(
+        sample_rate=SR, block_frames=128, num_voices=1024, backend="jax"
+    )
+    assert eng_big._bucket_ladder == [64, 128, 256, 512, 1024]
+    import pytest
+
+    with pytest.raises(ValueError):
+        AudioEngine(sample_rate=SR, num_voices=128, voice_buckets="banana")
+
+
+def test_bucketed_matches_full_render():
+    eng_a, clip_a = _make_engine()
+    eng_b, clip_b = _make_engine(voice_buckets="off")
+    for i in range(6):
+        _play(eng_a, clip_a, 60 + i, channel=i % 4)
+        _play(eng_b, clip_b, 60 + i, channel=i % 4)
+    for b in range(8):
+        ra = eng_a.process_block()
+        rb = eng_b.process_block()
+        assert eng_a._render_bucket() == 64
+        for field in ("master", "lane_mix", "strip_dry", "strip_wet1",
+                      "strip_wet2", "lane_peaks", "lane_rms", "master_peak",
+                      "voice_peaks"):
+            va = np.asarray(getattr(ra.outputs, field))
+            vb = np.asarray(getattr(rb.outputs, field))
+            assert va.shape == vb.shape, (field, b)
+            np.testing.assert_array_equal(va, vb, err_msg=f"{field} block {b}")
+
+
+def test_bucket_tracks_high_water():
+    eng, clip = _make_engine()
+    for i in range(4):
+        _play(eng, clip, 60 + i)
+    eng.process_block()
+    assert eng._render_bucket() == 64
+    # push allocations past the first bucket
+    for i in range(70):
+        _play(eng, clip, 30 + (i % 60), channel=1 + i % 9)
+    res = eng.process_block()
+    assert int(eng.pool.active.sum()) > 64
+    assert eng._render_bucket() == 128
+    assert np.asarray(res.outputs.voice_peaks).shape == (128,)
+    # voices die off -> the reaper frees high indices and the bucket drops
+    # (stop commands must match note+channel, the reference's
+    # stop-all-matching semantics — lib/SamplerSynth.cpp:187-230)
+    for i in range(4):
+        cmd = ClipCommand.channel(clip.id, 0)
+        cmd.midi_note = 60 + i
+        cmd.stop_playback = True
+        eng.schedule_clip_command(cmd, 0)
+    for i in range(70):
+        cmd = ClipCommand.channel(clip.id, 1 + i % 9)
+        cmd.midi_note = 30 + (i % 60)
+        cmd.stop_playback = True
+        eng.schedule_clip_command(cmd, 0)
+    for _ in range(40):
+        res = eng.process_block()
+        if not eng.pool.active.any():
+            break
+    # fully idle engines take the zero-output shortcut; re-arm a low voice
+    _play(eng, clip, 72)
+    eng.process_block()
+    assert eng._render_bucket() == 64
