@@ -264,7 +264,9 @@ def init_engine(sample_rate: int = 48000, block_frames: int = 128,
     LIBZL_TPU_BACKEND=numpy|jax, LIBZL_TPU_VOICES, LIBZL_TPU_BLOCK,
     LIBZL_TPU_RATE, LIBZL_TPU_NO_PUMP=1, LIBZL_TPU_PIPELINE=<depth>,
     LIBZL_TPU_SINK=alsa[:dev]|file:path|null,
-    LIBZL_TPU_SOURCE=alsa[:dev]|file:path|null.
+    LIBZL_TPU_SOURCE=alsa[:dev]|file:path|null,
+    LIBZL_TPU_WARMUP=1 (pre-compile every voice-bucket render shape before
+    the pump starts — no mid-performance compiles; see AudioEngine.warmup).
     """
     import os
 
@@ -293,6 +295,8 @@ def init_engine(sample_rate: int = 48000, block_frames: int = 128,
 
             runtime.set_source(make_source(source_spec, sample_rate))
         _runtime = runtime
+        if os.environ.get("LIBZL_TPU_WARMUP"):
+            runtime.engine.warmup()
         if pump:
             _runtime.start_pump()
 

@@ -597,6 +597,48 @@ class AudioEngine:
             self._host_strips_snapshot = packed
         return self._device_strips
 
+    def warmup(self) -> int:
+        """Compile the render for every voice bucket up front so a growing
+        live session never pays a mid-performance compile (the deployment
+        analog of the reference paying JACK graph setup at initJuce,
+        lib/libzl.cpp:358-410). Call AFTER loading the session's clips: the
+        compiled shapes include the sound bank's, so a later bank change
+        recompiles regardless. Returns the number of render shapes warmed.
+        No-op on the numpy backend. LIBZL_TPU_COMPILE_CACHE persists the
+        result across processes."""
+        if self.backend != "jax":
+            return 0
+        import jax
+
+        from ..ops.voice import pack_program
+
+        prog = self.pool.build_program(
+            block_start_sample=float(self.clock.sample_position),
+            tick_anchor_sample=self.clock.anchor_sample,
+            tick_anchor=self.clock.anchor_tick,
+            samples_per_tick=self.clock.samples_per_tick,
+            lane_enabled=self.lane_enabled,
+        )
+        prog_i, prog_f = pack_program(prog)
+        sound = self._sound_data_for_backend()
+        strips = self._packed_strips_for_backend()
+        if self._sharded_render is not None:
+            sizes = [self.pool.num_voices]
+        else:
+            sizes = list(self._bucket_ladder or [self.pool.num_voices])
+        for s in sizes:
+            if self._sharded_render is not None:
+                out = self._sharded_render(sound, prog_i, prog_f, strips)
+            else:
+                out = render_mod.render_block_packed(
+                    sound, prog_i[:s], prog_f[:s], strips,
+                    block_frames=self.block_frames,
+                    quirk_gain=self.quirk_gain, fetch=self.fetch,
+                    max_pitch_ratio=self.max_pitch_ratio,
+                )
+            jax.block_until_ready(out.master)
+        return len(sizes)
+
     def process_block(self) -> BlockResult:
         """Render one block: drain due ticks, dispatch, advance."""
         import time as _time

@@ -55,6 +55,18 @@ def test_ladder_shape():
         AudioEngine(sample_rate=SR, num_voices=128, voice_buckets="banana")
 
 
+def test_warmup_compiles_ladder():
+    eng, clip = _make_engine()
+    assert eng.warmup() == 2  # ladder [64, 128]
+    _play(eng, clip, 60)
+    res = eng.process_block()
+    assert np.asarray(res.outputs.master).shape == (128, 2)
+    eng_np = AudioEngine(
+        sample_rate=SR, block_frames=128, num_voices=128, backend="numpy"
+    )
+    assert eng_np.warmup() == 0
+
+
 def test_bucketed_matches_full_render():
     eng_a, clip_a = _make_engine()
     eng_b, clip_b = _make_engine(voice_buckets="off")
