@@ -597,6 +597,23 @@ class AudioEngine:
             self._host_strips_snapshot = packed
         return self._device_strips
 
+    def capture_trace(self, n_blocks: int, outdir: str) -> None:
+        """Render `n_blocks` under a jax profiler trace written to `outdir`
+        (open with TensorBoard/XProf/Perfetto). The device-side analog of
+        the reference's commented-out chrono probes and 0.2 ms/callback
+        budget checks (lib/SyncTimer.cpp:694-699) — but capturing the real
+        XLA timeline instead of host wall time. Host-side per-stage timing
+        stays on utils/profiling.BlockProfiler."""
+        if self.backend != "jax":
+            raise RuntimeError("capture_trace requires the jax backend")
+        import jax
+
+        res = None
+        with jax.profiler.trace(outdir):
+            for _ in range(max(1, int(n_blocks))):
+                res = self.process_block()
+            jax.block_until_ready(res.outputs.master)
+
     def warmup(self) -> int:
         """Compile the render for every voice bucket up front so a growing
         live session never pays a mid-performance compile (the deployment

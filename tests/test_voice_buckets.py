@@ -67,6 +67,22 @@ def test_warmup_compiles_ladder():
     assert eng_np.warmup() == 0
 
 
+def test_capture_trace_writes_profile(tmp_path):
+    eng, clip = _make_engine()
+    _play(eng, clip, 60)
+    out = tmp_path / "trace"
+    eng.capture_trace(3, str(out))
+    files = [p for p in out.rglob("*") if p.is_file()]
+    assert files, "profiler trace produced no files"
+    eng_np = AudioEngine(
+        sample_rate=SR, block_frames=128, num_voices=128, backend="numpy"
+    )
+    import pytest
+
+    with pytest.raises(RuntimeError):
+        eng_np.capture_trace(1, str(out))
+
+
 def test_bucketed_matches_full_render():
     eng_a, clip_a = _make_engine()
     eng_b, clip_b = _make_engine(voice_buckets="off")
