@@ -75,6 +75,15 @@ class EngineRuntime:
     def start_pump(self) -> None:
         if self._pump is not None:
             return
+        # compile every voice-bucket render shape BEFORE going realtime: a
+        # sparse session growing past a bucket boundary must never trigger
+        # a multi-second XLA compile inside the pump (audible dropout).
+        # The sound bank is fixed-capacity, so init-time shapes hold as
+        # clips load; LIBZL_TPU_COMPILE_CACHE makes this near-free after
+        # the first boot. (The initJuce-time setup-cost analog,
+        # lib/libzl.cpp:358-410.)
+        if self.engine.backend == "jax" and self.engine._bucket_ladder:
+            self.engine.warmup()
         self._running = True
         self._pump = threading.Thread(target=self._run, daemon=True)
         self._pump.start()

@@ -127,7 +127,13 @@ class AudioEngine:
         if fetch.startswith("windows"):
             from ..ops.fetch_pallas import parse_suffix
 
-            parse_suffix(fetch.partition(":")[2])  # raises on unknown tokens
+            _, _, _chunk, _ = parse_suffix(fetch.partition(":")[2])
+            if block_frames % _chunk != 0:
+                raise ValueError(
+                    f"windows chunk {_chunk} must divide block_frames "
+                    f"({block_frames}) — misconfigurations must fail at "
+                    f"construction, not mid-render"
+                )
         self.bank_dtype = bank_dtype
         # multi-chip: shard the voice axis over a jax.sharding.Mesh; the
         # per-lane mixdown contraction becomes a local matmul + psum over ICI
@@ -483,16 +489,25 @@ class AudioEngine:
 
     # ------------------------------------------------------------- rendering
 
-    def _render_bucket(self) -> Optional[int]:
-        """Smallest ladder bucket covering the highest active voice index,
-        or None when bucketing is off. Callers reach the render only with
-        at least one active voice (idle shortcut in process_block)."""
+    def _render_bucket(self, prog_i=None) -> Optional[int]:
+        """Smallest ladder bucket covering the highest rendering voice, or
+        None when bucketing is off. The packed program's own active column
+        is authoritative — NOT pool.active, which the native host core has
+        already advanced past this block's voice deaths by dispatch time
+        (a dying voice still renders its final partial frames,
+        lib/SamplerSynthVoice.cpp:248-257)."""
         if self._bucket_ladder is None:
             return None
-        act = np.flatnonzero(self.pool.active)
-        if act.size == 0:
+        if prog_i is None:
+            # diagnostic form (tests/probes): pool state between blocks
+            act = np.flatnonzero(self.pool.active)
+            hi = int(act[-1]) + 1 if act.size else 0
+        else:
+            from ..ops.voice import active_high_water
+
+            hi = active_high_water(prog_i)
+        if hi == 0:
             return self._bucket_ladder[0]
-        hi = int(act[-1]) + 1
         for s in self._bucket_ladder:
             if s >= hi:
                 return s
@@ -501,8 +516,10 @@ class AudioEngine:
     def _dispatch_packed(self, sound, prog_i, prog_f, strips_packed):
         if self._sharded_render is not None:
             return self._sharded_render(sound, prog_i, prog_f, strips_packed)
-        bucket = self._render_bucket()
+        bucket = self._render_bucket(prog_i)
         if bucket is not None and bucket < prog_i.shape[0]:
+            import jax.numpy as jnp
+
             out = render_mod.render_block_packed(
                 sound, prog_i[:bucket], prog_f[:bucket], strips_packed,
                 block_frames=self.block_frames, quirk_gain=self.quirk_gain,
@@ -510,12 +527,10 @@ class AudioEngine:
             )
             pad = self._peak_pad_cache.get(bucket)
             if pad is None:
-                import jax.numpy as jnp
-
                 pad = jnp.zeros(self.pool.num_voices - bucket, jnp.float32)
                 self._peak_pad_cache[bucket] = pad
-            import jax.numpy as jnp
-
+            # one small eager concat keeps voice_peaks' shape stable at [V]
+            # for every consumer; measured inside probe 21's net win
             return out._replace(
                 voice_peaks=jnp.concatenate([out.voice_peaks, pad])
             )
@@ -618,11 +633,13 @@ class AudioEngine:
         """Compile the render for every voice bucket up front so a growing
         live session never pays a mid-performance compile (the deployment
         analog of the reference paying JACK graph setup at initJuce,
-        lib/libzl.cpp:358-410). Call AFTER loading the session's clips: the
-        compiled shapes include the sound bank's, so a later bank change
-        recompiles regardless. Returns the number of render shapes warmed.
-        No-op on the numpy backend. LIBZL_TPU_COMPILE_CACHE persists the
-        result across processes."""
+        lib/libzl.cpp:358-410). Safe to call at init: the sound bank is
+        fixed-capacity (soundbank.py pre-allocates), so loading clips later
+        does not change the compiled shapes — only the rare bank-capacity
+        growth retraces. Returns the number of render shapes warmed. No-op
+        on the numpy backend. The C-ABI pump runs this automatically before
+        going realtime; LIBZL_TPU_COMPILE_CACHE persists the result across
+        processes."""
         if self.backend != "jax":
             return 0
         import jax

@@ -101,6 +101,18 @@ def pack_program(prog: VoiceProgram):
     return np.concatenate(ints, axis=1), np.concatenate(floats, axis=1)
 
 
+def active_high_water(prog_i) -> int:
+    """Highest packed-program row with the active flag set, plus one
+    (0 when no row is active). The program's `active` column is the
+    authoritative per-block render mask: it includes voices that die
+    DURING this block (they still render their final partial frames),
+    unlike pool.active which the native host core has already advanced
+    past the kill by dispatch time."""
+    col = _INT_SCALARS.index("active")
+    nz = np.flatnonzero(np.asarray(prog_i[:, col]))
+    return int(nz[-1]) + 1 if nz.size else 0
+
+
 def unpack_program(ints, floats) -> VoiceProgram:
     """Inverse of pack_program; works on numpy or traced jax arrays."""
     S = MAX_SEGMENTS_PER_BLOCK

@@ -102,6 +102,48 @@ def test_bucketed_matches_full_render():
             np.testing.assert_array_equal(va, vb, err_msg=f"{field} block {b}")
 
 
+def test_dying_high_voice_renders_final_block():
+    """Regression: the bucket must come from the packed program's active
+    column, not pool.active — under the native host core the pool has
+    already been advanced past this block's voice deaths at dispatch time,
+    and a dying high-index voice still renders its final partial frames
+    (lib/SamplerSynthVoice.cpp:248-257). Bucketed output must stay
+    bit-identical to the full render through the entire death sequence."""
+    eng_a, clip_a = _make_engine()
+    eng_b, clip_b = _make_engine(voice_buckets="off")
+    for eng, clip in ((eng_a, clip_a), (eng_b, clip_b)):
+        for i in range(70):
+            _play(eng, clip, 30 + i % 60, channel=i % 10)
+    for _ in range(2):
+        ra = eng_a.process_block(); rb = eng_b.process_block()
+        np.testing.assert_array_equal(
+            np.asarray(ra.outputs.master), np.asarray(rb.outputs.master))
+    # stop all but the last voice, then the last one a block later; the
+    # high voice's release tail and final dying block must survive the
+    # bucket shrink
+    for eng, clip in ((eng_a, clip_a), (eng_b, clip_b)):
+        for i in range(69):
+            cmd = ClipCommand.channel(clip.id, i % 10)
+            cmd.midi_note = 30 + i % 60
+            cmd.stop_playback = True
+            eng.schedule_clip_command(cmd, 0)
+    ra = eng_a.process_block(); rb = eng_b.process_block()
+    np.testing.assert_array_equal(
+        np.asarray(ra.outputs.master), np.asarray(rb.outputs.master))
+    for eng, clip in ((eng_a, clip_a), (eng_b, clip_b)):
+        cmd = ClipCommand.channel(clip.id, 69 % 10)
+        cmd.midi_note = 30 + 69 % 60
+        cmd.stop_playback = True
+        eng.schedule_clip_command(cmd, 0)
+    for b in range(30):
+        ra = eng_a.process_block(); rb = eng_b.process_block()
+        np.testing.assert_array_equal(
+            np.asarray(ra.outputs.master), np.asarray(rb.outputs.master),
+            err_msg=f"death-sequence block {b}")
+        va = np.asarray(ra.outputs.voice_peaks)
+        assert va.shape == (128,)
+
+
 def test_bucket_tracks_high_water():
     eng, clip = _make_engine()
     for i in range(4):

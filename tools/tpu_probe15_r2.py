@@ -9,6 +9,9 @@ Gather is the in-process drift control; compare ratios to probe 13
 (windows/gather 0.614 at B=1024).
 
     nohup python tools/tpu_probe15_r2.py > /tmp/tpu_probe15_r2.log 2>&1 &
+
+NOTE: the control is pinned to "windows:loop" — the suffix-less default
+became fusedw (then variant "auto") after this probe originally ran.
 """
 
 import json
@@ -20,7 +23,7 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-FETCHES = ("gather", "windows", "windows:fusedw", "windows:batchdot")
+FETCHES = ("gather", "windows:loop", "windows:fusedw", "windows:batchdot")
 
 
 def main():

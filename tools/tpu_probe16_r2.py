@@ -6,6 +6,9 @@ A/B order every trial and runs 10 trials so order bias and drift cancel;
 paired per-trial ratios are the decision statistic.
 
     nohup python tools/tpu_probe16_r2.py > /tmp/tpu_probe16_r2.log 2>&1 &
+
+NOTE: the control is pinned to "windows:loop" — the suffix-less default
+became fusedw (then variant "auto") after this probe originally ran.
 """
 
 import json
@@ -39,29 +42,29 @@ def main():
         return (time.perf_counter() - t0) / n * 1e3
 
     engines = {}
-    for fetch in ("windows", "windows:fusedw"):
+    for fetch in ("windows:loop", "windows:fusedw"):
         e = bench.build_session(1024)
         e.fetch = fetch
         e._bank_version_on_device = -1
         engines[fetch] = e
 
-    results = {"windows": [], "windows:fusedw": []}
+    results = {"windows:loop": [], "windows:fusedw": []}
     pairs = []
     for trial in range(10):
-        order = (("windows", "windows:fusedw") if trial % 2 == 0
-                 else ("windows:fusedw", "windows"))
+        order = (("windows:loop", "windows:fusedw") if trial % 2 == 0
+                 else ("windows:fusedw", "windows:loop"))
         t = {}
         for fetch in order:
             t[fetch] = run(engines[fetch])
             results[fetch].append(round(t[fetch], 3))
-        r = t["windows:fusedw"] / t["windows"]
+        r = t["windows:fusedw"] / t["windows:loop"]
         pairs.append(round(r, 3))
-        print(f"trial {trial} ({order[0]} first): loop {t['windows']:.2f} "
+        print(f"trial {trial} ({order[0]} first): loop {t['windows:loop']:.2f} "
               f"fusedw {t['windows:fusedw']:.2f} ratio {r:.3f}", flush=True)
-    lw = np.median(results["windows"]); fw = np.median(results["windows:fusedw"])
+    lw = np.median(results["windows:loop"]); fw = np.median(results["windows:fusedw"])
     wins = sum(1 for r in pairs if r < 1.0)
     print(f"medians: loop {lw:.2f} fusedw {fw:.2f}; best: "
-          f"loop {min(results['windows']):.2f} "
+          f"loop {min(results['windows:loop']):.2f} "
           f"fusedw {min(results['windows:fusedw']):.2f}; "
           f"paired-median ratio {np.median(pairs):.3f}; fusedw wins {wins}/10",
           flush=True)

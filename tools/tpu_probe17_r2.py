@@ -10,6 +10,10 @@ Per-config compile failures are caught and reported (alignment support is
 the open question). Base fusedw is the in-process control.
 
     nohup python tools/tpu_probe17_r2.py > /tmp/tpu_probe17_r2.log 2>&1 &
+
+NOTE: controls are pinned to "windows:fusedw" — the suffix-less
+default became variant "auto" (grid at single-chunk blocks) after
+these probes originally ran, which would confound a re-run.
 """
 
 import json
@@ -22,8 +26,8 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 CONFIGS = {
-    128: ("windows", "windows:a32", "windows:c64", "windows:a32,c64"),
-    1024: ("windows", "windows:a32"),
+    128: ("windows:fusedw", "windows:a32", "windows:c64", "windows:a32,c64"),
+    1024: ("windows:fusedw", "windows:a32"),
 }
 
 
@@ -86,7 +90,7 @@ def main():
                 print(f"trial {trial} B={block} {fetch}: {ms:.2f} ms",
                       flush=True)
     for k, v in results.items():
-        base = np.median(v.get("windows", [np.nan]))
+        base = np.median(v.get("windows:fusedw", [np.nan]))
         for fetch, times in v.items():
             m = np.median(times)
             print(f"{k} {fetch}: median {m:.2f} best {min(times):.2f} "

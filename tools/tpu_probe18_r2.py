@@ -6,6 +6,10 @@ less weight-build work than 768); maybe the coarser alignment compiles.
 Base fusedw is the in-process control; order alternates per trial.
 
     nohup python tools/tpu_probe18_r2.py > /tmp/tpu_probe18_r2.log 2>&1 &
+
+NOTE: controls are pinned to "windows:fusedw" — the suffix-less
+default became variant "auto" (grid at single-chunk blocks) after
+these probes originally ran, which would confound a re-run.
 """
 
 import json
@@ -18,8 +22,8 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 CONFIGS = {
-    128: ("windows", "windows:a64"),
-    1024: ("windows", "windows:a64"),
+    128: ("windows:fusedw", "windows:a64"),
+    1024: ("windows:fusedw", "windows:a64"),
 }
 
 
@@ -82,7 +86,7 @@ def main():
                 print(f"trial {trial} B={block} {fetch}: {ms:.2f} ms",
                       flush=True)
     for k, v in results.items():
-        base = np.median(v.get("windows", [np.nan]))
+        base = np.median(v.get("windows:fusedw", [np.nan]))
         for fetch, times in v.items():
             m = np.median(times)
             print(f"{k} {fetch}: median {m:.2f} best {min(times):.2f} "

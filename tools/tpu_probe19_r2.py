@@ -7,6 +7,10 @@ block copies across chunk steps. Expect the effect (if any) at B=1024
 Base fusedw is the in-process control; order alternates per trial.
 
     nohup python tools/tpu_probe19_r2.py > /tmp/tpu_probe19_r2.log 2>&1 &
+
+NOTE: controls are pinned to "windows:fusedw" — the suffix-less
+default became variant "auto" (grid at single-chunk blocks) after
+these probes originally ran, which would confound a re-run.
 """
 
 import json
@@ -19,8 +23,8 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 CONFIGS = {
-    128: ("windows", "windows:grid"),
-    1024: ("windows", "windows:grid"),
+    128: ("windows:fusedw", "windows:grid"),
+    1024: ("windows:fusedw", "windows:grid"),
 }
 
 
@@ -83,7 +87,7 @@ def main():
                 print(f"trial {trial} B={block} {fetch}: {ms:.2f} ms",
                       flush=True)
     for k, v in results.items():
-        base = np.median(v.get("windows", [np.nan]))
+        base = np.median(v.get("windows:fusedw", [np.nan]))
         for fetch, times in v.items():
             m = np.median(times)
             print(f"{k} {fetch}: median {m:.2f} best {min(times):.2f} "
