@@ -144,6 +144,45 @@ def test_dying_high_voice_renders_final_block():
         assert va.shape == (128,)
 
 
+def test_bucket_churn_equivalence_fuzz():
+    """Randomized traffic crossing bucket boundaries both directions:
+    bucketed and full renders must stay bit-identical block for block."""
+    rng = np.random.default_rng(11)
+    eng_a, clip_a = _make_engine()
+    eng_b, clip_b = _make_engine(voice_buckets="off")
+    notes_on = set()
+    for b in range(120):
+        roll = rng.random()
+        if roll < 0.45:
+            note = int(rng.integers(24, 96))
+            ch = int(rng.integers(0, 10))
+            looping = bool(rng.integers(0, 2))  # draw ONCE: both engines
+            for eng, clip in ((eng_a, clip_a), (eng_b, clip_b)):
+                cmd = ClipCommand.channel(clip.id, ch)
+                cmd.midi_note = note
+                cmd.start_playback = True
+                cmd.looping = looping
+                eng.schedule_clip_command(cmd, 0)
+            notes_on.add((note, ch))
+        elif roll < 0.75 and notes_on:
+            note, ch = list(notes_on)[int(rng.integers(0, len(notes_on)))]
+            notes_on.discard((note, ch))
+            for eng, clip in ((eng_a, clip_a), (eng_b, clip_b)):
+                cmd = ClipCommand.channel(clip.id, ch)
+                cmd.midi_note = note
+                cmd.stop_playback = True
+                eng.schedule_clip_command(cmd, 0)
+        ra = eng_a.process_block()
+        rb = eng_b.process_block()
+        np.testing.assert_array_equal(
+            np.asarray(ra.outputs.master), np.asarray(rb.outputs.master),
+            err_msg=f"block {b}")
+        np.testing.assert_array_equal(
+            np.asarray(ra.outputs.voice_peaks),
+            np.asarray(rb.outputs.voice_peaks), err_msg=f"peaks block {b}")
+        assert np.array_equal(eng_a.pool.active, eng_b.pool.active)
+
+
 def test_bucket_tracks_high_water():
     eng, clip = _make_engine()
     for i in range(4):
