@@ -439,10 +439,12 @@ def fetch_interp(
 
     n_chunks = B // chunk
     if variant == "auto":
-        # dated measurement (probes 19/20, NOTES_TPU_ENV.md): the grid
-        # variant wins clearly at one chunk (live blocks), and is
-        # drift-neutral at 8 chunks where fusedw's medians are better
-        variant = "grid" if n_chunks == 1 else "fusedw"
+        # dated measurement (probes 19/20 + the pinned-control re-run,
+        # NOTES_TPU_ENV.md): grid wins at every block size in clean
+        # processes (6/8 paired at B=128, 8/8 at B=1024); the earlier
+        # B=1024 ambiguity was drift. "auto" stays a resolution point so a
+        # future toolchain can re-split by n_chunks if measurements flip.
+        variant = "grid"
     scratch_shapes = [
         pltpu.VMEM((2, GROUP, 2, 2 * region), jnp.float32),
         pltpu.SemaphoreType.DMA((2, GROUP, 2)),
