@@ -121,6 +121,11 @@ def main() -> int:
 
     seconds_per_bar = 2.0  # 4 beats at 120 bpm
     n_blocks = int(args.bars * seconds_per_bar * SR) // engine.block_frames
+    # channel meters decay at the reference's 50 ms cadence (x2^17
+    # fixed-point ramp, lib/AudioLevels.cpp:347-412), so sample their
+    # session maxima live — the post-roll instantaneous values sit at the
+    # floor once the pattern ends
+    channel_max = [float("-inf")] * 4
     for i in range(n_blocks):
         res = engine.process_block()
         # recorders need every block; meters/positions at the 50 ms cadence
@@ -131,6 +136,9 @@ def main() -> int:
             engine.levels.feed_recorders(res.outputs)
         if i % engine._levels_every == 0:
             engine.update_session(res, include_recorders=False)
+            channel_max = [
+                max(m, c) for m, c in zip(channel_max, engine.levels.channels)
+            ]
         else:
             engine.accumulate_peaks(res)
     engine.levels.stop_recording()
@@ -139,7 +147,7 @@ def main() -> int:
     print(
         f"rendered {args.bars} bars -> {args.output}\n"
         f"playback peak {engine.levels.playback_a_hold:.1f} dBFS (hold), "
-        f"channels {['%.0f' % c for c in engine.levels.channels[:4]]}\n"
+        f"channel maxima {['%.0f' % c for c in channel_max]} dBFS\n"
         f"SLO: {engine.slo.missed_blocks}/{engine.slo.total_blocks} deadline "
         f"misses, dsp load {engine.dsp_load.load:.2f}\n"
         f"session checkpoint: {args.output}.zlsession"
