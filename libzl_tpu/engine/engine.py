@@ -100,14 +100,14 @@ class AudioEngine:
         if fetch == "auto":
             # re-measured every round (NOTES_TPU_ENV.md): on the round-2
             # toolchain the Pallas streaming-window kernel beats XLA gather
-            # on v5e at both live and super blocks (4.2 vs 5.5 ms at B=128,
-            # 7.8 vs 10.2 ms at B=1024, interleaved within-process A/B), so
-            # it is the TPU default, single-chip and per-shard under a
-            # mesh (shard_map). Gather remains the default off-TPU and for
-            # int16 banks.
+            # on v5e at both live and super blocks — including int16 banks
+            # since the kernel dequantizes at the slab slice (probe 23:
+            # int16 windows 5.52 vs int16 gather 9.26 ms per 1024-frame
+            # block, numerics identical). It is the TPU default, single-chip
+            # and per-shard under a mesh (shard_map); gather remains the
+            # default off-TPU.
             fetch = "gather"
-            if (backend == "jax" and not quirk_gain
-                    and bank_dtype == "float32"):
+            if backend == "jax" and not quirk_gain:
                 import jax
 
                 if jax.default_backend() == "tpu":
@@ -122,8 +122,6 @@ class AudioEngine:
         if not 1.0 <= float(max_pitch_ratio) <= 4.0:
             raise ValueError("max_pitch_ratio must be within [1.0, 4.0]")
         self.max_pitch_ratio = float(max_pitch_ratio)
-        if bank_dtype == "int16" and fetch.startswith("windows"):
-            raise ValueError("the Pallas windows kernel requires a f32 bank")
         if fetch.startswith("windows"):
             from ..ops.fetch_pallas import parse_suffix
 
@@ -588,8 +586,12 @@ class AudioEngine:
                     np.ascontiguousarray(self._quantize_bank(self.bank.data.T))
                 )
             else:
-                # the Pallas windows kernel requires the planar layout (f32)
-                self._device_sound_data = jax.device_put(self.bank.data)
+                # the Pallas windows kernel requires the planar [2, N]
+                # layout; int16 banks stay int16 (half the DMA bytes) and
+                # dequantize inside the kernel (fetch_pallas._slab_f32)
+                self._device_sound_data = jax.device_put(
+                    self._quantize_bank(self.bank.data)
+                )
             self._bank_version_on_device = self.bank.version
         return self._device_sound_data
 

@@ -45,6 +45,8 @@ needs the two taps separately and uses the gather path instead.)
 Host guarantees (engine/soundbank.py, engine/voicestate.py):
 - the planar bank's sample axis is a multiple of 512 with a tail guard of
   at least `region_rows(B)` samples, so region DMAs never run off the end;
+- the bank dtype is f32 or int16; int16 regions DMA at half the bytes and
+  dequantize (x/32767, the gather path's rule) at the slab slice;
 - pitch ratios are clamped to R_MAX (= 4.0, two octaves up — beyond the
   musical envelope), so a block's position span fits one region;
 - `pos_local` is window-relative: [0, region) addresses region A,
@@ -134,6 +136,18 @@ _VARIANTS = ("loop", "fusedw", "batchdot", "grid", "auto")
 _DEFAULT_VARIANT = "auto"
 
 
+_INT16_DEQUANT = 1.0 / 32767.0  # matches the gather path (ops/voice.py)
+
+
+def _slab_f32(ref):
+    """Slab slice as f32: int16 banks dequantize here, after the DMA —
+    the DMA moves half the HBM bytes and the convert runs on VMEM-resident
+    data ([2, slab] per dot, negligible next to the weight build)."""
+    if ref.dtype == jnp.int16:
+        return ref.astype(jnp.float32) * jnp.float32(_INT16_DEQUANT)
+    return ref
+
+
 def _fused_chunk(win_scratch, slot, idx, alpha, *, region, slab,
                  window_rows, align, dot_precision, variant):
     """One chunk's interpolation via the region-merged weight build.
@@ -167,12 +181,12 @@ def _fused_chunk(win_scratch, slot, idx, alpha, *, region, slab,
     if variant == "batchdot":
         slabs = []
         for g in range(GROUP):
-            sa = win_scratch[
+            sa = _slab_f32(win_scratch[
                 slot, g, :, pl.ds(pl.multiple_of(off_a[g], align), slab)
-            ]
-            sb = win_scratch[
+            ])
+            sb = _slab_f32(win_scratch[
                 slot, g, :, pl.ds(pl.multiple_of(off_b[g], align), slab)
-            ]
+            ])
             slabs.append(jnp.concatenate([sa, sb], axis=1))
         stacked_slabs = jnp.stack(slabs, axis=0)     # [G, 2, 2*slab]
         return jax.lax.dot_general(
@@ -183,12 +197,12 @@ def _fused_chunk(win_scratch, slot, idx, alpha, *, region, slab,
         )                                            # [G, 2, chunk]
     parts = []
     for g in range(GROUP):
-        sa = win_scratch[
+        sa = _slab_f32(win_scratch[
             slot, g, :, pl.ds(pl.multiple_of(off_a[g], align), slab)
-        ]
-        sb = win_scratch[
+        ])
+        sb = _slab_f32(win_scratch[
             slot, g, :, pl.ds(pl.multiple_of(off_b[g], align), slab)
-        ]
+        ])
         part = jax.lax.dot_general(
             sa, w[g, :slab],
             dimension_numbers=(((1,), (0,)), ((), ())),
@@ -298,9 +312,9 @@ def _make_kernel(block_frames: int, region: int, slab: int = SLAB,
                 parts = []
                 for g in range(GROUP):
                     off_g = pl.multiple_of(off[g], align)
-                    slab_v = win_scratch[
+                    slab_v = _slab_f32(win_scratch[
                         slot, g, :, pl.ds(off_g, slab)
-                    ]                                            # [2, slab]
+                    ])                                           # [2, slab]
                     part = jax.lax.dot_general(
                         slab_v, w[g],
                         dimension_numbers=(((1,), (0,)), ((), ())),
@@ -446,7 +460,9 @@ def fetch_interp(
         # future toolchain can re-split by n_chunks if measurements flip.
         variant = "grid"
     scratch_shapes = [
-        pltpu.VMEM((2, GROUP, 2, 2 * region), jnp.float32),
+        # window scratch matches the bank dtype: int16 banks DMA half the
+        # bytes and dequantize at the slab slice (_slab_f32)
+        pltpu.VMEM((2, GROUP, 2, 2 * region), sound_data.dtype),
         pltpu.SemaphoreType.DMA((2, GROUP, 2)),
     ]
     if variant == "grid":

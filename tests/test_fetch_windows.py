@@ -144,6 +144,33 @@ def test_windows_variants_match_gather_over_blocks():
             pool.advance(prog)
 
 
+def test_windows_int16_bank_matches_gather():
+    """int16 banks ride the windows kernel too: the DMA moves int16 rows
+    and the slab dequantizes in VMEM (fetch_pallas._slab_f32), matching the
+    gather path's x/32767 exactly."""
+    import jax.numpy as jnp
+
+    padded, pool = _make_pool_with_wraps()
+    q = np.clip(
+        np.round(padded * np.float32(32767.0)), -32768, 32767
+    ).astype(np.int16)
+    for b in range(20):
+        prog = pool.build_program(
+            block_start_sample=b * B, tick_anchor_sample=0.0,
+            tick_anchor=0, samples_per_tick=250.0,
+        )
+        _, _, c_g = render_voices(
+            jnp, q, prog, B, return_contrib=True, fetch="gather"
+        )
+        _, _, c_w = render_voices(
+            jnp, q, prog, B, return_contrib=True, fetch="windows"
+        )
+        np.testing.assert_allclose(
+            np.asarray(c_w), np.asarray(c_g), atol=2e-6, err_msg=f"block {b}"
+        )
+        pool.advance(prog)
+
+
 def test_windows_suffix_parsing():
     from libzl_tpu.ops.fetch_pallas import parse_suffix
 
