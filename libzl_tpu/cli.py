@@ -102,6 +102,24 @@ def _build_parser() -> argparse.ArgumentParser:
     i = sub.add_parser("info", help="print audio file info")
     i.add_argument("input")
 
+    ev = sub.add_parser(
+        "env", help="print backend/device/capability report (deployment "
+        "debugging: which backend, fetch kernel, native cores and system "
+        "libraries this host resolves to)"
+    )
+    ev.add_argument("--backend", default="jax", choices=["jax", "numpy"])
+
+    tr = sub.add_parser(
+        "trace", help="render a clip under a jax profiler trace "
+        "(TensorBoard/XProf timeline; see AudioEngine.capture_trace)"
+    )
+    tr.add_argument("input")
+    tr.add_argument("outdir", help="profiler output directory")
+    tr.add_argument("--blocks", type=int, default=50)
+    tr.add_argument("--block-frames", type=int, default=128)
+    tr.add_argument("--voices", type=int, default=64)
+    tr.add_argument("--loop", action="store_true", default=True)
+
     th = sub.add_parser(
         "thumbnail", help="render a waveform thumbnail to SVG"
     )
@@ -319,6 +337,71 @@ def cmd_info(args) -> int:
     return 0
 
 
+def cmd_env(args) -> int:
+    import os
+
+    print(f"libzl_tpu environment report")
+    if args.backend == "jax":
+        import jax
+
+        devs = jax.devices()
+        print(f"  jax backend: {jax.default_backend()} "
+              f"({len(devs)} device(s): {[d.device_kind for d in devs][:4]})")
+    else:
+        print("  backend: numpy (host mirror)")
+    from .engine.engine import AudioEngine
+
+    eng = AudioEngine(backend=args.backend, num_voices=64)
+    print(f"  fetch resolution (auto): {eng.fetch}")
+    if eng.fetch.startswith("windows"):
+        from .ops.fetch_pallas import parse_suffix
+
+        prec, variant, chunk, align = parse_suffix(eng.fetch.partition(":")[2])
+        print(f"    windows kernel: precision={prec} variant={variant} "
+              f"chunk={chunk} align={align}")
+    print(f"  native host core: {eng.use_native_host}")
+    from .ops.resample import resolve_stretch_backend
+
+    print(f"  stretch backend (auto): {resolve_stretch_backend()}")
+    from .io import alsa
+
+    print(f"  libasound (ALSA sinks/sources/midi): {alsa.available()}")
+    from .io import codecs
+
+    for name, fn in (
+        ("ogg read", codecs.ogg_read_available),
+        ("ogg write", codecs.ogg_write_available),
+        ("mp3 read", codecs.mp3_read_available),
+        ("mp3 write", codecs.mp3_write_available),
+    ):
+        print(f"  codec {name}: {fn()}")
+    cache = os.environ.get("LIBZL_TPU_COMPILE_CACHE")
+    print(f"  compile cache: {cache or '(unset)'}")
+    return 0
+
+
+def cmd_trace(args) -> int:
+    from .engine.engine import AudioEngine
+    from .models.clip import ClipAudioSource
+
+    eng = AudioEngine(block_frames=args.block_frames, num_voices=args.voices)
+    clip = ClipAudioSource(eng, args.input)
+    clip.play(loop=args.loop, midi_channel=0)
+    eng.start_transport()
+    # compile + settle outside the trace so the timeline shows steady state
+    eng.warmup()
+    for _ in range(4):
+        eng.process_block()
+    t0 = time.time()
+    eng.capture_trace(args.blocks, args.outdir)
+    dt = time.time() - t0
+    print(
+        f"traced {args.blocks} blocks ({args.blocks * args.block_frames} "
+        f"frames) in {dt:.2f}s -> {args.outdir} (open with TensorBoard/XProf)"
+    )
+    return 0
+
+
 def cmd_thumbnail(args) -> int:
     from .models.waveform import WaveFormItem
 
@@ -360,6 +443,10 @@ def main(argv=None) -> int:
             return cmd_convert(args)
         if args.command == "info":
             return cmd_info(args)
+        if args.command == "env":
+            return cmd_env(args)
+        if args.command == "trace":
+            return cmd_trace(args)
         if args.command == "thumbnail":
             return cmd_thumbnail(args)
     except FileNotFoundError as e:

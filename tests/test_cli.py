@@ -146,3 +146,22 @@ def test_convert_roundtrip(tmp_path):
     np.testing.assert_allclose(
         np.asarray(a.samples), np.asarray(b.samples), atol=4e-5
     )
+
+
+def test_env_subcommand(capsys):
+    rc = main(["env", "--backend", "numpy"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "fetch resolution" in out
+    assert "native host core" in out
+    assert "stretch backend" in out
+
+
+def test_trace_subcommand(tmp_path, capsys):
+    src = tmp_path / "in.wav"
+    make_tone(src, seconds=0.2)
+    out = tmp_path / "trace"
+    rc = main(["trace", str(src), str(out), "--blocks", "3"])
+    assert rc == 0
+    files = [p for p in out.rglob("*") if p.is_file()]
+    assert files, "no profiler trace files written"
