@@ -82,7 +82,7 @@ class EngineRuntime:
         # clips load; LIBZL_TPU_COMPILE_CACHE makes this near-free after
         # the first boot. (The initJuce-time setup-cost analog,
         # lib/libzl.cpp:358-410.)
-        if self.engine.backend == "jax" and self.engine._bucket_ladder:
+        if self.engine.backend == "jax":
             self.engine.warmup()
         self._running = True
         self._pump = threading.Thread(target=self._run, daemon=True)

@@ -118,7 +118,10 @@ def _build_parser() -> argparse.ArgumentParser:
     tr.add_argument("--blocks", type=int, default=50)
     tr.add_argument("--block-frames", type=int, default=128)
     tr.add_argument("--voices", type=int, default=64)
-    tr.add_argument("--loop", action="store_true", default=True)
+    tr.add_argument("--loop", action=argparse.BooleanOptionalAction,
+                    default=True,
+                    help="loop the clip during the trace (default; "
+                         "--no-loop traces a one-shot)")
 
     th = sub.add_parser(
         "thumbnail", help="render a waveform thumbnail to SVG"

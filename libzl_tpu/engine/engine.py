@@ -107,7 +107,13 @@ class AudioEngine:
             # and per-shard under a mesh (shard_map); gather remains the
             # default off-TPU.
             fetch = "gather"
-            if backend == "jax" and not quirk_gain:
+            # the windows kernel needs 128-frame chunk divisibility and an
+            # 8-voice GROUP per shard; auto falls back to gather for shapes
+            # it can't serve (an EXPLICIT fetch="windows" still fails loud
+            # at construction below)
+            shard_voices = num_voices // (mesh.size if mesh is not None else 1)
+            if (backend == "jax" and not quirk_gain
+                    and block_frames % 128 == 0 and shard_voices % 8 == 0):
                 import jax
 
                 if jax.default_backend() == "tpu":
@@ -125,12 +131,18 @@ class AudioEngine:
         if fetch.startswith("windows"):
             from ..ops.fetch_pallas import parse_suffix
 
-            _, _, _chunk, _ = parse_suffix(fetch.partition(":")[2])
+            _, _variant, _chunk, _ = parse_suffix(fetch.partition(":")[2])
             if block_frames % _chunk != 0:
                 raise ValueError(
                     f"windows chunk {_chunk} must divide block_frames "
                     f"({block_frames}) — misconfigurations must fail at "
                     f"construction, not mid-render"
+                )
+            if (_variant == "grid"
+                    and _chunk % 128 != 0 and _chunk != block_frames):
+                raise ValueError(
+                    f"grid variant needs chunk % 128 == 0 or chunk == "
+                    f"block_frames (chunk {_chunk}, block {block_frames})"
                 )
         self.bank_dtype = bank_dtype
         # multi-chip: shard the voice axis over a jax.sharding.Mesh; the
@@ -644,6 +656,11 @@ class AudioEngine:
         processes."""
         if self.backend != "jax":
             return 0
+        # idempotent per bank shape: the env hook + the pump's automatic
+        # call must not fence every bucket twice at startup
+        key = (self.bank.data.shape, self.bank_dtype)
+        if getattr(self, "_warmed_key", None) == key:
+            return 0
         import jax
 
         from ..ops.voice import pack_program
@@ -673,6 +690,7 @@ class AudioEngine:
                     max_pitch_ratio=self.max_pitch_ratio,
                 )
             jax.block_until_ready(out.master)
+        self._warmed_key = key
         return len(sizes)
 
     def process_block(self) -> BlockResult:

@@ -6,8 +6,11 @@ lost to XLA's gather; on the round-2 toolchain it wins at both live and
 super blocks (4.2 vs 5.5 ms at B=128, 7.8 vs 10.2 ms at B=1024, 1024
 voices — NOTES_TPU_ENV.md carries the dated A/B), single-chip and
 per-shard under a mesh (shard_map runs the kernel on each device's local
-voice shard). Gather remains the default off-TPU and for int16 banks
-(engine `fetch="auto"`).
+voice shard). int16 banks ride it too — half-byte region DMAs with
+in-VMEM dequant (probe 23). Gather remains the default off-TPU, and
+`fetch="auto"` falls back to gather for shapes the kernel can't tile
+(block_frames not a multiple of 128, per-shard voices not a multiple of
+GROUP).
 
 Why this exists: the voice render needs `sound[pos[v, b]]` for V*B
 (voice, frame) pairs per block. XLA lowers that to a generic gather;
@@ -126,12 +129,12 @@ _PRECISIONS = {
 #   grid     — fusedw compute with the chunk axis as a second grid
 #              dimension instead of a fori_loop (Mosaic pipelines the
 #              pos/alpha/out block copies across chunk steps). WINS at
-#              B=128 (probes 19/20: 11/16 paired trials, medians -17% and
-#              -24%, best-seen 2.94 ms/block at 1024 voices); a wash at
-#              B=1024 (median +5%, pairs 5/8 — drift-dominated).
-#   auto     — (default) grid for single-chunk blocks (live mode),
-#              fusedw for multi-chunk super-blocks; resolved per shape in
-#              fetch_interp.
+#              every block size in clean processes (probes 19/20 + the
+#              pinned re-run: 6/8 paired at B=128 with medians -17%/-24%,
+#              8/8 at B=1024; best-seen 2.94 ms/block at 1024 voices).
+#   auto     — (default) resolves to grid, except fusedw for probe chunks
+#              the grid layout can't tile (chunk < 128 with multi-chunk
+#              blocks); resolved per shape in fetch_interp.
 _VARIANTS = ("loop", "fusedw", "batchdot", "grid", "auto")
 _DEFAULT_VARIANT = "auto"
 
@@ -398,9 +401,9 @@ def parse_suffix(suffix: str):
     (precision, variant, chunk, align).
 
     Comma-separated tokens: a precision ("highest"|"default"), a kernel
-    variant ("loop"|"fusedw"|"batchdot"), a compute-chunk size ("c64",
-    "c128"), and/or a slab-offset alignment ("a32", "a128"). Unknown
-    tokens raise.
+    variant (any of _VARIANTS: "loop"|"fusedw"|"batchdot"|"grid"|"auto"),
+    a compute-chunk size ("c64", "c128"), and/or a slab-offset alignment
+    ("a32", "a128"). Unknown tokens raise.
     """
     precision, variant = "highest", _DEFAULT_VARIANT
     chunk, align = CHUNK, 128
@@ -452,13 +455,22 @@ def fetch_interp(
     n_steps = V // GROUP
 
     n_chunks = B // chunk
+    # grid pos/alpha blocks are [GROUP, chunk] of a [V, B] array: Mosaic
+    # requires the trailing block dim to be 128-divisible or whole-array
+    grid_chunk_ok = chunk % 128 == 0 or chunk == B
     if variant == "auto":
         # dated measurement (probes 19/20 + the pinned-control re-run,
         # NOTES_TPU_ENV.md): grid wins at every block size in clean
         # processes (6/8 paired at B=128, 8/8 at B=1024); the earlier
         # B=1024 ambiguity was drift. "auto" stays a resolution point so a
         # future toolchain can re-split by n_chunks if measurements flip.
-        variant = "grid"
+        # Probe chunks the grid layout can't tile fall back to fusedw.
+        variant = "grid" if grid_chunk_ok else "fusedw"
+    elif variant == "grid" and not grid_chunk_ok:
+        raise ValueError(
+            f"grid variant needs chunk % 128 == 0 or chunk == block "
+            f"(chunk {chunk}, block {B}); use fusedw/loop for small chunks"
+        )
     scratch_shapes = [
         # window scratch matches the bank dtype: int16 banks DMA half the
         # bytes and dequantize at the slab slice (_slab_f32)
