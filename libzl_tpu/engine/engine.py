@@ -209,7 +209,6 @@ class AudioEngine:
                 s *= 2
             ladder.append(num_voices)
             self._bucket_ladder = ladder
-        self._peak_pad_cache = {}
         self.allocator = VoiceAllocator(self.pool, voices_per_lane)
         self.bank = SoundBank(
             tail_guard=region_tail_guard(block_frames, self.max_pitch_ratio)
@@ -528,21 +527,14 @@ class AudioEngine:
             return self._sharded_render(sound, prog_i, prog_f, strips_packed)
         bucket = self._render_bucket(prog_i)
         if bucket is not None and bucket < prog_i.shape[0]:
-            import jax.numpy as jnp
-
-            out = render_mod.render_block_packed(
+            # voice_peaks pads back to [V] INSIDE the jit (an eager host
+            # concat here measured ~0.3-0.5 ms/block of dispatch overhead
+            # in a jax profiler trace of the live path)
+            return render_mod.render_block_packed(
                 sound, prog_i[:bucket], prog_f[:bucket], strips_packed,
                 block_frames=self.block_frames, quirk_gain=self.quirk_gain,
                 fetch=self.fetch, max_pitch_ratio=self.max_pitch_ratio,
-            )
-            pad = self._peak_pad_cache.get(bucket)
-            if pad is None:
-                pad = jnp.zeros(self.pool.num_voices - bucket, jnp.float32)
-                self._peak_pad_cache[bucket] = pad
-            # one small eager concat keeps voice_peaks' shape stable at [V]
-            # for every consumer; measured inside probe 21's net win
-            return out._replace(
-                voice_peaks=jnp.concatenate([out.voice_peaks, pad])
+                pad_voices_to=self.pool.num_voices,
             )
         return render_mod.render_block_packed(
             sound, prog_i, prog_f, strips_packed,
@@ -683,11 +675,15 @@ class AudioEngine:
             if self._sharded_render is not None:
                 out = self._sharded_render(sound, prog_i, prog_f, strips)
             else:
+                # mirror _dispatch_packed's exact static signature per
+                # bucket (pad_voices_to participates in the jit cache key)
                 out = render_mod.render_block_packed(
                     sound, prog_i[:s], prog_f[:s], strips,
                     block_frames=self.block_frames,
                     quirk_gain=self.quirk_gain, fetch=self.fetch,
                     max_pitch_ratio=self.max_pitch_ratio,
+                    pad_voices_to=(self.pool.num_voices
+                                   if s < self.pool.num_voices else 0),
                 )
             jax.block_until_ready(out.master)
         self._warmed_key = key
