@@ -686,6 +686,11 @@ class AudioEngine:
                                    if s < self.pool.num_voices else 0),
                 )
             jax.block_until_ready(out.master)
+        # one REAL device->host transfer: block_until_ready alone does not
+        # validate the readback path everywhere (on relay-attached TPUs the
+        # first D2H stalls for minutes — pay that at boot, never inside the
+        # realtime pump; NOTES_TPU_ENV.md "Measurement integrity")
+        np.asarray(out.master)
         self._warmed_key = key
         return len(sizes)
 
