@@ -131,7 +131,8 @@ class AudioEngine:
         if fetch.startswith("windows"):
             from ..ops.fetch_pallas import parse_suffix
 
-            _, _variant, _chunk, _ = parse_suffix(fetch.partition(":")[2])
+            _, _variant, _chunk, _, _group = parse_suffix(
+                fetch.partition(":")[2])
             if block_frames % _chunk != 0:
                 raise ValueError(
                     f"windows chunk {_chunk} must divide block_frames "
@@ -143,6 +144,11 @@ class AudioEngine:
                 raise ValueError(
                     f"grid variant needs chunk % 128 == 0 or chunk == "
                     f"block_frames (chunk {_chunk}, block {block_frames})"
+                )
+            if num_voices % _group != 0:
+                raise ValueError(
+                    f"windows group {_group} must divide num_voices "
+                    f"({num_voices})"
                 )
         self.bank_dtype = bank_dtype
         # multi-chip: shard the voice axis over a jax.sharding.Mesh; the

@@ -152,7 +152,8 @@ def _slab_f32(ref):
 
 
 def _fused_chunk(win_scratch, slot, idx, alpha, *, region, slab,
-                 window_rows, align, dot_precision, variant):
+                 window_rows, align, dot_precision, variant,
+                 group: int = GROUP):
     """One chunk's interpolation via the region-merged weight build.
 
     One hat chain over u in [0, 2*slab) where [0, slab) maps onto region
@@ -183,7 +184,7 @@ def _fused_chunk(win_scratch, slot, idx, alpha, *, region, slab,
     )                                                # [G, 2*slab, chunk]
     if variant == "batchdot":
         slabs = []
-        for g in range(GROUP):
+        for g in range(group):
             sa = _slab_f32(win_scratch[
                 slot, g, :, pl.ds(pl.multiple_of(off_a[g], align), slab)
             ])
@@ -199,7 +200,7 @@ def _fused_chunk(win_scratch, slot, idx, alpha, *, region, slab,
             precision=dot_precision,
         )                                            # [G, 2, chunk]
     parts = []
-    for g in range(GROUP):
+    for g in range(group):
         sa = _slab_f32(win_scratch[
             slot, g, :, pl.ds(pl.multiple_of(off_a[g], align), slab)
         ])
@@ -223,7 +224,8 @@ def _fused_chunk(win_scratch, slot, idx, alpha, *, region, slab,
 
 def _make_kernel(block_frames: int, region: int, slab: int = SLAB,
                  precision: str = "highest", variant: str = "loop",
-                 chunk: int = CHUNK, align: int = 128):
+                 chunk: int = CHUNK, align: int = 128,
+                 group: int = GROUP):
     n_chunks = block_frames // chunk
     window_rows = 2 * region
     dot_precision = _PRECISIONS[precision]
@@ -239,19 +241,19 @@ def _make_kernel(block_frames: int, region: int, slab: int = SLAB,
         def dma(slot, step, g, r, tbl):
             return pltpu.make_async_copy(
                 sound_ref.at[
-                    :, pl.ds(tbl[step * GROUP + g] * SOUND_BLOCK, region)
+                    :, pl.ds(tbl[step * group + g] * SOUND_BLOCK, region)
                 ],
                 win_scratch.at[slot, g, :, pl.ds(r * region, region)],
                 sems.at[slot, g, r],
             )
 
         def issue(slot, step):
-            for g in range(GROUP):
+            for g in range(group):
                 dma(slot, step, g, 0, wa_ref).start()
                 dma(slot, step, g, 1, wb_ref).start()
 
         def wait(slot, step):
-            for g in range(GROUP):
+            for g in range(group):
                 dma(slot, step, g, 0, wa_ref).wait()
                 dma(slot, step, g, 1, wb_ref).wait()
 
@@ -274,6 +276,7 @@ def _make_kernel(block_frames: int, region: int, slab: int = SLAB,
                 win_scratch, slot, pos_ref[:, c, :], alpha_ref[:, c, :],
                 region=region, slab=slab, window_rows=window_rows,
                 align=align, dot_precision=dot_precision, variant=variant,
+                group=group,
             )
             return 0
 
@@ -313,7 +316,7 @@ def _make_kernel(block_frames: int, region: int, slab: int = SLAB,
                     1.0 - jnp.abs(d - alpha_m[:, None, :]), 0.0
                 )                                                # [G,slab,CH]
                 parts = []
-                for g in range(GROUP):
+                for g in range(group):
                     off_g = pl.multiple_of(off[g], align)
                     slab_v = _slab_f32(win_scratch[
                         slot, g, :, pl.ds(off_g, slab)
@@ -339,7 +342,8 @@ def _make_kernel(block_frames: int, region: int, slab: int = SLAB,
 
 
 def _make_kernel_grid(block_frames: int, region: int, slab: int,
-                      precision: str, chunk: int, align: int):
+                      precision: str, chunk: int, align: int,
+                      group: int = GROUP):
     """Grid-variant kernel: chunks are a second grid dimension instead of a
     fori_loop, so Mosaic's pipeliner can overlap each chunk's pos/alpha
     input copy and out write with the neighboring chunks' compute. DMA
@@ -357,19 +361,19 @@ def _make_kernel_grid(block_frames: int, region: int, slab: int,
         def dma(slot, step, g, r, tbl):
             return pltpu.make_async_copy(
                 sound_ref.at[
-                    :, pl.ds(tbl[step * GROUP + g] * SOUND_BLOCK, region)
+                    :, pl.ds(tbl[step * group + g] * SOUND_BLOCK, region)
                 ],
                 win_scratch.at[slot, g, :, pl.ds(r * region, region)],
                 sems.at[slot, g, r],
             )
 
         def issue(slot, step):
-            for g in range(GROUP):
+            for g in range(group):
                 dma(slot, step, g, 0, wa_ref).start()
                 dma(slot, step, g, 1, wb_ref).start()
 
         def wait(slot, step):
-            for g in range(GROUP):
+            for g in range(group):
                 dma(slot, step, g, 0, wa_ref).wait()
                 dma(slot, step, g, 1, wb_ref).wait()
 
@@ -391,6 +395,7 @@ def _make_kernel_grid(block_frames: int, region: int, slab: int,
             win_scratch, i % 2, pos_ref[:, :], alpha_ref[:, :],
             region=region, slab=slab, window_rows=window_rows,
             align=align, dot_precision=dot_precision, variant="fusedw",
+            group=group,
         )
 
     return kernel
@@ -406,7 +411,7 @@ def parse_suffix(suffix: str):
     ("a32", "a128"). Unknown tokens raise.
     """
     precision, variant = "highest", _DEFAULT_VARIANT
-    chunk, align = CHUNK, 128
+    chunk, align, group = CHUNK, 128, GROUP
     for tok in filter(None, suffix.split(",")):
         if tok in _PRECISIONS:
             precision = tok
@@ -420,18 +425,25 @@ def parse_suffix(suffix: str):
             align = int(tok[1:])
             if align not in (8, 16, 32, 64, 128):
                 raise ValueError(f"align {align} not in (8..128, pow2)")
+        elif tok[:1] == "g" and tok[1:].isdigit():
+            group = int(tok[1:])
+            if group not in (8, 16, 32):
+                # 4 is a hard Mosaic reject: the [g, chunk] block's
+                # second-minor dim must be >= 8 (probe 25)
+                raise ValueError(f"group {group} not in (8, 16, 32)")
         else:
             raise ValueError(
                 f"unknown windows fetch suffix token {tok!r}: precision in "
                 f"{sorted(_PRECISIONS)}, variant in {list(_VARIANTS)}, "
-                f"chunk 'c<n>' or alignment 'a<n>'"
+                f"chunk 'c<n>', alignment 'a<n>' or group 'g<n>'"
             )
-    return precision, variant, chunk, align
+    return precision, variant, chunk, align, group
 
 
 @functools.partial(
     jax.jit, static_argnames=(
         "block_frames", "r_max", "precision", "variant", "chunk", "align",
+        "group",
     )
 )
 def fetch_interp(
@@ -446,13 +458,14 @@ def fetch_interp(
     variant: str = _DEFAULT_VARIANT,  # chunk-compute variant (_VARIANTS)
     chunk: int = CHUNK,          # frames per inner compute chunk
     align: int = 128,            # slab-offset alignment (lane-slice hint)
+    group: int = GROUP,          # voices per grid step
 ):
     """Returns interp [V, 2, B] f32: linear-interpolated, pre-gain samples."""
     V, B = pos_local.shape
-    assert V % GROUP == 0, f"voice count {V} must be a multiple of {GROUP}"
+    assert V % group == 0, f"voice count {V} must be a multiple of {group}"
     assert B % chunk == 0, f"block size {B} must be a multiple of {chunk}"
     region = region_rows(B, r_max)
-    n_steps = V // GROUP
+    n_steps = V // group
 
     n_chunks = B // chunk
     # grid pos/alpha blocks are [GROUP, chunk] of a [V, B] array: Mosaic
@@ -474,8 +487,8 @@ def fetch_interp(
     scratch_shapes = [
         # window scratch matches the bank dtype: int16 banks DMA half the
         # bytes and dequantize at the slab slice (_slab_f32)
-        pltpu.VMEM((2, GROUP, 2, 2 * region), sound_data.dtype),
-        pltpu.SemaphoreType.DMA((2, GROUP, 2)),
+        pltpu.VMEM((2, group, 2, 2 * region), sound_data.dtype),
+        pltpu.SemaphoreType.DMA((2, group, 2)),
     ]
     if variant == "grid":
         # flat [V, B] pos/alpha and [V, 2, B] out: Mosaic requires block
@@ -486,17 +499,17 @@ def fetch_interp(
             grid=(n_steps, n_chunks),
             in_specs=[
                 pl.BlockSpec(memory_space=pl.ANY),   # sound stays in HBM
-                pl.BlockSpec((GROUP, chunk), lambda i, c, wa, wb: (i, c)),
-                pl.BlockSpec((GROUP, chunk), lambda i, c, wa, wb: (i, c)),
+                pl.BlockSpec((group, chunk), lambda i, c, wa, wb: (i, c)),
+                pl.BlockSpec((group, chunk), lambda i, c, wa, wb: (i, c)),
             ],
             out_specs=pl.BlockSpec(
-                (GROUP, 2, chunk), lambda i, c, wa, wb: (i, 0, c)
+                (group, 2, chunk), lambda i, c, wa, wb: (i, 0, c)
             ),
             scratch_shapes=scratch_shapes,
         )
         kernel = _make_kernel_grid(
             B, region, slab_cols(r_max, chunk, align), precision, chunk,
-            align,
+            align, group,
         )
         out_shape = jax.ShapeDtypeStruct((V, 2, B), jnp.float32)
         interpret = jax.default_backend() != "tpu"
@@ -513,16 +526,16 @@ def fetch_interp(
             grid=(n_steps,),
             in_specs=[
                 pl.BlockSpec(memory_space=pl.ANY),   # sound stays in HBM
-                pl.BlockSpec((GROUP, n_chunks, chunk), lambda i, wa, wb: (i, 0, 0)),
-                pl.BlockSpec((GROUP, n_chunks, chunk), lambda i, wa, wb: (i, 0, 0)),
+                pl.BlockSpec((group, n_chunks, chunk), lambda i, wa, wb: (i, 0, 0)),
+                pl.BlockSpec((group, n_chunks, chunk), lambda i, wa, wb: (i, 0, 0)),
             ],
             out_specs=pl.BlockSpec(
-                (GROUP, 2, n_chunks, chunk), lambda i, wa, wb: (i, 0, 0, 0)
+                (group, 2, n_chunks, chunk), lambda i, wa, wb: (i, 0, 0, 0)
             ),
             scratch_shapes=scratch_shapes,
         )
         kernel = _make_kernel(B, region, slab_cols(r_max, chunk, align),
-                              precision, variant, chunk, align)
+                              precision, variant, chunk, align, group)
     out_shape = jax.ShapeDtypeStruct((V, 2, n_chunks, chunk), jnp.float32)
     # off-TPU (CI, CPU dev) the kernel runs in interpreter mode so the
     # windows path stays testable everywhere

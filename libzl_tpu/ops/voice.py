@@ -283,9 +283,8 @@ def render_voices(
             SOUND_BLOCK, fetch_interp, parse_suffix, region_rows,
         )
 
-        dot_precision, kernel_variant, kernel_chunk, kernel_align = (
-            parse_suffix(fetch.partition(":")[2])
-        )
+        dot_precision, kernel_variant, kernel_chunk, kernel_align, \
+            kernel_group = parse_suffix(fetch.partition(":")[2])
 
         # window-relative addressing: segment 0 -> region A ([0, region)),
         # wrap segments -> region B (offset region)
@@ -303,6 +302,7 @@ def render_voices(
             prog.win_blk_a, prog.win_blk_b, block_frames=B,
             r_max=max_pitch_ratio, precision=dot_precision,
             variant=kernel_variant, chunk=kernel_chunk, align=kernel_align,
+            group=kernel_group,
         )  # [V, 2, B] planar
         l = interp[:, 0, :] * g
         r = interp[:, 1, :] * g

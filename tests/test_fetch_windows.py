@@ -123,7 +123,7 @@ def test_windows_variants_match_gather_over_blocks():
 
     # the default suffix-less path exercises _DEFAULT_VARIANT (fusedw);
     # keep the other variants and the chunk/align probe knobs covered
-    for variant in ("loop", "batchdot", "grid", "c64", "a32", "a32,c64"):
+    for variant in ("loop", "batchdot", "grid", "c64", "a32", "a32,c64", "g16"):
         padded, pool = _make_pool_with_wraps()
         for b in range(25):
             prog = pool.build_program(
@@ -174,14 +174,14 @@ def test_windows_int16_bank_matches_gather():
 def test_windows_suffix_parsing():
     from libzl_tpu.ops.fetch_pallas import parse_suffix
 
-    assert parse_suffix("") == ("highest", "auto", 128, 128)
-    assert parse_suffix("default") == ("default", "auto", 128, 128)
-    assert parse_suffix("loop") == ("highest", "loop", 128, 128)
-    assert parse_suffix("batchdot") == ("highest", "batchdot", 128, 128)
-    assert parse_suffix("grid") == ("highest", "grid", 128, 128)
-    assert parse_suffix("default,fusedw") == ("default", "fusedw", 128, 128)
-    assert parse_suffix("c64") == ("highest", "auto", 64, 128)
-    assert parse_suffix("a32,c64") == ("highest", "auto", 64, 32)
+    assert parse_suffix("") == ("highest", "auto", 128, 128, 8)
+    assert parse_suffix("default") == ("default", "auto", 128, 128, 8)
+    assert parse_suffix("loop") == ("highest", "loop", 128, 128, 8)
+    assert parse_suffix("batchdot") == ("highest", "batchdot", 128, 128, 8)
+    assert parse_suffix("grid") == ("highest", "grid", 128, 128, 8)
+    assert parse_suffix("default,fusedw") == ("default", "fusedw", 128, 128, 8)
+    assert parse_suffix("c64") == ("highest", "auto", 64, 128, 8)
+    assert parse_suffix("a32,c64") == ("highest", "auto", 64, 32, 8)
     import pytest
 
     with pytest.raises(ValueError):
@@ -190,6 +190,11 @@ def test_windows_suffix_parsing():
         parse_suffix("c100")
     with pytest.raises(ValueError):
         parse_suffix("a256")
+    assert parse_suffix("g16") == ("highest", "auto", 128, 128, 16)
+    with pytest.raises(ValueError):
+        parse_suffix("g5")
+    with pytest.raises(ValueError):
+        parse_suffix("g4")  # sublane-dim reject on TPU (probe 25)
 
 
 def test_windows_quirk_gain_matches():
