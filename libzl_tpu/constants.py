@@ -61,8 +61,11 @@ DEFAULT_BLOCK_FRAMES = 128      # frames per render block (reference JACK period
 DEFAULT_SAMPLE_RATE = 48000
 DEFAULT_NUM_VOICES = 1024       # BASELINE.json north-star voice count
 # Max piecewise position segments per voice per block (loop wraps + 1).
-# A loop shorter than block/(MAX_SEGMENTS-1) frames is clamped by the host
-# scheduler (sub-millisecond loops are out of the reference's envelope).
+# Loops needing more wraps than the schedule expresses (shorter than
+# block/(MAX_SEGMENTS-1) frames) are contained by the device render past
+# the horizon: positional loops wrap j mod loop_period (exact — see
+# VoiceProgram.loop_period), beat-quantized loops fall back to
+# sample-modulo over the loop body (ops/voice.positions_block).
 MAX_SEGMENTS_PER_BLOCK = 4
 # Max per-voice pitch ratio: two octaves of upward transposition; beyond
 # that is outside the groovebox's musical envelope. Also bounds the fetch

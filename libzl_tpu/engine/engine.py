@@ -145,10 +145,11 @@ class AudioEngine:
                     f"grid variant needs chunk % 128 == 0 or chunk == "
                     f"block_frames (chunk {_chunk}, block {block_frames})"
                 )
-            if num_voices % _group != 0:
+            _shard_v = num_voices // (mesh.size if mesh is not None else 1)
+            if _shard_v % _group != 0:
                 raise ValueError(
-                    f"windows group {_group} must divide num_voices "
-                    f"({num_voices})"
+                    f"windows group {_group} must divide the per-shard "
+                    f"voice count ({_shard_v})"
                 )
         self.bank_dtype = bank_dtype
         # multi-chip: shard the voice axis over a jax.sharding.Mesh; the
@@ -255,7 +256,12 @@ class AudioEngine:
         self._peak_accum = None
         # completed deferred clip renders awaiting their block-boundary swap
         # (models/clip._render_worker appends; drained in process_block)
-        self._pending_renders: list = []
+        # deferred clip renders completed by the worker thread; deque's
+        # atomic append/popleft close the swap-vs-append race a plain list
+        # drain has (an append landing on the detached list is lost)
+        import collections
+
+        self._pending_renders: "collections.deque" = collections.deque()
         self.transport_running = False
         # per-block time-weighted transport BPM (the quantized blend the
         # reference publishes to the JACK timebase, lib/SyncTimer.cpp:644-673)
@@ -451,8 +457,14 @@ class AudioEngine:
             if isinstance(clip_cmd, ClipCommand):
                 self._apply_clip_command(clip_cmd, tick, frame_offset)
         elif op == Operation.SAMPLER_CHANNEL_ENABLED_STATE:
-            lane = channel_to_lane(cmd.parameter)
-            self.lane_enabled[lane] = cmd.parameter2 != 0
+            # out-of-range channels are silently ignored like the
+            # reference's guarded switch (lib/SyncTimer.cpp:563-632 routes
+            # to SamplerSynth::setSamplerChannelEnabled which bounds-checks)
+            # — a scheduled bad command must not abort the tick walk with
+            # the clock half-advanced
+            if -2 <= cmd.parameter <= 9:
+                lane = channel_to_lane(cmd.parameter)
+                self.lane_enabled[lane] = cmd.parameter2 != 0
         elif op == Operation.SET_BPM:
             self.set_bpm(cmd.parameter)
         elif op == Operation.PASSTHROUGH_CLIENT:
@@ -469,7 +481,12 @@ class AudioEngine:
 
     def _apply_passthrough_command(self, cmd: TimerCommand) -> None:
         """PassthroughClientOperation value conventions
-        (lib/TimerCommand.h:25): volumes 0..100, pan -100..100, muted 0/1."""
+        (lib/TimerCommand.h:25): volumes 0..100, pan -100..100, muted 0/1.
+        Out-of-range channels are ignored (the reference's switches
+        bounds-check) — a scheduled bad command must not abort the tick
+        walk with the clock half-advanced."""
+        if not -1 <= cmd.parameter <= 9:
+            return
         i = self.strip_index(cmd.parameter)
         setting = cmd.parameter2
         if setting == PASSTHROUGH_SETTING_DRY:
@@ -705,12 +722,14 @@ class AudioEngine:
         import time as _time
 
         _t0 = _time.perf_counter()
-        # swap in any completed deferred clip renders (single-threaded here;
-        # the worker only appends)
-        if self._pending_renders:
-            pending_renders, self._pending_renders = self._pending_renders, []
-            for fn in pending_renders:
-                fn()
+        # swap in any completed deferred clip renders (the worker appends;
+        # deque.popleft is atomic so no append can be lost to a list swap)
+        while True:
+            try:
+                fn = self._pending_renders.popleft()
+            except IndexError:
+                break
+            fn()
         midi_out: list[tuple[int, bytes]] = []
         pending = getattr(self, "_pending_immediate_midi", None)
         if pending:

@@ -13,7 +13,7 @@ from typing import Optional
 
 import numpy as np
 
-NUM_INT_COLS = 20
+NUM_INT_COLS = 21
 NUM_F32_COLS = 15
 
 # the native core writes these matrices with a HARDCODED layout
@@ -25,9 +25,10 @@ from ..ops.voice import (  # noqa: E402
     _F32_SCALARS as _VF32,
     _INT_ENV as _VINTE,
     _INT_SCALARS as _VINT,
+    _INT_TRAILER as _VINTT,
 )
 
-assert NUM_INT_COLS == len(_VINT) + len(_VINTE) + 2 * _S, (
+assert NUM_INT_COLS == len(_VINT) + len(_VINTE) + 2 * _S + len(_VINTT), (
     "packed int layout changed in ops/voice.py — update NUM_INT_COLS AND "
     "native/zl_hostcore.cpp together"
 )
@@ -72,7 +73,7 @@ def load() -> Optional[ctypes.CDLL]:
         return _lib
     from .._native import load_native
 
-    lib = load_native("zl_hostcore", "zl_hostcore_abi_version", 1)
+    lib = load_native("zl_hostcore", "zl_hostcore_abi_version", 3)
     if lib is None:
         return None
     lib.zl_voice_update.restype = ctypes.c_int64
@@ -99,7 +100,7 @@ def voice_update(
 ):
     """Native build_program + advance in one pass.
 
-    Returns (prog_i [V,20] i32, prog_f [V,15] f32, died_info) where
+    Returns (prog_i [V,21] i32, prog_f [V,15] f32, died_info) where
     died_info is a list of (voice, clip_id, position_id); the caller must
     finish the kill (this function already read the ids, then kills).
     """

@@ -136,10 +136,14 @@ class DiskRecorder:
     def _run(self) -> None:
         scale = float((1 << (self.bit_depth - 1)) - 1)
         width = self.bit_depth // 8
-        # capture THIS session's queue: after a failure, start() may install
-        # a fresh queue while this thread is still draining — reading
-        # self._queue would steal the new session's blocks
+        # capture THIS session's state: after a wedge that outlives the
+        # join timeout, start() installs fresh queue/wave/paths while this
+        # thread still runs — reading self.* here would write session-A
+        # audio into session-B's file (and close B's handle in the finally)
         q = self._queue
+        wav = self._wave
+        wav_path = self._wav_path
+        convert_to = self._convert_to
         try:
             while True:
                 block = q.get()
@@ -158,7 +162,7 @@ class DiskRecorder:
                     raw = b.tobytes()
                 else:
                     raw = ints.astype("<i4").tobytes()
-                self._wave.writeframes(raw)
+                wav.writeframes(raw)
                 self.frames_written += block.shape[0]
         except Exception:
             # disk full / target deleted: mark failed and keep draining so
@@ -173,22 +177,23 @@ class DiskRecorder:
                     break
         finally:
             try:
-                if self._wave is not None:
-                    self._wave.close()
+                wav.close()
             except Exception:
                 self.failed = True
-            self._wave = None
-            if self._convert_to is not None and not self.failed:
-                self._transcode()
+            if self._wave is wav:
+                self._wave = None
+            if convert_to is not None and not self.failed:
+                self._transcode(wav_path, convert_to)
 
-    def _transcode(self) -> None:
+    def _transcode(self, wav_path, target) -> None:
         """Post-roll conversion of the sidecar WAV to the requested
-        compressed target (FLAC lossless, OGG, MP3)."""
-        target = self._convert_to
+        compressed target (FLAC lossless, OGG, MP3). Session paths are
+        passed in (not read from self) so a zombie writer cannot transcode
+        a newer session's files."""
         try:
             from ..io.wav import read_audio
 
-            a = read_audio(self._wav_path)
+            a = read_audio(wav_path)
             suffix = target.suffix.lower()
             if suffix == ".flac":
                 from ..io.flac import write_flac
@@ -202,7 +207,7 @@ class DiskRecorder:
                 from ..io.codecs import write_mp3
 
                 write_mp3(target, a.samples, a.sample_rate)
-            self._wav_path.unlink(missing_ok=True)
+            wav_path.unlink(missing_ok=True)
         except Exception:
             # keep the sidecar WAV: the audio is never lost to a failed
             # or unavailable codec

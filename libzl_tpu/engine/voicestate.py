@@ -290,7 +290,15 @@ class VoicePool:
 
         is_bq = act & self.looping & self.beat_quantized
         is_pos = act & self.looping & ~self.beat_quantized
-        bq_wraps = np.zeros(V, np.int64)
+        # exact wrap count (NOT capped at the segment horizon): the number
+        # of m >= 0 with ceil(bq_diff + m*period) < B, i.e.
+        # bq_diff + m*period <= B-1 — next_loop_tick bookkeeping must stay
+        # right even when more wraps land in a block than segments exist
+        bq_wraps = np.where(
+            is_bq & (bq_diff <= B - 1),
+            np.floor(((B - 1) - bq_diff) / bq_period).astype(np.int64) + 1,
+            0,
+        )
         bq_boundary = np.zeros(V, bool)
         istart64 = self.istart.astype(np.int64)
         for s in range(1, S):
@@ -303,7 +311,6 @@ class VoicePool:
             hit_seg = (is_bq | is_pos) & (r < B) & (r >= start_f)
             seg_start[:, s] = np.where(hit_seg, r, B)
             seg_pos_int[:, s] = np.where(hit_seg, istart64, 0)
-            bq_wraps += (is_bq & (k0 < B)).astype(np.int64)
             bq_boundary |= is_bq & (r == B)
 
         # --- stop frame (non-looping hard stop, SamplerSynthVoice.cpp:249-252)
@@ -373,6 +380,7 @@ class VoicePool:
             clip_volume=self.clip_volume,
             pan=self.pan,
             lane=self.lane.astype(np.int32),
+            loop_period=np.where(is_pos, pos_period, 0).astype(np.int32),
             env=adsr_ops.AdsrProgram(
                 stage0=self.stage.astype(np.int32),
                 env0=self.env,
@@ -423,20 +431,37 @@ class VoicePool:
         carry = np.floor(frac_full)
         new_pos_int = s_int + j * self.rate_int + carry.astype(np.int64)
         new_pos_frac = (frac_full - carry).astype(np.float32)
-        # block-boundary loop resets: a positional wrap whose reset frame is
-        # exactly B, or a beat-quantized threshold firing on the last frame
-        # (reset position is the integer slice start with zero fraction,
-        # SamplerSynthVoice.cpp:241,246)
-        pos_wrap = (
-            act
-            & self.looping
-            & ~self.beat_quantized
-            & (
-                new_pos_int.astype(np.float64) + new_pos_frac
-                >= self.stop.astype(np.float64)
-            )
-        )
-        boundary = pos_wrap | (act & self._bq_boundary)
+        # positional loop resets past frame B: the linear extrapolation from
+        # the last segment may cross `stop` one or MORE times (a loop
+        # shorter than block/(S-1) frames wraps past the segment horizon).
+        # Each reset discards fractional overshoot and restarts at the
+        # integer loop start (SamplerSynthVoice.cpp:241,246), so the state
+        # at frame B is istart + ((j - n1) mod period) * rate exactly —
+        # this generalizes the old single-wrap boundary snap (j == n1 gives
+        # istart with zero fraction).
+        rate64 = self.rate_int.astype(np.float64) + self.rate_frac
+        rate_safe64 = np.where(rate64 > 0, rate64, 1.0)
+        is_pos_v = act & self.looping & ~self.beat_quantized
+        per_f = np.maximum(
+            np.ceil((self.stop - self.istart).astype(np.float64)
+                    / rate_safe64), 1
+        ).astype(np.int64)
+        n1_local = np.maximum(
+            np.ceil((self.stop.astype(np.float64)
+                     - (s_int.astype(np.float64) + s_frac)) / rate_safe64), 1
+        ).astype(np.int64)
+        crossed = is_pos_v & (j >= n1_local)
+        j2 = np.where(crossed, (j - n1_local) % per_f, 0).astype(np.int64)
+        frac2 = j2.astype(np.float32) * self.rate_frac
+        carry2 = np.floor(frac2)
+        pos2_int = self.istart + j2 * self.rate_int + carry2.astype(np.int64)
+        pos2_frac = (frac2 - carry2).astype(np.float32)
+        new_pos_int = np.where(crossed, pos2_int, new_pos_int)
+        new_pos_frac = np.where(crossed, pos2_frac, new_pos_frac)
+        # beat-quantized: boundary snap (threshold firing on the last frame;
+        # bq clips legitimately play past the loop stop between wall-clock
+        # boundaries, so no positional containment applies to them)
+        boundary = act & self._bq_boundary
         new_pos_int = np.where(boundary, self.istart, new_pos_int)
         new_pos_frac = np.where(boundary, np.float32(0), new_pos_frac)
         self.pos_int = np.where(act, new_pos_int, self.pos_int)

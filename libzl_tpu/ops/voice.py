@@ -66,6 +66,23 @@ class VoiceProgram(NamedTuple):
     clip_volume: Any     # f32: clip volumeAbsolute
     pan: Any             # f32: clip pan in [-1, 1]
     lane: Any            # int32: sampler channel lane 0..11
+    loop_period: Any     # int32: frames between positional resets; 0 = n/a.
+                         #   Containment past the segment horizon: the wrap
+                         #   schedule expresses at most S-1 wraps per block,
+                         #   but the reference wraps per sample without
+                         #   limit (lib/SamplerSynthVoice.cpp:243-247).
+                         #   Positional loops repeat every loop_period
+                         #   FRAMES (each reset discards the fractional
+                         #   overshoot and restarts at the integer loop
+                         #   start = the wrap segment's seg_pos), so frames
+                         #   in a wrap segment use j mod period — exact for
+                         #   any number of wraps. Beat-quantized loops wrap
+                         #   on the WALL CLOCK and legitimately play past
+                         #   the loop stop between boundaries; past the
+                         #   segment horizon they keep the linear schedule
+                         #   (resets beyond S-1 per block are dropped — a
+                         #   sub-3-tick-loop corner; the exact bq wrap
+                         #   COUNT keeps next_loop_tick bookkeeping right).
     env: adsr_ops.AdsrProgram
 
 
@@ -74,6 +91,9 @@ _INT_SCALARS = [
     "start_frame", "stop_frame", "lane",
 ]
 _INT_ENV = ["stage0", "release_frame", "rel_mode"]
+# trailing int columns (packed AFTER the segment arrays so the native host
+# core's earlier column indices stay stable — native/zl_hostcore.cpp)
+_INT_TRAILER = ["loop_period"]
 _F32_SCALARS = ["rate_frac", "gain", "clip_volume", "pan"]
 _F32_ENV = [
     "env0", "a_rate", "d_rate", "sustain", "rel_rate", "inv_rel", "rel_log2",
@@ -93,6 +113,8 @@ def pack_program(prog: VoiceProgram):
     ints += [np.asarray(getattr(prog.env, n), np.int32)[:, None] for n in _INT_ENV]
     ints += [np.asarray(prog.seg_start, np.int32),
              np.asarray(prog.seg_pos_int, np.int32)]
+    ints += [np.asarray(getattr(prog, n), np.int32)[:, None]
+             for n in _INT_TRAILER]
     floats = [np.asarray(getattr(prog, n), np.float32)[:, None]
               for n in _F32_SCALARS]
     floats += [np.asarray(getattr(prog.env, n), np.float32)[:, None]
@@ -122,6 +144,8 @@ def unpack_program(ints, floats) -> VoiceProgram:
     env_int = {n: ints[:, ni + i] for i, n in enumerate(_INT_ENV)}
     seg_start = ints[:, ni + ne : ni + ne + S]
     seg_pos_int = ints[:, ni + ne + S : ni + ne + 2 * S]
+    trailer = {n: ints[:, ni + ne + 2 * S + i]
+               for i, n in enumerate(_INT_TRAILER)}
     f_cols = {n: floats[:, i] for i, n in enumerate(_F32_SCALARS)}
     env_f = {n: floats[:, nf + i] for i, n in enumerate(_F32_ENV)}
     seg_pos_frac = floats[:, nf + nfe : nf + nfe + S]
@@ -137,6 +161,7 @@ def unpack_program(ints, floats) -> VoiceProgram:
         seg_pos_frac=seg_pos_frac,
         env=env,
         **int_cols,
+        **trailer,
         **f_cols,
     )
 
@@ -170,6 +195,7 @@ def empty_program(num_voices: int, block_frames: int) -> VoiceProgram:
         win_blk_b=zi(),
         seg_start=np.full((V, S), block_frames, np.int32),
         seg_pos_int=zi(V, S),
+        loop_period=zi(),
         seg_pos_frac=zf(V, S),
         rate_int=zi(),
         rate_frac=zf(),
@@ -221,6 +247,12 @@ def positions_block(xp, prog: VoiceProgram, block_frames: int):
         s_frac = s_frac + prog.seg_pos_frac[:, s : s + 1] * m.astype(f32)
     j = k - s_start  # frames into segment (>= 0 for frames >= start_frame)
     jc = xp.maximum(j, 0)
+    # positional-loop containment past the segment horizon: wrap segments
+    # start at integer loop_start with zero fraction and repeat every
+    # loop_period frames, so j mod period is exact for unlimited wraps
+    per = prog.loop_period[:, None]
+    wrapseg = (seg_idx >= 1) & (per > 0)
+    jc = xp.where(wrapseg, jc % xp.maximum(per, 1), jc)
     frac_full = s_frac + jc.astype(f32) * prog.rate_frac[:, None]
     carry = xp.floor(frac_full)
     pos_int = s_int + jc * prog.rate_int[:, None] + carry.astype(np.int32)

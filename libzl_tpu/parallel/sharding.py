@@ -57,7 +57,8 @@ def program_sharding(mesh: Mesh) -> voice_ops.VoiceProgram:
         active=v, base=v, len_minus1=v, win_blk_a=v, win_blk_b=v,
         seg_start=vs, seg_pos_int=vs, seg_pos_frac=vs,
         rate_int=v, rate_frac=v, start_frame=v, stop_frame=v,
-        gain=v, clip_volume=v, pan=v, lane=v, env=env,
+        gain=v, clip_volume=v, pan=v, lane=v,
+        loop_period=v, env=env,
     )
 
 

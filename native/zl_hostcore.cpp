@@ -38,10 +38,10 @@ constexpr int kRelModeLinear = 0, kRelModeExp = 1;
 // packed program column layout (ops/voice.pack_program)
 // ints: active, base, len_minus1, win_blk_a, win_blk_b, rate_int,
 //       start_frame, stop_frame, lane, stage0, release_frame, rel_mode,
-//       seg_start[4], seg_pos_int[4]                          -> 20 columns
+//       seg_start[4], seg_pos_int[4], loop_period            -> 21 columns
 // floats: rate_frac, gain, clip_volume, pan, env0, a_rate, d_rate, sustain,
 //         rel_rate, inv_rel, rel_log2, seg_pos_frac[4]        -> 15 columns
-constexpr int kNI = 20;
+constexpr int kNI = 21;
 constexpr int kNF = 15;
 
 struct State {
@@ -211,7 +211,13 @@ int64_t zl_voice_update(const Params *p, State *s, int32_t *prog_i,
 
     const bool is_bq = s->looping[v] && s->beat_quantized[v];
     const bool is_pos = s->looping[v] && !s->beat_quantized[v];
+    // exact wrap count, NOT capped at the segment horizon (mirrors
+    // voicestate.build_program): #{m >= 0 : bq_diff + m*period <= B-1}
     int64_t bq_wraps = 0;
+    if (is_bq && bq_diff <= (double)(B - 1)) {
+      bq_wraps = (int64_t)std::floor(
+                     ((double)(B - 1) - bq_diff) / bq_period) + 1;
+    }
     bool bq_boundary = false;
     for (int sI = 1; sI < kSegments; ++sI) {
       int64_t r;
@@ -219,7 +225,6 @@ int64_t zl_voice_update(const Params *p, State *s, int32_t *prog_i,
         int64_t k0 = (int64_t)std::max(
             std::ceil(bq_diff + (double)(sI - 1) * bq_period), 0.0);
         r = k0 + 1;
-        if (k0 < B) ++bq_wraps;
         if (r == B) bq_boundary = true;
       } else if (is_pos) {
         r = start_f + n1 + (int64_t)(sI - 1) * pos_period;
@@ -287,6 +292,10 @@ int64_t zl_voice_update(const Params *p, State *s, int32_t *prog_i,
       pi[12 + j] = (int32_t)std::min(seg_start[j], B);
       pi[16 + j] = (int32_t)seg_pos_int[j];
     }
+    // loop-containment column (ops/voice.py positions_block): positional
+    // loops needing more wraps than the segment schedule can express wrap
+    // exactly via j mod loop_period inside the wrap segments
+    pi[20] = is_pos ? (int32_t)pos_period : 0;
     pf[0] = s->rate_frac[v];
     pf[1] = s->gain[v];
     pf[2] = s->clip_volume[v];
@@ -317,10 +326,26 @@ int64_t zl_voice_update(const Params *p, State *s, int32_t *prog_i,
         seg_pos_int[last] + jframes * (int64_t)s->rate_int[v] +
         (int64_t)carry;
     float new_pos_frac = frac_full - carry;
-    bool pos_wrap =
-        is_pos && ((double)new_pos_int + (double)new_pos_frac >=
-                   (double)s->stop[v]);
-    if (pos_wrap || bq_boundary) {
+    // positional resets past frame B: the extrapolation can cross `stop`
+    // one or MORE times; each reset discards fractional overshoot and
+    // restarts at the integer loop start, so the state at frame B is
+    // istart + ((j - n1) mod period) * rate exactly (mirrors
+    // voicestate.advance)
+    const int64_t n1_local = std::max(
+        (int64_t)std::ceil(((double)s->stop[v] -
+                            ((double)seg_pos_int[last] +
+                             (double)seg_pos_frac[last])) /
+                           rate_safe),
+        (int64_t)1);
+    if (is_pos && jframes >= n1_local) {
+      int64_t j2 = (jframes - n1_local) % pos_period;
+      float frac2 = (float)j2 * s->rate_frac[v];
+      float carry2 = std::floor(frac2);
+      new_pos_int =
+          s->istart[v] + j2 * (int64_t)s->rate_int[v] + (int64_t)carry2;
+      new_pos_frac = frac2 - carry2;
+    }
+    if (bq_boundary) {
       new_pos_int = s->istart[v];
       new_pos_frac = 0.0f;
     }
@@ -389,6 +414,6 @@ int64_t zl_voice_update(const Params *p, State *s, int32_t *prog_i,
   return died_count;
 }
 
-int zl_hostcore_abi_version(void) { return 1; }
+int zl_hostcore_abi_version(void) { return 3; }
 
 }  // extern "C"

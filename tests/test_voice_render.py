@@ -215,3 +215,62 @@ def test_numpy_jax_render_bit_exact():
     np.testing.assert_allclose(np.asarray(peak_j), peak_np, rtol=2e-6)
     # mixdown accumulates in a backend-specific order -> allclose
     np.testing.assert_allclose(np.asarray(mix_j), mix_np, rtol=1e-5, atol=1e-7)
+
+
+def test_short_positional_loop_superblock():
+    """Regression: a loop needing more wraps per block than the segment
+    schedule can express (loop < block/(S-1) frames) must stay inside the
+    loop body — the device containment wraps positions modulo the loop
+    (the reference wraps per sample without limit,
+    lib/SamplerSynthVoice.cpp:243-247). 300-frame loop at B=1024 needs
+    ~3.4 wraps/block."""
+    B_SUPER = 1024
+    sound = make_sound(frames=5000)
+    pool = VoicePool(4, B_SUPER, SR)
+    start_voice(pool, sound, midi_note=60, looping=True, length_beats=1.3,
+                stop_sec=300 / SR)
+    oracle = make_oracle(pool, sound, looping=True)
+    planar = np.ascontiguousarray(sound.T)
+    out = []
+    for b in range(30):
+        prog = pool.build_program(
+            block_start_sample=b * B_SUPER, tick_anchor_sample=0.0,
+            tick_anchor=0, samples_per_tick=250.0,
+        )
+        mix, peaks, contrib = render_voices(
+            np, planar, prog, B_SUPER, return_contrib=True
+        )
+        out.append(contrib[0])
+        pool.advance(prog)
+    got = np.concatenate(out, axis=0)
+    want = oracle.render(30 * B_SUPER)
+    np.testing.assert_allclose(got, want, atol=3e-4)
+    assert pool.active[0]
+    # the voice's position must have stayed inside the loop body
+    assert int(pool.pos_int[0]) < 300
+
+
+def test_even_shorter_loop_multi_wrap_block():
+    """64-frame loop at B=1024: 16 wraps per block, far past the segment
+    horizon; containment must hold over a long run."""
+    B_SUPER = 1024
+    sound = make_sound(frames=5000)
+    pool = VoicePool(4, B_SUPER, SR)
+    start_voice(pool, sound, midi_note=60, looping=True, length_beats=1.3,
+                stop_sec=64 / SR)
+    oracle = make_oracle(pool, sound, looping=True)
+    planar = np.ascontiguousarray(sound.T)
+    out = []
+    for b in range(20):
+        prog = pool.build_program(
+            block_start_sample=b * B_SUPER, tick_anchor_sample=0.0,
+            tick_anchor=0, samples_per_tick=250.0,
+        )
+        _, _, contrib = render_voices(
+            np, planar, prog, B_SUPER, return_contrib=True
+        )
+        out.append(contrib[0])
+        pool.advance(prog)
+    got = np.concatenate(out, axis=0)
+    want = oracle.render(20 * B_SUPER)
+    np.testing.assert_allclose(got, want, atol=3e-4)
