@@ -67,6 +67,8 @@ def _declare(lib: ctypes.CDLL) -> ctypes.CDLL:
     ]
     lib.snd_rawmidi_read.restype = c.c_ssize_t
     lib.snd_rawmidi_read.argtypes = [c.c_void_p, c.c_void_p, c.c_size_t]
+    lib.snd_pcm_readi.restype = c.c_long
+    lib.snd_pcm_readi.argtypes = [c.c_void_p, c.c_void_p, c.c_ulong]
     lib.snd_rawmidi_write.restype = c.c_ssize_t
     lib.snd_rawmidi_write.argtypes = [c.c_void_p, c.c_void_p, c.c_size_t]
     lib.snd_rawmidi_close.restype = c.c_int
@@ -190,14 +192,35 @@ def rawmidi_read(handle, maxlen: int = 256) -> bytes:
     return bytes(buf[: n]) if n > 0 else b""
 
 
-def rawmidi_write(handle, data: bytes) -> None:
+def rawmidi_write(handle, data: bytes) -> int:
+    """Write a full message, retrying -EAGAIN/partial writes briefly.
+
+    Ports are opened NONBLOCK; a burst can overflow the kernel rawmidi
+    buffer, and a silently-dropped note-off leaves stuck notes on external
+    synths. Returns the number of bytes actually written (callers may
+    count drops)."""
     lib = get_alsa()
     if lib is None:
-        return
+        return 0
     if hasattr(lib, "py_rawmidi_write"):
         lib.py_rawmidi_write(handle, data)
-        return
-    lib.snd_rawmidi_write(handle, data, len(data))
+        return len(data)
+    import time as _time
+
+    written = 0
+    deadline = _time.monotonic() + 0.05  # bounded: never stall the pump
+    while written < len(data):
+        rc = lib.snd_rawmidi_write(
+            handle, data[written:], len(data) - written
+        )
+        if rc > 0:
+            written += rc
+            continue
+        if rc == -11 and _time.monotonic() < deadline:  # -EAGAIN
+            _time.sleep(0.001)
+            continue
+        break  # hard error or deadline: give up on the remainder
+    return written
 
 
 def rawmidi_close(handle) -> None:
@@ -303,12 +326,6 @@ def pcm_read(handle, frames: int, channels: int = 2):
         return np.zeros((0, channels), np.float32)
     if hasattr(lib, "py_pcm_read"):
         return lib.py_pcm_read(handle, frames, channels)
-    if not hasattr(lib, "snd_pcm_readi_declared"):
-        lib.snd_pcm_readi.restype = ctypes.c_long
-        lib.snd_pcm_readi.argtypes = [
-            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_ulong,
-        ]
-        lib.snd_pcm_readi_declared = True
     buf = np.empty((frames, channels), np.float32)
     n = lib.snd_pcm_readi(handle, buf.ctypes.data_as(ctypes.c_void_p), frames)
     if n < 0:

@@ -244,6 +244,7 @@ def write_ogg(
         vi, channels, int(sample_rate), ctypes.c_float(quality)
     )
     if rc != 0:
+        vb.vorbis_info_clear(vi)
         raise ValueError(f"vorbis_encode_init_vbr failed (rc={rc})")
     vb.vorbis_comment_init(vc)
     vb.vorbis_analysis_init(vd, vi)
@@ -261,41 +262,44 @@ def write_ogg(
     vb.vorbis_analysis_headerout(
         vd, vc, ctypes.byref(h1), ctypes.byref(h2), ctypes.byref(h3)
     )
-    for h in (h1, h2, h3):
-        og.ogg_stream_packetin(os_, ctypes.byref(h))
-    drain(flush=True)
+    try:
+        for h in (h1, h2, h3):
+            og.ogg_stream_packetin(os_, ctypes.byref(h))
+        drain(flush=True)
 
-    CHUNK = 4096
-    pos = 0
-    while True:
-        n = min(CHUNK, n_frames - pos)
-        if n > 0:
-            buf = vb.vorbis_analysis_buffer(vd, n)
-            for c in range(channels):
-                # keep the contiguous copy referenced until memmove returns:
-                # `arr.ctypes.data` alone drops the temporary's last
-                # reference before the call (use-after-free, process-
-                # dependent corruption)
-                col = np.ascontiguousarray(x[pos : pos + n, c])
-                ctypes.memmove(buf[c], col.ctypes.data, n * 4)
-                del col
-        vb.vorbis_analysis_wrote(vd, n)
-        while vb.vorbis_analysis_blockout(vd, vblk) == 1:
-            vb.vorbis_analysis(vblk, None)
-            vb.vorbis_bitrate_addblock(vblk)
-            while vb.vorbis_bitrate_flushpacket(vd, ctypes.byref(op)) == 1:
-                og.ogg_stream_packetin(os_, ctypes.byref(op))
-                drain(flush=False)
-        if n == 0:
-            break
-        pos += n
-    drain(flush=True)
-
-    og.ogg_stream_clear(os_)
-    vb.vorbis_block_clear(vblk)
-    vb.vorbis_dsp_clear(vd)
-    vb.vorbis_comment_clear(vc)
-    vb.vorbis_info_clear(vi)
+        CHUNK = 4096
+        pos = 0
+        while True:
+            n = min(CHUNK, n_frames - pos)
+            if n > 0:
+                buf = vb.vorbis_analysis_buffer(vd, n)
+                for c in range(channels):
+                    # keep the contiguous copy referenced until memmove
+                    # returns: `arr.ctypes.data` alone drops the
+                    # temporary's last reference before the call
+                    # (use-after-free, process-dependent corruption)
+                    col = np.ascontiguousarray(x[pos : pos + n, c])
+                    ctypes.memmove(buf[c], col.ctypes.data, n * 4)
+                    del col
+            vb.vorbis_analysis_wrote(vd, n)
+            while vb.vorbis_analysis_blockout(vd, vblk) == 1:
+                vb.vorbis_analysis(vblk, None)
+                vb.vorbis_bitrate_addblock(vblk)
+                while vb.vorbis_bitrate_flushpacket(vd, ctypes.byref(op)) == 1:
+                    og.ogg_stream_packetin(os_, ctypes.byref(op))
+                    drain(flush=False)
+            if n == 0:
+                break
+            pos += n
+        drain(flush=True)
+    finally:
+        # mirror read_ogg's ov_clear discipline: a mid-encode failure in a
+        # long-lived process must not leak native allocations
+        og.ogg_stream_clear(os_)
+        vb.vorbis_block_clear(vblk)
+        vb.vorbis_dsp_clear(vd)
+        vb.vorbis_comment_clear(vc)
+        vb.vorbis_info_clear(vi)
 
     Path(path).write_bytes(bytes(out))
 

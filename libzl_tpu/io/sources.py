@@ -41,7 +41,8 @@ class NullSource(AudioSource):
 class FileSource(AudioSource):
     name = "file"
 
-    def __init__(self, path: str, loop: bool = True):
+    def __init__(self, path: str, loop: bool = True,
+                 engine_rate: int = 0):
         from .wav import read_audio
 
         audio = read_audio(path)
@@ -50,14 +51,27 @@ class FileSource(AudioSource):
             data = data[:, None]
         if data.shape[1] == 1:
             data = np.repeat(data, 2, axis=1)
-        self._data = np.ascontiguousarray(data[:, :2], np.float32)
+        data = np.ascontiguousarray(data[:, :2], np.float32)
+        # a capture file at a different rate would otherwise be consumed
+        # sample-for-sample — silently pitch/speed-shifted audio
+        if engine_rate and audio.sample_rate != engine_rate and len(data):
+            ratio = engine_rate / audio.sample_rate
+            m = int(round(len(data) * ratio))
+            xi = np.arange(m) / ratio
+            x0 = np.arange(len(data), dtype=np.float64)
+            data = np.stack(
+                [np.interp(xi, x0, data[:, c]) for c in range(2)], axis=1
+            ).astype(np.float32)
+        self._data = data
         self._pos = 0
         self.loop = loop
-        self.sample_rate = audio.sample_rate
+        self.sample_rate = engine_rate or audio.sample_rate
 
     def read(self, frames: int) -> np.ndarray:
         n = self._data.shape[0]
         out = np.zeros((frames, 2), np.float32)
+        if n == 0:
+            return out  # zero-frame file: silence (never spin)
         done = 0
         while done < frames:
             if self._pos >= n:
@@ -105,7 +119,7 @@ def make_source(spec: str, sample_rate: int) -> AudioSource:
     if kind == "file":
         if not arg:
             raise ValueError("file source needs a path: file:<path>")
-        return FileSource(arg)
+        return FileSource(arg, engine_rate=sample_rate)
     if kind == "alsa":
         return AlsaPcmSource(arg or "default", sample_rate)
     raise ValueError(f"unknown source spec: {spec!r}")

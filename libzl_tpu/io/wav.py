@@ -99,8 +99,21 @@ def _read_wav_riff(path: Path) -> AudioData:
     if fmt is None or data is None:
         raise ValueError(f"missing fmt/data chunk: {path}")
     audio_format, n_channels, framerate, _, _, bits = fmt
-    if audio_format == 3 or (audio_format == 0xFFFE and bits == 32):
-        samples = np.frombuffer(data, dtype="<f4").reshape(-1, n_channels).copy()
+    if audio_format == 3 or (audio_format == 0xFFFE and bits in (32, 64)):
+        # IEEE float: dispatch on the declared width — a float64 WAV
+        # (scipy writes them) reinterpreted as f4 would silently load as
+        # twice the frames of noise
+        if bits == 32:
+            samples = (
+                np.frombuffer(data, dtype="<f4").reshape(-1, n_channels).copy()
+            )
+        elif bits == 64:
+            samples = (
+                np.frombuffer(data, dtype="<f8").reshape(-1, n_channels)
+                .astype(np.float32)
+            )
+        else:
+            raise ValueError(f"unsupported float WAV width: {bits}")
     elif audio_format in (1, 0xFFFE):
         samples = _decode_pcm(data, bits // 8, n_channels)
     else:

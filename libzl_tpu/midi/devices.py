@@ -17,8 +17,6 @@ same way.
 
 from __future__ import annotations
 
-import ctypes
-import ctypes.util
 from collections import deque
 from typing import Iterable, Optional
 
@@ -81,12 +79,21 @@ class AlsaRawMidiPort(MidiPort):
         self._alsa = alsa
         self._handle = alsa.rawmidi_open(device, direction)
         self._direction = direction
+        self._carry = b""  # trailing partial message from the last read
 
     def read(self) -> list[bytes]:
         if self._handle is None:
             return []
         raw = self._alsa.rawmidi_read(self._handle)
-        return _split_midi_stream(raw) if raw else []
+        if not raw:
+            return []
+        # carry a trailing partial message to the next read: the 256-byte
+        # read boundary can land mid-message (a lone 0x9x status fragment
+        # would otherwise crash the router, and split channel messages
+        # would turn into spurious events)
+        msgs, tail = _split_midi_stream(self._carry + raw)
+        self._carry = tail
+        return msgs
 
     def write(self, events: Iterable[bytes]) -> None:
         if self._handle is None:
@@ -100,29 +107,40 @@ class AlsaRawMidiPort(MidiPort):
             self._handle = None
 
 
-def _split_midi_stream(raw: bytes) -> list[bytes]:
-    """Split a raw byte stream into messages (running status not supported —
-    hardware we target sends full messages, like JACK normalizes)."""
+def _split_midi_stream(raw: bytes) -> tuple[list[bytes], bytes]:
+    """Split a raw byte stream into (complete messages, trailing partial).
+
+    Running status is not supported — hardware we target sends full
+    messages, like JACK normalizes. A channel or system-common message cut
+    off by the read boundary is returned as the trailing partial so the
+    caller can prepend it to the next read instead of emitting a
+    truncated (crash-prone) event."""
     out = []
     i = 0
-    while i < len(raw):
+    n = len(raw)
+    while i < n:
         b = raw[i]
         if b >= 0xF8:          # realtime: single byte
             out.append(bytes([b]))
             i += 1
-        elif b >= 0xF0:        # system common: variable, skip until next status
+        elif b >= 0xF0:        # system common: variable, runs to next status
             j = i + 1
-            while j < len(raw) and raw[j] < 0x80:
+            while j < n and raw[j] < 0x80:
                 j += 1
+            if j == n:
+                # may continue in the next read (bounded: drop if huge)
+                return out, raw[i:j] if j - i < 64 else b""
             out.append(raw[i:j])
             i = j
         elif b >= 0x80:
             size = 2 if (b & 0xF0) in (0xC0, 0xD0) else 3
+            if i + size > n:
+                return out, raw[i:]
             out.append(raw[i : i + size])
             i += size
         else:
             i += 1  # stray data byte
-    return out
+    return out, b""
 
 
 class InputDeviceEntry:
@@ -228,6 +246,9 @@ class HardwareScanner:
         self.poll_interval = poll_interval
         self._known_in: dict[str, MidiPort] = {}
         self._known_out: dict[str, MidiPort] = {}
+        # endpoints refused at MAX_MIDI_INPUT_DEVICES: skip re-opening a
+        # real ALSA handle every poll until capacity frees or they unplug
+        self._rejected_in: set[str] = set()
         self._next_poll = 0.0
 
     def due(self, now: Optional[float] = None) -> bool:
@@ -273,7 +294,8 @@ class HardwareScanner:
             human = hint["desc"].split("\n")[0]
             if ioid in ("", "Input"):
                 seen_in.add(name)
-                if name not in self._known_in:
+                if (name not in self._known_in
+                        and name not in self._rejected_in):
                     changed |= self._open(name, "in", human)
             if ioid in ("", "Output"):
                 seen_out.add(name)
@@ -285,6 +307,9 @@ class HardwareScanner:
                 self.registry.remove_input(port)
                 port.close()
                 changed = True
+                # capacity freed: rejected endpoints may be admitted now
+                self._rejected_in.clear()
+        self._rejected_in &= seen_in  # unplugged rejects forget their state
         for name in list(self._known_out):
             if name not in seen_out:
                 port = self._known_out.pop(name)
@@ -305,6 +330,9 @@ class HardwareScanner:
         if direction == "in":
             if self.registry.add_input(port) is None:
                 port.close()  # MAX_INPUT_DEVICES reached
+                # remember the rejection: re-opening a real ALSA handle
+                # 3.3x/s forever on every poll is wasted kernel I/O
+                self._rejected_in.add(name)
                 return False
             self._known_in[name] = port
         else:

@@ -233,9 +233,14 @@ class MidiRouter:
             self.passthrough_out.append((offset, data))
             return
         target = self.current_channel
-        if is_note_message(data):
+        if is_note_message(data) and len(data) > 1:
             note = data[1]
-            if is_note_on(data):
+            # stickiness counts by STATUS byte, exactly like the reference
+            # (MidiRouter.cpp:513-518: `byte1 >= 0x90` increments the
+            # activation even for velocity-0 note-ons) — classifying v=0 as
+            # an off here would reset the counter and retarget later
+            # note-ons differently than the reference
+            if (data[0] & 0xF0) == 0x90:
                 entry.note_activations[note] += 1
                 if entry.note_activations[note] == 1:
                     entry.active_note_channel[note] = self.current_channel

@@ -236,3 +236,24 @@ def test_double_stop_keeps_flushed_note_offs():
     res = engine.process_block()
     offs = [d for _, d in res.midi_out if d and (d[0] & 0xF0) == 0x80]
     assert offs, "flushed note-off was lost by the double stop"
+
+
+def test_velocity_zero_note_on_stickiness_matches_reference():
+    """The reference counts activations by STATUS byte (0x9x increments
+    even at velocity 0, lib/MidiRouter.cpp:513-518), so a v=0 note-on must
+    NOT reset stickiness — later note-ons keep the original channel."""
+    r = MidiRouter()
+    port = VirtualMidiPort("pad")
+    entry = r.registry.add_input(port)
+    r.current_channel = 5
+    port.feed(bytes([0x90, 60, 100]))
+    r.route_hardware()
+    r.current_channel = 7
+    port.feed(bytes([0x90, 60, 0]))      # v=0 "off" in disguise
+    r.route_hardware()
+    port.feed(bytes([0x90, 60, 100]))    # activation 3 != 1
+    r.route_hardware()
+    # all three events rode channel 5 (the first activation's target)
+    notes = [d for _, d in r.passthrough_out if 0x80 <= d[0] < 0xA0]
+    assert notes, "no notes routed"
+    assert all((d[0] & 0x0F) == 5 for d in notes), notes

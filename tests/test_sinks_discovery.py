@@ -458,3 +458,58 @@ def test_pump_thread_drives_discovery(fake_alsa, tmp_path):
         bridge.shutdown_engine()
         os.environ.pop("LIBZL_TPU_BACKEND", None)
         os.environ.pop("LIBZL_TPU_VOICES", None)
+
+
+def test_split_midi_stream_carries_partial_messages():
+    """A read boundary landing mid-message must not emit truncated events
+    (a lone 0x9x fragment would crash the router); the tail carries to the
+    next read."""
+    from libzl_tpu.midi.devices import _split_midi_stream
+
+    msgs, tail = _split_midi_stream(bytes([0x90, 60, 100, 0x91]))
+    assert msgs == [bytes([0x90, 60, 100])]
+    assert tail == bytes([0x91])
+    msgs2, tail2 = _split_midi_stream(tail + bytes([61, 99, 0xF8]))
+    assert msgs2 == [bytes([0x91, 61, 99]), bytes([0xF8])]
+    assert tail2 == b""
+    # 2-byte fragment of a 3-byte message
+    msgs3, tail3 = _split_midi_stream(bytes([0x80, 60]))
+    assert msgs3 == [] and tail3 == bytes([0x80, 60])
+    # system-common run to the end may continue next read
+    msgs4, tail4 = _split_midi_stream(bytes([0xF0, 1, 2]))
+    assert msgs4 == [] and tail4 == bytes([0xF0, 1, 2])
+
+
+def test_file_source_zero_frames_never_spins(tmp_path):
+    import numpy as np
+
+    from libzl_tpu.io.sources import FileSource
+    from libzl_tpu.io.wav import write_wav
+
+    p = tmp_path / "empty.wav"
+    write_wav(p, np.zeros((0, 2), np.float32), 48000)
+    src = FileSource(str(p))          # loop=True default
+    out = src.read(128)
+    assert out.shape == (128, 2)
+    assert not out.any()
+
+
+def test_file_source_resamples_rate_mismatch(tmp_path):
+    import numpy as np
+
+    from libzl_tpu.io.sources import make_source
+    from libzl_tpu.io.wav import write_wav
+
+    sr_file, sr_engine = 44100, 48000
+    t = np.arange(sr_file) / sr_file
+    tone = (0.5 * np.sin(2 * np.pi * 1000 * t)).astype(np.float32)
+    p = tmp_path / "cap44k1.wav"
+    write_wav(p, tone[:, None], sr_file)
+    src = make_source(f"file:{p}", sr_engine)
+    assert src.sample_rate == sr_engine
+    audio = np.concatenate([src.read(1024) for _ in range(40)], 0)
+    # the 1 kHz tone must still be 1 kHz at the engine rate
+    spec = np.abs(np.fft.rfft(audio[:, 0] * np.hanning(len(audio))))
+    freqs = np.fft.rfftfreq(len(audio), 1 / sr_engine)
+    peak_hz = freqs[int(np.argmax(spec))]
+    assert abs(peak_hz - 1000.0) < 15.0, peak_hz
