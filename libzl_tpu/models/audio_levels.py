@@ -111,10 +111,15 @@ class AudioLevels:
         self.channels_rms = [to_dbfs(float(v)) for v in track_rms]
 
     def analyze(self) -> None:
-        """The 50 ms analysis pass (lib/AudioLevels.cpp:347-412): decay the
-        integer peaks, convert to dBFS, update the playback peak-hold."""
-        self._peak_int = np.maximum(self._peak_int - PEAK_INT_DECAY_PER_TICK, 0)
+        """The 50 ms analysis pass (lib/AudioLevels.cpp:347-412): convert
+        the held integer peaks to dBFS, then decay the residual for the
+        NEXT tick. Order matters: the reference decays the held value
+        before folding the current buffer, so the current block always
+        displays at full value — decaying before conversion would
+        under-read every meter by one decay step and pin steady signals
+        below ~-22 dBFS at the floor."""
         peaks = self._peak_int.astype(np.float64) * PEAK_INT_TO_FLOAT
+        self._peak_int = np.maximum(self._peak_int - PEAK_INT_DECAY_PER_TICK, 0)
         db = np.array(
             [[to_dbfs(p) for p in row] for row in peaks], np.float64
         )

@@ -64,7 +64,17 @@ def _render_worker() -> None:
             continue  # superseded by a newer parameter change
         try:
             rendered = clip._compute_playback()
-        except Exception:
+        except Exception as exc:
+            # a dropped render means the stale buffer keeps playing —
+            # record and report it instead of vanishing (undebuggable
+            # from the API surface otherwise)
+            clip.last_render_error = exc
+            import sys
+            import traceback
+
+            print(f"libzl_tpu clip {clip.id}: deferred render failed "
+                  f"(stale playback buffer kept):", file=sys.stderr)
+            traceback.print_exc()
             continue
 
         def done(clip=clip, gen=gen, rendered=rendered):
@@ -158,6 +168,7 @@ class ClipAudioSource:
         self._last_progress = -1.0
         self._last_level = -400.0
         self._level_signal = 0.0
+        self.last_render_error: Optional[Exception] = None
         self.playback_changed_callback: Optional[Callable[[], None]] = None
 
         self.playback_audio = audio  # replaced by renders
@@ -171,10 +182,15 @@ class ClipAudioSource:
 
     def destroy(self) -> None:
         self._render_generation += 1  # drop any in-flight deferred render
-        self.stop(-3)
-        if self.engine is not None:
-            self.engine.unregister_clip(self)
-        _registry.pop(self.id, None)
+        try:
+            if self.engine is not None:
+                self.stop(-3)
+                self.engine.unregister_clip(self)
+        finally:
+            # the registry entry must go even if teardown raises —
+            # engine-less clips previously leaked here (stop() touched
+            # engine unconditionally)
+            _registry.pop(self.id, None)
 
     # ------------------------------------------------------------ stretching
 
@@ -351,10 +367,15 @@ class ClipAudioSource:
 
     # ------------------------------------------------------------ transport
 
-    def play(self, loop: bool = True, midi_channel: int = -2) -> None:
-        """lib/ClipAudioSource.cpp:415-429."""
+    def play(self, loop: Optional[bool] = None, midi_channel: int = -2) -> None:
+        """lib/ClipAudioSource.cpp:415-429. `loop=None` (the default)
+        honors the clip-level `set_looping` flag, the way the reference's
+        play() consults transport.looping (cpp:243-253); an explicit bool
+        overrides per call."""
         from ..engine.commands import ClipCommand
 
+        if loop is None:
+            loop = self.looping
         cmd = ClipCommand.channel(self.id, midi_channel)
         cmd.midi_note = 60
         cmd.change_volume = True

@@ -25,17 +25,20 @@ class SamplerNoteMapper:
         self.engine = engine
         # sampler channel (0..9) -> list of clips
         self._assignments: dict[int, list] = defaultdict(list)
-        # per-clip: use slice-for-note mode instead of pitch tracking
-        self._slice_mode: dict[int, bool] = {}
+        # per-(channel, clip): use slice-for-note mode instead of pitch
+        # tracking. Keyed per assignment, not per clip — the same clip can
+        # sit on two channels with different modes
+        self._slice_mode: dict[tuple[int, int], bool] = {}
 
     def assign(self, sampler_channel: int, clip, slice_mode: bool = False) -> None:
         if clip not in self._assignments[sampler_channel]:
             self._assignments[sampler_channel].append(clip)
-        self._slice_mode[clip.id] = slice_mode
+        self._slice_mode[(sampler_channel, clip.id)] = slice_mode
 
     def unassign(self, sampler_channel: int, clip) -> None:
         if clip in self._assignments[sampler_channel]:
             self._assignments[sampler_channel].remove(clip)
+        self._slice_mode.pop((sampler_channel, clip.id), None)
 
     def handle(self, router, passthrough: list[tuple[int, bytes]]) -> None:
         """Convert note events on SAMPLER-destination channels into clip
@@ -54,7 +57,7 @@ class SamplerNoteMapper:
                     continue
                 cmd = ClipCommand.channel(clip.id, ch)
                 cmd.midi_note = note
-                if self._slice_mode.get(clip.id) and clip.slices > 0:
+                if self._slice_mode.get((ch, clip.id)) and clip.slices > 0:
                     cmd.change_slice = True
                     cmd.slice = clip.slice_for_midi_note(note)
                 if on:

@@ -18,6 +18,8 @@ from __future__ import annotations
 import json
 from pathlib import Path
 
+import numpy as np
+
 SESSION_FORMAT_VERSION = 1
 
 
@@ -28,10 +30,26 @@ def save_session(engine, path: str | Path) -> None:
     for clip in all_clips():
         if clip.engine is not engine:
             continue
+        # clips created from in-memory AudioData (filepath == "") must
+        # still round-trip: embed the source audio in the checkpoint
+        # (base64 f32 frames; a filepath-backed clip re-reads its file)
+        embedded = None
+        if not clip.filepath:
+            import base64
+
+            a = clip.source
+            embedded = dict(
+                sample_rate=int(a.sample_rate),
+                channels=int(a.samples.shape[1]) if a.samples.ndim > 1 else 1,
+                f32=base64.b64encode(
+                    np.ascontiguousarray(a.samples, np.float32).tobytes()
+                ).decode("ascii"),
+            )
         clips.append(
             dict(
                 id=clip.id,
                 filepath=clip.filepath,
+                embedded_audio=embedded,
                 start_position_seconds=clip.start_position_seconds,
                 length_seconds=clip.length_seconds,
                 length_beats=clip.length_beats,
@@ -106,7 +124,20 @@ def load_session(engine, path: str | Path) -> dict:
         )
     id_map: dict[int, ClipAudioSource] = {}
     for c in doc["clips"]:
-        clip = ClipAudioSource(engine, filepath=c["filepath"])
+        emb = c.get("embedded_audio")
+        if emb is not None:
+            import base64
+
+            from ..io.wav import AudioData
+
+            data = np.frombuffer(
+                base64.b64decode(emb["f32"]), np.float32
+            ).reshape(-1, emb["channels"]).copy()
+            clip = ClipAudioSource(
+                engine, audio=AudioData(data, emb["sample_rate"])
+            )
+        else:
+            clip = ClipAudioSource(engine, filepath=c["filepath"])
         clip.start_position_seconds = c["start_position_seconds"]
         clip.length_seconds = c["length_seconds"]
         clip.length_beats = c["length_beats"]

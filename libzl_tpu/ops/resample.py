@@ -35,6 +35,10 @@ def linear_resample(samples: np.ndarray, ratio: float) -> np.ndarray:
     """
     if ratio == 1.0:
         return samples.astype(np.float32, copy=False)
+    if samples.ndim == 1:
+        # 1-D input would broadcast against frac[:, None] into an
+        # [n_out, n_out] matrix — normalize to [T, 1] and squeeze back
+        return linear_resample(samples[:, None], ratio)[:, 0]
     n_in = samples.shape[0]
     n_out = max(int(round(n_in / ratio)), 1)
     pos = np.arange(n_out, dtype=np.float64) * ratio
@@ -80,7 +84,17 @@ def time_stretch(
     n_bins = fft_size // 2 + 1
     omega = (2.0 * np.pi * np.arange(n_bins) / fft_size).astype(np.float32)
 
-    M = max(int((n_in - fft_size) / ana_hop), 1)
+    # frames must COVER the target output length (round(n_in*stretch)):
+    # computing them from the input span alone left ~fft*(stretch-1)
+    # samples of hard zero-padding at the stretched tail (an audible early
+    # cutoff on one-shots). Extra frames clamp to the final analysis
+    # window via `anchors`, sustaining the ending instead.
+    target_len = max(int(round(n_in * stretch)), 1)
+    M = max(
+        int((n_in - fft_size) / ana_hop),
+        int(np.ceil((target_len - fft_size) / syn_hop)) + 1,
+        1,
+    )
     x = samples.astype(np.float32)
     if n_in < fft_size:
         x = np.pad(x, ((0, fft_size - n_in), (0, 0)))
@@ -268,6 +282,13 @@ def resolve_stretch_backend(backend: str = "auto") -> str:
         return "wsola"
     if choice in ("vocoder", "pv", "python"):
         return "vocoder"
+    if choice != "auto":
+        # a typo'd explicit request must fail loudly, not silently run the
+        # auto default (A/B probes would measure the wrong stretcher)
+        raise ValueError(
+            f"unknown stretch backend {choice!r}: use 'auto', 'wsola' or "
+            f"'vocoder'"
+        )
     return "wsola" if stretch_native.available() else "vocoder"
 
 

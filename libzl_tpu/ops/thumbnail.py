@@ -23,6 +23,8 @@ def thumbnail_math(xp, samples, num_buckets: int):
     not fill a whole bucket is dropped (matching juce's per-window scan
     granularity).
     """
+    if samples.ndim == 1:
+        samples = samples[:, None]  # mono 1-D -> [T, 1]
     t_axis = samples.ndim - 2
     T = samples.shape[t_axis]
     bucket = max(T // num_buckets, 1)

@@ -185,3 +185,20 @@ def test_rms_metering():
     # on the RMS path)
     assert -20 < engine.levels.channels_rms[4] < -10
     assert engine.levels.channels_rms[0] == -200.0
+
+
+def test_quiet_steady_signal_reads_true_peak():
+    """Decay order regression (lib/AudioLevels.cpp:359-383): the current
+    block's peak must display at FULL value — decaying before conversion
+    pinned steady signals below ~-22 dBFS (raw peak < decay step) at the
+    -200 floor."""
+    engine, clip = make_session()
+    clip.set_volume(-26.0)  # quiet: raw master peak well under 0.076
+    clip.play(loop=True, midi_channel=2)
+    res = run_blocks(engine, 40)
+    raw_peak = float(np.asarray(res.outputs.master_peak).max())
+    assert 0.001 < raw_peak < 0.076, raw_peak  # in the regression regime
+    want_db = 20 * np.log10(raw_peak) - 14.0  # x0.2 int->float factor
+    assert engine.levels.playback_a > -200.0, "meter pinned at the floor"
+    assert abs(engine.levels.playback_a - want_db) < 3.0, (
+        engine.levels.playback_a, want_db)

@@ -359,3 +359,31 @@ def test_windows_precision_suffix_validated():
     with pytest.raises(ValueError, match="windows"):
         AudioEngine(sample_rate=SR, num_voices=8, backend="jax",
                     fetch="windows:hi")
+
+
+def test_play_honors_clip_looping_flag():
+    """clip.play() with no argument consults set_looping (the reference's
+    transport.looping, lib/ClipAudioSource.cpp:243-253)."""
+    import numpy as np
+
+    from libzl_tpu.io.wav import AudioData
+    from libzl_tpu.models.clip import ClipAudioSource
+
+    eng = AudioEngine(sample_rate=48000, backend="numpy", num_voices=16)
+    t = np.arange(2400) / 48000.0
+    clip = ClipAudioSource(
+        eng, audio=AudioData(
+            (0.5 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)[:, None],
+            48000,
+        ),
+    )
+    clip.set_looping(False)
+    clip.play(midi_channel=0)
+    eng.start_transport(bpm=120)
+    eng.process_block()
+    assert not bool(eng.pool.looping[np.flatnonzero(eng.pool.active)[0]])
+    # explicit override still wins
+    clip.play(loop=True, midi_channel=1)
+    eng.process_block()
+    act = np.flatnonzero(eng.pool.active)
+    assert any(bool(eng.pool.looping[v]) for v in act)

@@ -115,3 +115,30 @@ def test_profiler_and_slo_counters():
     assert "process_block" in s and s["process_block"]["count"] == 20
     assert engine.slo.total_blocks == 20
     assert 0.0 <= engine.dsp_load.load
+
+
+def test_in_memory_clip_roundtrips_through_checkpoint(tmp_path):
+    """Clips created from AudioData (no filepath) must restore: the
+    checkpoint embeds their source audio."""
+    import numpy as np
+
+    from libzl_tpu.engine.engine import AudioEngine
+    from libzl_tpu.io.wav import AudioData
+    from libzl_tpu.models.clip import ClipAudioSource
+    from libzl_tpu.models.session import load_session, save_session
+
+    eng = AudioEngine(sample_rate=48000, backend="numpy", num_voices=16)
+    t = np.arange(4800) / 48000.0
+    src = (0.4 * np.sin(2 * np.pi * 330 * t)).astype(np.float32)[:, None]
+    clip = ClipAudioSource(eng, audio=AudioData(src, 48000))
+    clip.set_volume(-3.0)
+    p = tmp_path / "mem.zlsession"
+    save_session(eng, p)
+
+    eng2 = AudioEngine(sample_rate=48000, backend="numpy", num_voices=16)
+    load_session(eng2, p)
+    restored = [c for c in eng2.clips.values()]
+    assert len(restored) == 1
+    np.testing.assert_allclose(
+        np.asarray(restored[0].source.samples), src, atol=1e-7
+    )
