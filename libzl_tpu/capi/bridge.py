@@ -245,8 +245,16 @@ class EngineRuntime:
             rendered += spb
         # drain in-flight blocks so sink/recorders keep the final audio
         while inflight:
-            consume(*inflight.popleft())
+            try:
+                consume(*inflight.popleft())
+            except Exception:
+                pass
         self._close_retired_io()
+        # a give-up exit (100 consecutive failures) must not leave the
+        # runtime looking alive: _running=True would make start_pump a
+        # silent no-op and route retired sinks/sources to a dead drainer
+        self._running = False
+        self._pump = None
 
     def _fan_timer_callbacks(self, tick: int) -> None:
         for cb in list(self._timer_callbacks):
@@ -293,16 +301,23 @@ def init_engine(sample_rate: int = 48000, block_frames: int = 128,
         # engine behind (a retry would then silently no-op)
         runtime = EngineRuntime(sample_rate, block_frames, num_voices, backend,
                                 pipeline_depth=depth)
-        sink_spec = os.environ.get("LIBZL_TPU_SINK")
-        if sink_spec:
-            from ..io.sinks import make_sink
+        try:
+            sink_spec = os.environ.get("LIBZL_TPU_SINK")
+            if sink_spec:
+                from ..io.sinks import make_sink
 
-            runtime.set_sink(make_sink(sink_spec, sample_rate))
-        source_spec = os.environ.get("LIBZL_TPU_SOURCE")
-        if source_spec:
-            from ..io.sources import make_source
+                runtime.set_sink(make_sink(sink_spec, sample_rate))
+            source_spec = os.environ.get("LIBZL_TPU_SOURCE")
+            if source_spec:
+                from ..io.sources import make_source
 
-            runtime.set_source(make_source(source_spec, sample_rate))
+                runtime.set_source(make_source(source_spec, sample_rate))
+        except Exception:
+            # a bad source spec must not leak the already-attached sink
+            # (open ALSA handle / writer thread) on the unpublished runtime
+            runtime.set_sink(None)
+            runtime.set_source(None)
+            raise
         _runtime = runtime
         if os.environ.get("LIBZL_TPU_WARMUP"):
             runtime.engine.warmup()
@@ -345,11 +360,18 @@ def stop_clips(clip_ids: list[int]) -> None:
 # ------------------------------------------------------- ClipAudioSource API
 
 def clip_new(filepath: str, muted: bool = False) -> int:
+    from ..io.wav import read_audio
     from ..models.clip import ClipAudioSource
 
     rt = _rt()
+    # decode OUTSIDE the engine lock: a long FLAC/MP3 load must not stall
+    # the pump past its schedule-ahead (the reference loads on the message
+    # thread while the JACK callback keeps rendering); only the engine
+    # registration needs the lock
+    audio = read_audio(filepath)
     with rt._lock:
-        clip = ClipAudioSource(rt.engine, filepath=filepath, muted=muted)
+        clip = ClipAudioSource(rt.engine, audio=audio, muted=muted)
+        clip.filepath = str(filepath)
     return clip.id
 
 
@@ -498,13 +520,13 @@ def clip_set_audio_level_callback(clip_id: int, fn_ptr: int) -> None:
 
 # -------------------------------------------------------------- SyncTimer API
 
-def timer_start(bpm_interval_ms: int) -> None:
-    """SyncTimer_startTimer: the reference receives the tick interval in ms
-    (lib/libzl.cpp:313, getInterval semantics)."""
-    from ..constants import BEAT_SUBDIVISIONS
-
-    bpm = 60000 / (max(bpm_interval_ms, 1) * BEAT_SUBDIVISIONS)
-    _rt().engine.start_transport(bpm=bpm)
+def timer_start(bpm: int) -> None:
+    """SyncTimer_startTimer: despite the header's `interval` parameter
+    name, the reference treats the argument as a BPM —
+    SyncTimer::start(int bpm) calls setBpm(bpm) directly
+    (lib/SyncTimer.cpp:869-872; libzl.cpp:313 just forwards). A
+    reference-compatible client passing 120 must get 120 BPM."""
+    _rt().engine.start_transport(bpm=max(int(bpm), 1))
 
 
 def timer_stop() -> None:

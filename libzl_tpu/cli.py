@@ -180,7 +180,9 @@ def cmd_render(args) -> int:
     cmd.start_playback = True
     engine.schedule_clip_command(cmd, 0)
 
-    n_blocks = int(args.seconds * args.sample_rate) // args.block_frames
+    n_blocks = max(
+        int(args.seconds * args.sample_rate) // args.block_frames, 1
+    )
     blocks = []
     t0 = time.perf_counter()
     for _ in range(n_blocks):
@@ -215,7 +217,8 @@ def cmd_play(args) -> int:
     from .io.wav import read_audio
     from .models.clip import ClipAudioSource
 
-    sample_rate = read_audio(args.input).sample_rate
+    audio = read_audio(args.input)   # decode ONCE; the clip reuses it
+    sample_rate = audio.sample_rate
     runtime = EngineRuntime(
         sample_rate=sample_rate,
         block_frames=args.block_frames,
@@ -231,12 +234,24 @@ def cmd_play(args) -> int:
     runtime.set_sink(sink)
     engine = runtime.engine
     with runtime._lock:
-        clip = ClipAudioSource(engine, filepath=args.input)
+        clip = ClipAudioSource(engine, audio=audio)
         clip.set_pan(args.pan)
         if args.volume is not None:
             clip.set_volume(args.volume)
         engine.start_transport(bpm=args.bpm)
-        clip.play(loop=args.loop, midi_channel=args.channel)
+        if args.note == 60:
+            clip.play(loop=args.loop, midi_channel=args.channel)
+        else:
+            # --note: pitch-track like the render subcommand
+            from .engine.commands import ClipCommand
+
+            cmd = ClipCommand.channel(clip.id, args.channel)
+            cmd.midi_note = args.note
+            cmd.change_volume = True
+            cmd.volume = 1.0
+            cmd.looping = args.loop
+            cmd.start_playback = True
+            engine.schedule_clip_command(cmd, 0)
     seconds = args.seconds or (
         clip.get_duration() if not args.loop else 0.0
     )
@@ -359,9 +374,10 @@ def cmd_env(args) -> int:
     if eng.fetch.startswith("windows"):
         from .ops.fetch_pallas import parse_suffix
 
-        prec, variant, chunk, align = parse_suffix(eng.fetch.partition(":")[2])
+        prec, variant, chunk, align, group = parse_suffix(
+            eng.fetch.partition(":")[2])
         print(f"    windows kernel: precision={prec} variant={variant} "
-              f"chunk={chunk} align={align}")
+              f"chunk={chunk} align={align} group={group}")
     print(f"  native host core: {eng.use_native_host}")
     from .ops.resample import resolve_stretch_backend
 

@@ -33,16 +33,24 @@ class TransportManager:
         return self.engine.clock.position()
 
     def handle_passthrough(self, events: list[tuple[int, bytes]]) -> None:
-        """MIDI realtime control (lib/TransportManager.cpp:61-92)."""
+        """MIDI realtime control (lib/TransportManager.cpp:61-92).
+
+        The reference guards on the transport state — Start is ignored
+        while running and Stop while stopped ("Spec says to ignore",
+        TransportManager.cpp:71-86). The Stop guard matters here: a
+        redundant 0xFC (common on sync chains) would otherwise flush the
+        step ring and reset the musical position, destroying queued
+        next-bar clip starts."""
         for _offset, data in events:
             if not data:
                 continue
             byte = data[0]
-            if byte in (0xFA, 0xFB):   # start / continue
+            running = self.engine.transport_running
+            if byte in (0xFA, 0xFB) and not running:   # start / continue
                 self.engine.schedule_timer_command(
                     TimerCommand(operation=Operation.START_PLAYBACK), 0
                 )
-            elif byte == 0xFC:         # stop
+            elif byte == 0xFC and running:             # stop
                 self.engine.schedule_timer_command(
                     TimerCommand(operation=Operation.STOP_PLAYBACK), 0
                 )

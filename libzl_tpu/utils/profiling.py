@@ -30,7 +30,6 @@ class BlockProfiler:
         self._samples: dict[str, deque] = defaultdict(
             lambda: deque(maxlen=window)
         )
-        self._open: dict[str, float] = {}
 
     @contextlib.contextmanager
     def span(self, name: str):

@@ -63,7 +63,7 @@ zl.AudioLevels_setGlobalPlaybackFilenamePrefix(os.environ["ZL_OUT"].encode())
 zl.AudioLevels_startRecording()
 assert zl.AudioLevels_isRecording()
 
-zl.SyncTimer_startTimer(int(60000 / (120 * 96)))
+zl.SyncTimer_startTimer(120)  # the argument is a BPM (SyncTimer.cpp:869-872)
 zl.ClipAudioSource_play(clip, True)
 # deterministic drive: the shim shares this interpreter, so the bridge
 # runtime is reachable directly — step exact block counts instead of

@@ -257,3 +257,39 @@ def test_velocity_zero_note_on_stickiness_matches_reference():
     notes = [d for _, d in r.passthrough_out if 0x80 <= d[0] < 0xA0]
     assert notes, "no notes routed"
     assert all((d[0] & 0x0F) == 5 for d in notes), notes
+
+
+def test_redundant_transport_stop_is_ignored():
+    """Reference guard (lib/TransportManager.cpp:71-86): MIDI Stop while
+    already stopped must be ignored — it would otherwise flush the step
+    ring and destroy queued next-bar clip starts."""
+    from libzl_tpu.engine.engine import AudioEngine
+
+    engine = AudioEngine(sample_rate=48000, backend="numpy", num_voices=8)
+    port = VirtualMidiPort("sync")
+    engine.router.registry.add_input(port)
+    # transport stopped; a redundant 0xFC arrives
+    port.feed(bytes([0xFC]))
+    engine.process_block()
+    assert not engine.transport_running
+    # start via 0xFA works (the scheduled command fires at the next DUE
+    # tick — ~every other block at 128 frames); a second 0xFA while
+    # running is ignored
+    port.feed(bytes([0xFA]))
+    for _ in range(6):
+        engine.process_block()
+        if engine.transport_running:
+            break
+    assert engine.transport_running
+    tick_before = engine.clock.tick_position
+    port.feed(bytes([0xFA]))
+    engine.process_block()
+    assert engine.transport_running
+    assert engine.clock.tick_position >= tick_before
+    # a real stop still works
+    port.feed(bytes([0xFC]))
+    for _ in range(6):
+        engine.process_block()
+        if not engine.transport_running:
+            break
+    assert not engine.transport_running

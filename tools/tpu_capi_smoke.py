@@ -62,7 +62,7 @@ def main():
     zl.AudioLevels_setRecordGlobalPlayback(True)
     zl.AudioLevels_setGlobalPlaybackFilenamePrefix(wav_out.encode())
     zl.AudioLevels_startRecording()
-    zl.SyncTimer_startTimer(int(60000 / (120 * 96)))
+    zl.SyncTimer_startTimer(120)  # the argument is a BPM (SyncTimer.cpp:869-872)
     zl.ClipAudioSource_play(clip, True)
     time.sleep(3.0)
     zl.ClipAudioSource_stop(clip)
