@@ -97,24 +97,6 @@ def render_block_math(
 
 @functools.partial(
     __import__("jax").jit,
-    static_argnames=("block_frames", "quirk_gain"),
-)
-def render_block_jit(
-    sound_data,
-    prog: voice_ops.VoiceProgram,
-    strips: mixer_ops.StripParams,
-    block_frames: int = DEFAULT_BLOCK_FRAMES,
-    quirk_gain: bool = False,
-) -> RenderOutputs:
-    import jax.numpy as jnp
-
-    return render_block_math(
-        jnp, sound_data, prog, strips, block_frames, quirk_gain=quirk_gain
-    )
-
-
-@functools.partial(
-    __import__("jax").jit,
     static_argnames=("block_frames", "quirk_gain", "fetch",
                      "max_pitch_ratio", "pad_voices_to"),
 )

@@ -53,7 +53,7 @@ class VoiceProgram(NamedTuple):
     active: Any          # int32 0/1: voice renders this block
     base: Any            # int32: sound base offset in the flat sample array
     len_minus1: Any      # int32: sound length - 1 ("sampleDuration")
-    win_blk_a: Any       # int32: fetch window A anchor (1024-row block index)
+    win_blk_a: Any       # int32: fetch window A anchor (512-sample block index)
     win_blk_b: Any       # int32: fetch window B anchor (loop-reset target)
     seg_start: Any       # int32 [V, S]: first frame of each segment
     seg_pos_int: Any     # int32 [V, S]: whole sample position at segment start

@@ -146,6 +146,7 @@ def make_sharded_packed_render(
     block_frames: int = DEFAULT_BLOCK_FRAMES,
     quirk_gain: bool = False,
     fetch: str = "gather",
+    max_pitch_ratio: float = 4.0,
 ):
     """Voice-sharded render over the engine's packed dispatch format
     (ops/voice.pack_program): program matrices shard on their voice axis,
@@ -168,6 +169,7 @@ def make_sharded_packed_render(
         return render_mod.render_block_math(
             jnp, sound_data, prog, strips, block_frames,
             quirk_gain=quirk_gain, fetch=fetch,
+            max_pitch_ratio=max_pitch_ratio,
         )
 
     return jax.jit(

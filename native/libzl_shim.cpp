@@ -152,7 +152,12 @@ void initJuce(void) {
   if (!Py_IsInitialized()) {
     // true embedding: we own the interpreter (and hold the GIL after init)
     Py_InitializeEx(0);
-    if (!import_and_init()) return;
+    if (!import_and_init()) {
+      // release the GIL even on failure: leaving it held deadlocks every
+      // later PyGILState_Ensure (retry of initJuce, any ABI call)
+      g_main_state = PyEval_SaveThread();
+      return;
+    }
     g_initialized.store(true);
     // release the GIL so bridge pump threads and client threads can run
     g_main_state = PyEval_SaveThread();
@@ -190,6 +195,10 @@ float dBFromVolume(float vol) {
 }
 
 void stopClips(int size, ClipAudioSource **clips) {
+  if (!g_initialized.load()) {
+    std::fprintf(stderr, "libzl: stopClips called before initJuce()\n");
+    return;
+  }
   Gil gil;
   PyObject *ids = PyList_New(size);
   for (int i = 0; i < size; ++i) {

@@ -147,7 +147,7 @@ extern "C" {
 /*
  * One-pass build_program + advance for all voices.
  *
- * Writes the packed program matrices (prog_i [V, 20] int32,
+ * Writes the packed program matrices (prog_i [V, 21] int32,
  * prog_f [V, 15] float32) for the device dispatch, then advances the state
  * arrays past the block exactly as engine/voicestate.VoicePool.advance()
  * does. `died_out` receives indices of voices that stopped (count returned).
@@ -400,9 +400,11 @@ int64_t zl_voice_update(const Params *p, State *s, int32_t *prog_i,
       s->next_loop_tick[v] += bq_wraps * s->loop_len_ticks[v];
     }
 
-    // deaths
+    // deaths (mirror voicestate.advance exactly): hard stop reached,
+    // release completed, or an unreleased voice already idle
     bool dead = (stop_frame < B) ||
-                (s->stage[v] == kRelease && s->env[v] <= 0.0f);
+                (s->stage[v] == kRelease && s->env[v] <= 0.0f) ||
+                (!released && s->stage[v] == kIdle);
     if (dead) {
       // only flag; the Python wrapper reads (clip_id, position_id) for the
       // positions-model cleanup and then performs the full kill()

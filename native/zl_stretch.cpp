@@ -25,6 +25,14 @@
 #include <cmath>
 #include <cstdint>
 #include <cstring>
+#include <cfenv>
+
+// match the Python/numpy vocoder's round-half-to-even for output lengths
+// (llround rounds half away from zero; the two stretch backends must
+// agree on rendered durations for cross-backend reproducibility)
+static inline long long nearbyint_ll(double x) {
+  return (long long)std::nearbyint(x);
+}
 #include <vector>
 
 namespace {
@@ -92,7 +100,7 @@ int zl_stretch_abi_version() { return 1; }
 
 int64_t zl_stretch_out_len(int64_t n_in, double stretch) {
     if (n_in <= 0 || stretch <= 0.0) return 0;
-    int64_t n = (int64_t)std::llround((double)n_in * stretch);
+    int64_t n = (int64_t)nearbyint_ll((double)n_in * stretch);
     return n > 0 ? n : 1;
 }
 
