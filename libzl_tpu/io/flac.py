@@ -89,6 +89,14 @@ def read_flac(path: str | Path) -> AudioData:
             continue
         if n < 0:
             raise ValueError(f"corrupt FLAC stream (rc={n}): {path}")
+        if 0 < total.value != n:
+            # the decoder stops at a corrupt mid-stream frame; a silent
+            # half-length clip is worse than an error when STREAMINFO
+            # declares the true length
+            raise ValueError(
+                f"truncated FLAC stream: decoded {n} of "
+                f"{total.value} declared samples: {path}"
+            )
         return AudioData(np.array(out[:n]), int(rate.value))
 
 
@@ -119,22 +127,44 @@ class _BitWriter:
         return bytes(self.buf)
 
 
-def _crc8(data: bytes) -> int:
-    crc = 0
-    for b in data:
-        crc ^= b
+def _make_crc8_table() -> list[int]:
+    table = []
+    for b in range(256):
+        crc = b
         for _ in range(8):
             crc = ((crc << 1) ^ 0x07) & 0xFF if crc & 0x80 else (crc << 1) & 0xFF
+        table.append(crc)
+    return table
+
+
+def _make_crc16_table() -> list[int]:
+    table = []
+    for b in range(256):
+        crc = b << 8
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x8005) & 0xFFFF if crc & 0x8000 \
+                else (crc << 1) & 0xFFFF
+        table.append(crc)
+    return table
+
+
+_CRC8_TABLE = _make_crc8_table()
+_CRC16_TABLE = _make_crc16_table()
+
+
+def _crc8(data: bytes) -> int:
+    # table-driven: the bit-at-a-time loop was ~8 Python ops per frame byte
+    # on the encoder's hot path (long recordings transcode post-roll)
+    crc = 0
+    for b in data:
+        crc = _CRC8_TABLE[crc ^ b]
     return crc
 
 
 def _crc16(data: bytes) -> int:
     crc = 0
     for b in data:
-        crc ^= b << 8
-        for _ in range(8):
-            crc = ((crc << 1) ^ 0x8005) & 0xFFFF if crc & 0x8000 \
-                else (crc << 1) & 0xFFFF
+        crc = _CRC16_TABLE[((crc >> 8) ^ b) & 0xFF] ^ ((crc << 8) & 0xFFFF)
     return crc
 
 
@@ -290,6 +320,10 @@ def write_flac(
 
     stereo_mode: independent | mid-side | left-side | right-side (the
     decorrelation variants; all decode back bit-exactly)."""
+    if not 16 <= int(block_size) <= 65535:
+        # RFC 9639: STREAMINFO min/max blocksize are 16-bit, >= 16; out of
+        # range silently wrapped in the header and broke external decoders
+        raise ValueError(f"block_size must be within 16..65535: {block_size}")
     x = np.asarray(samples, np.float32)
     if x.ndim == 1:
         x = x[:, None]

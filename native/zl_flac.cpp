@@ -182,33 +182,49 @@ bool decode_subframe(BitReader& br, int64_t* sig, int blocksize, int bps) {
             switch (order) {
                 case 0: break;
                 case 1:
-                    for (int i = 1; i < blocksize; ++i) sig[i] += sig[i - 1];
+                    for (int i = 1; i < blocksize; ++i)
+                        sig[i] = (int64_t)((uint64_t)sig[i]
+                                 + (uint64_t)sig[i - 1]);
                     break;
                 case 2:
                     for (int i = 2; i < blocksize; ++i)
-                        sig[i] += 2 * sig[i - 1] - sig[i - 2];
+                        sig[i] = (int64_t)((uint64_t)sig[i]
+                                 + 2u * (uint64_t)sig[i - 1]
+                                 - (uint64_t)sig[i - 2]);
                     break;
                 case 3:
                     for (int i = 3; i < blocksize; ++i)
-                        sig[i] += 3 * sig[i - 1] - 3 * sig[i - 2] + sig[i - 3];
+                        sig[i] = (int64_t)((uint64_t)sig[i]
+                                 + 3u * (uint64_t)sig[i - 1]
+                                 - 3u * (uint64_t)sig[i - 2]
+                                 + (uint64_t)sig[i - 3]);
                     break;
                 case 4:
                     for (int i = 4; i < blocksize; ++i)
-                        sig[i] += 4 * sig[i - 1] - 6 * sig[i - 2]
-                                  + 4 * sig[i - 3] - sig[i - 4];
+                        sig[i] = (int64_t)((uint64_t)sig[i]
+                                 + 4u * (uint64_t)sig[i - 1]
+                                 - 6u * (uint64_t)sig[i - 2]
+                                 + 4u * (uint64_t)sig[i - 3]
+                                 - (uint64_t)sig[i - 4]);
                     break;
             }
         } else {
             for (int i = order; i < blocksize; ++i) {
-                int64_t acc = 0;
+                // corrupt input can drive residuals to ~2^53: do the
+                // accumulation in unsigned arithmetic (wraparound is
+                // DEFINED; signed overflow is UB) and cast back
+                uint64_t acc = 0;
                 for (int j = 0; j < order; ++j)
-                    acc += (int64_t)coefs[j] * sig[i - 1 - j];
-                sig[i] += acc >> shift;
+                    acc += (uint64_t)(int64_t)coefs[j]
+                           * (uint64_t)sig[i - 1 - j];
+                sig[i] = (int64_t)((uint64_t)sig[i]
+                         + (uint64_t)((int64_t)acc >> shift));
             }
         }
     }
-    if (wasted)
-        for (int i = 0; i < blocksize; ++i) sig[i] <<= wasted;
+    if (wasted)   // unsigned shift: << on negative signed values is UB
+        for (int i = 0; i < blocksize; ++i)
+            sig[i] = (int64_t)((uint64_t)sig[i] << wasted);
     return !br.error;
 }
 
@@ -265,6 +281,13 @@ int64_t zl_flac_decode(const uint8_t* data, int64_t size, float* out,
     const int C = si.channels;
     std::vector<std::vector<int64_t>> ch((size_t)C);
     int64_t frames_out = 0;
+    // trailing-tag tolerance (see the sync-mismatch break below): once at
+    // least one frame decoded on an UNKNOWN-length stream, a failed header
+    // parse in trailing bytes (a tag starting with a sync-lookalike
+    // 0xFF 0xF8..) ends the decode instead of discarding everything
+    const bool tolerant_tail = si.total_samples == 0;
+#define ZL_HDR_FAIL(rc) \
+    do { if (tolerant_tail && frames_out > 0) goto done; return rc; } while (0)
 
     while (br.byte + 2 <= br.size) {
         // sync code 0b11111111_111110xx. Non-frame trailing bytes after at
@@ -284,11 +307,11 @@ int64_t zl_flac_decode(const uint8_t* data, int64_t size, float* out,
         uint32_t ss_code = br.bits_u(3);
         br.bits_u(1);                       // reserved
         uint64_t frame_no;
-        if (!read_utf8(br, &frame_no)) return -4;
+        if (!read_utf8(br, &frame_no)) ZL_HDR_FAIL(-4);
 
         int blocksize;
         switch (bs_code) {
-            case 0: return -5;
+            case 0: ZL_HDR_FAIL(-5);
             case 1: blocksize = 192; break;
             case 6: blocksize = (int)br.bits_u(8) + 1; break;
             case 7: blocksize = (int)br.bits_u(16) + 1; break;
@@ -299,7 +322,7 @@ int64_t zl_flac_decode(const uint8_t* data, int64_t size, float* out,
         switch (sr_code) {
             case 12: br.bits_u(8); break;       // kHz byte: value unused
             case 13: case 14: br.bits_u(16); break;
-            case 15: return -6;
+            case 15: ZL_HDR_FAIL(-6);
             default: break;                     // coded or from STREAMINFO
         }
         int bps;
@@ -311,14 +334,14 @@ int64_t zl_flac_decode(const uint8_t* data, int64_t size, float* out,
             case 5: bps = 20; break;
             case 6: bps = 24; break;
             case 7: bps = 32; break;
-            default: return -7;
+            default: ZL_HDR_FAIL(-7);
         }
         br.bits_u(8);  // CRC-8 (not verified)
-        if (br.error) return -8;
+        if (br.error) ZL_HDR_FAIL(-8);
 
-        if (ch_code > 10) return -12;  // 11-15 are reserved
+        if (ch_code > 10) ZL_HDR_FAIL(-12);  // 11-15 are reserved
         int nch = ch_code < 8 ? (int)ch_code + 1 : 2;
-        if (nch != C) return -9;
+        if (nch != C) ZL_HDR_FAIL(-9);
         for (int c = 0; c < C; ++c)
             if ((int)ch[c].size() < blocksize) ch[c].resize(blocksize);
 
@@ -333,7 +356,7 @@ int64_t zl_flac_decode(const uint8_t* data, int64_t size, float* out,
         }
         br.align();
         br.bits_u(16);  // CRC-16 (not verified)
-        if (br.error) return -8;
+        if (br.error) ZL_HDR_FAIL(-8);
 
         // undo inter-channel decorrelation
         if (ch_code == 8) {           // left/side: R = L - side
@@ -364,9 +387,11 @@ int64_t zl_flac_decode(const uint8_t* data, int64_t size, float* out,
         if (br.size - br.byte < 10)  // no room for another frame header
             break;
     }
+done:
     if (si.total_samples && (uint64_t)frames_out > si.total_samples)
         frames_out = (int64_t)si.total_samples;
     return frames_out;
 }
+#undef ZL_HDR_FAIL
 
 }  // extern "C"
