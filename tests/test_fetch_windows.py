@@ -234,3 +234,63 @@ def test_interleaved_rows_gather_matches_planar():
         )
         np.testing.assert_array_equal(np.asarray(c_i), np.asarray(c_p))
         pool.advance(prog)
+
+
+def test_windows_kernel_hostile_positions_fuzz():
+    """Direct kernel contract fuzz: randomized window-relative positions
+    including out-of-range and boundary values must match a straight
+    two-tap interpolation oracle over the same window scratch, with
+    out-of-range lanes exactly zero (the kernel clamps; the caller's
+    validity mask is NOT in play here)."""
+    import jax.numpy as jnp
+
+    from libzl_tpu.ops.fetch_pallas import fetch_interp, region_rows
+
+    rng = np.random.default_rng(77)
+    B_ = 128
+    region = region_rows(B_)
+    window_rows = 2 * region
+    N = 16384
+    sound = rng.standard_normal((2, N)).astype(np.float32) * 0.5
+    V = 8
+    max_blk = (N - region) // 512
+    for trial in range(4):
+        win_a = rng.integers(0, max_blk, V).astype(np.int32)
+        win_b = rng.integers(0, max_blk, V).astype(np.int32)
+        kind = rng.integers(0, 4, (V, B_))
+        # host contract: in-region positions within one 128-frame chunk
+        # span at most r_max*chunk (+2 taps) — draw per-voice chunk-local
+        # windows of 512 samples inside each region
+        base_a = rng.integers(0, region - 516, V)[:, None]
+        base_b = region + rng.integers(0, region - 516, V)[:, None]
+        jitter = rng.integers(0, 512, (V, B_))
+        pos = np.where(
+            kind == 0, base_a + jitter,                               # A
+            np.where(
+                kind == 1, base_b + jitter,                           # B
+                np.where(kind == 2, rng.integers(-100, 0, (V, B_)),   # neg
+                         rng.integers(window_rows - 1,
+                                      window_rows + 100, (V, B_))),   # past
+            ),
+        ).astype(np.int32)
+        alpha = rng.random((V, B_)).astype(np.float32)
+        out = np.asarray(fetch_interp(
+            sound, pos, alpha, win_a, win_b, block_frames=B_,
+        ))
+        # oracle: two-tap interp from the same per-voice windows
+        for v in range(V):
+            wa = sound[:, win_a[v] * 512 : win_a[v] * 512 + region]
+            wb = sound[:, win_b[v] * 512 : win_b[v] * 512 + region]
+            window = np.concatenate([wa, wb], axis=1)  # [2, 2*region]
+            for b in range(B_):
+                p = int(pos[v, b])
+                if not (0 <= p < window_rows - 1):
+                    assert out[v, :, b].max() == 0.0 and \
+                        out[v, :, b].min() == 0.0, (trial, v, b, p)
+                    continue
+                a = float(alpha[v, b])
+                want = window[:, p] * (1 - a) + window[:, p + 1] * a
+                np.testing.assert_allclose(
+                    out[v, :, b], want, atol=3e-6,
+                    err_msg=f"trial {trial} v={v} b={b} p={p}",
+                )
