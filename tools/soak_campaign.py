@@ -4,7 +4,7 @@ Runs tests/test_soak._soak(extended=True) for N seeds on both backends and
 reports any failing seed with its traceback. Not part of CI (runtime); run
 ad hoc when hunting for rare state-machine bugs:
 
-    nohup python tools/soak_campaign.py 40 > /tmp/soak_campaign.log 2>&1 &
+    nohup python tools/soak_campaign.py 40 [seed_offset] > /tmp/soak_campaign.log 2>&1 &
 """
 
 import os
@@ -20,6 +20,7 @@ sys.path.insert(0, os.path.join(
 
 def main():
     n_seeds = int(sys.argv[1]) if len(sys.argv) > 1 else 20
+    seed_offset = int(sys.argv[2]) if len(sys.argv) > 2 else 0
     # force CPU before anything imports jax engine paths
     import jax
 
@@ -28,7 +29,7 @@ def main():
 
     failures = []
     t_start = time.time()
-    for seed in range(n_seeds):
+    for seed in range(seed_offset, seed_offset + n_seeds):
         for backend, blocks in (("numpy", 2500), ("jax", 500)):
             t0 = time.time()
             try:
