@@ -48,7 +48,8 @@ def fence():
     return time.perf_counter() - t0
 
 
-def build_session(block_frames: int, num_voices: int = NUM_VOICES):
+def build_session(block_frames: int, num_voices: int = NUM_VOICES,
+                  active_voices: int = 0):
     from libzl_tpu.engine.commands import ClipCommand
     from libzl_tpu.engine.engine import AudioEngine
     from libzl_tpu.io.wav import AudioData
@@ -74,7 +75,7 @@ def build_session(block_frames: int, num_voices: int = NUM_VOICES):
         ).astype(np.float32)[:, None]
         clips.append(ClipAudioSource(engine, audio=AudioData(wave, SAMPLE_RATE)))
 
-    for v in range(num_voices):
+    for v in range(active_voices or num_voices):
         clip = clips[v % NUM_CLIPS]
         cmd = ClipCommand.channel(clip.id, v % 10)
         # distinct notes per (clip, channel) pair so no commands coalesce
@@ -169,6 +170,32 @@ def measure_live_mode(blocks: int = 300) -> dict:
     )
 
 
+def measure_sparse_session(blocks: int = 200) -> float:
+    """The bucketed-dispatch configuration: a reference-scale session (96
+    live voices, lib/SamplerSynth.cpp:23) on the full 1024-voice pool.
+    voice_buckets="auto" renders only the 128-voice prefix — measured
+    29-36% faster than full-pool dispatch (NOTES probe 21 re-run). Live
+    128-frame blocks, chained regime, best of 4 rounds."""
+    import jax
+
+    engine = build_session(LIVE_BLOCK, num_voices=NUM_VOICES,
+                           active_voices=96)
+    for _ in range(10):
+        res = engine.process_block()
+    jax.block_until_ready(res.outputs.master)
+    per_round = max(blocks // 4, 1)
+    best_ms = None
+    for _ in range(4):
+        t0 = time.perf_counter()
+        last = None
+        for _ in range(per_round):
+            last = engine.process_block()
+        jax.block_until_ready(last.outputs.master)
+        ms = (time.perf_counter() - t0) / per_round * 1e3
+        best_ms = ms if best_ms is None else min(best_ms, ms)
+    return LIVE_BLOCK / SAMPLE_RATE / (best_ms * 1e-3)
+
+
 def measure_reference_headline(blocks: int = 400) -> float:
     """The reference's own headline configuration: 96 voices (12 channels x
     8, lib/SamplerSynth.cpp:23) at 48 kHz — rendered here in 1024-frame
@@ -204,6 +231,10 @@ def main() -> int:
     except Exception:
         live = dict(rt_liveblock=-1.0, device_ms_p50=-1.0,
                     latency_p50_ms=-1.0, sync_ms_p50=-1.0)
+    try:
+        rt_sparse = measure_sparse_session()
+    except Exception:
+        rt_sparse = -1.0
     result = {
         "metric": f"realtime_factor_{active}voices_{NUM_CLIPS}clips_48k",
         "value": round(rt_factor, 3),
@@ -213,6 +244,7 @@ def main() -> int:
         "rt_superblock_rounds": rounds,
         **live,
         "realtime_factor_96voices": round(rt_96, 3),
+        "rt_liveblock_96on1024_bucketed": round(rt_sparse, 3),
         "fence_seconds": round(fence_s, 1),
     }
     print(json.dumps(result))
