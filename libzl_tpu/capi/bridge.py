@@ -90,8 +90,11 @@ class EngineRuntime:
 
     def stop_pump(self) -> None:
         self._running = False
-        if self._pump is not None:
-            self._pump.join(timeout=5.0)
+        # local ref: the pump thread nulls self._pump on its own exit path
+        # (_run's give-up tail), which can land between a check and a join
+        p = self._pump
+        if p is not None:
+            p.join(timeout=5.0)
             self._pump = None
 
     def set_sink(self, sink) -> None:

@@ -43,6 +43,10 @@ DEFAULT_BPM = 120
 SAMPLER_CHANNEL_MIN = -2
 SAMPLER_CHANNEL_MAX = 9
 NUM_SAMPLER_CHANNELS = 12       # -2..9 mapped to lanes 0..11
+# passthrough/strip channel convention (lib/libzl.cpp:476-575):
+#   -1 = GlobalPlayback strip, 0..9 = channel strips
+PASSTHROUGH_CHANNEL_MIN = -1
+PASSTHROUGH_CHANNEL_MAX = 9
 REFERENCE_VOICES_PER_CHANNEL = 8
 
 def channel_to_lane(midi_channel: int) -> int:
@@ -64,9 +68,30 @@ DEFAULT_NUM_VOICES = 1024       # BASELINE.json north-star voice count
 # Loops needing more wraps than the schedule expresses (shorter than
 # block/(MAX_SEGMENTS-1) frames) are contained by the device render past
 # the horizon: positional loops wrap j mod loop_period (exact — see
-# VoiceProgram.loop_period), beat-quantized loops fall back to
-# sample-modulo over the loop body (ops/voice.positions_block).
+# VoiceProgram.loop_period); beat-quantized loops carry their remaining
+# reset frames as explicit integer columns (VoiceProgram.bq_reset, sized
+# by bq_extra_resets below), computed host-side in float64 — exact for
+# any legal BPM/loop length (ops/voice.positions_block).
 MAX_SEGMENTS_PER_BLOCK = 4
+
+
+def bq_extra_resets(block_frames: int, sample_rate: float) -> int:
+    """Beat-quantized reset slots needed past the segment horizon.
+
+    The reference wraps per sample without limit
+    (lib/SamplerSynthVoice.cpp:225-242); the block renderer expresses the
+    first MAX_SEGMENTS-1 wraps as position segments and any further
+    in-block resets as explicit bq_reset frame columns. Their count is
+    bounded by the musical clock: a bq loop spans >= 1 tick and a tick
+    spans >= sample_rate*60/(BPM_MAXIMUM*96) samples, so at most
+    floor((B-1)/min_tick)+1 resets land in a block (+1 slot of headroom
+    for a mid-block BPM re-spacing that drags one boundary just behind
+    the block start). Zero at the live geometry (B=128 @ 48 kHz) — the
+    hot path pays nothing for the exactness.
+    """
+    min_tick = sample_rate * 60.0 / (BPM_MAXIMUM * BEAT_SUBDIVISIONS)
+    max_wraps = int((block_frames - 1) / min_tick) + 2
+    return max(max_wraps - (MAX_SEGMENTS_PER_BLOCK - 1), 0)
 # Max per-voice pitch ratio: two octaves of upward transposition; beyond
 # that is outside the groovebox's musical envelope. Also bounds the fetch
 # region span per block for the Pallas windows kernel (ops/fetch_pallas.py

@@ -421,7 +421,9 @@ class AudioEngine:
     def strip_index(self, channel: int) -> int:
         """C API channel convention: -1 = GlobalPlayback, 0..9 = channels
         (lib/libzl.cpp:476-575)."""
-        if channel < -1 or channel > 9:
+        from ..constants import PASSTHROUGH_CHANNEL_MAX, PASSTHROUGH_CHANNEL_MIN
+
+        if not PASSTHROUGH_CHANNEL_MIN <= channel <= PASSTHROUGH_CHANNEL_MAX:
             raise ValueError(f"passthrough channel out of range: {channel}")
         return channel + 1
 
@@ -462,7 +464,9 @@ class AudioEngine:
             # to SamplerSynth::setSamplerChannelEnabled which bounds-checks)
             # — a scheduled bad command must not abort the tick walk with
             # the clock half-advanced
-            if -2 <= cmd.parameter <= 9:
+            from ..constants import SAMPLER_CHANNEL_MAX, SAMPLER_CHANNEL_MIN
+
+            if SAMPLER_CHANNEL_MIN <= cmd.parameter <= SAMPLER_CHANNEL_MAX:
                 lane = channel_to_lane(cmd.parameter)
                 self.lane_enabled[lane] = cmd.parameter2 != 0
         elif op == Operation.SET_BPM:
@@ -485,7 +489,9 @@ class AudioEngine:
         Out-of-range channels are ignored (the reference's switches
         bounds-check) — a scheduled bad command must not abort the tick
         walk with the clock half-advanced."""
-        if not -1 <= cmd.parameter <= 9:
+        from ..constants import PASSTHROUGH_CHANNEL_MAX, PASSTHROUGH_CHANNEL_MIN
+
+        if not PASSTHROUGH_CHANNEL_MIN <= cmd.parameter <= PASSTHROUGH_CHANNEL_MAX:
             return
         i = self.strip_index(cmd.parameter)
         setting = cmd.parameter2

@@ -13,7 +13,9 @@ from typing import Optional
 
 import numpy as np
 
-NUM_INT_COLS = 21
+# base int columns; each engine adds pool.n_bq_extra beat-quantized reset
+# columns (constants.bq_extra_resets — 0 at the live geometry)
+NUM_INT_COLS_BASE = 21
 NUM_F32_COLS = 15
 
 # the native core writes these matrices with a HARDCODED layout
@@ -28,9 +30,9 @@ from ..ops.voice import (  # noqa: E402
     _INT_TRAILER as _VINTT,
 )
 
-assert NUM_INT_COLS == len(_VINT) + len(_VINTE) + 2 * _S + len(_VINTT), (
-    "packed int layout changed in ops/voice.py — update NUM_INT_COLS AND "
-    "native/zl_hostcore.cpp together"
+assert NUM_INT_COLS_BASE == len(_VINT) + len(_VINTE) + 2 * _S + len(_VINTT), (
+    "packed int layout changed in ops/voice.py — update NUM_INT_COLS_BASE "
+    "AND native/zl_hostcore.cpp together"
 )
 assert NUM_F32_COLS == len(_VF32) + len(_VF32E) + _S, (
     "packed f32 layout changed in ops/voice.py — update NUM_F32_COLS AND "
@@ -46,6 +48,7 @@ class _Params(ctypes.Structure):
         ("tick_anchor_sample", ctypes.c_double),
         ("tick_anchor", ctypes.c_int64),
         ("samples_per_tick", ctypes.c_double),
+        ("n_bq_extra", ctypes.c_int64),
     ]
 
 
@@ -73,7 +76,7 @@ def load() -> Optional[ctypes.CDLL]:
         return _lib
     from .._native import load_native
 
-    lib = load_native("zl_hostcore", "zl_hostcore_abi_version", 3)
+    lib = load_native("zl_hostcore", "zl_hostcore_abi_version", 4)
     if lib is None:
         return None
     lib.zl_voice_update.restype = ctypes.c_int64
@@ -100,14 +103,14 @@ def voice_update(
 ):
     """Native build_program + advance in one pass.
 
-    Returns (prog_i [V,21] i32, prog_f [V,15] f32, died_info) where
+    Returns (prog_i [V,21+W] i32, prog_f [V,15] f32, died_info) where
     died_info is a list of (voice, clip_id, position_id); the caller must
     finish the kill (this function already read the ids, then kills).
     """
     lib = load()
     assert lib is not None, "native host core unavailable"
     V = pool.num_voices
-    prog_i = np.empty((V, NUM_INT_COLS), np.int32)
+    prog_i = np.empty((V, NUM_INT_COLS_BASE + pool.n_bq_extra), np.int32)
     prog_f = np.empty((V, NUM_F32_COLS), np.float32)
     died = np.empty(V, np.int64)
     lane_enabled = np.ascontiguousarray(lane_enabled, dtype=np.bool_)
@@ -119,6 +122,7 @@ def voice_update(
         tick_anchor_sample=float(tick_anchor_sample),
         tick_anchor=int(tick_anchor),
         samples_per_tick=float(samples_per_tick),
+        n_bq_extra=int(pool.n_bq_extra),
     )
     state = _State()
     keepalive = [lane_enabled]

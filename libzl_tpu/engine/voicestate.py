@@ -39,6 +39,7 @@ from ..constants import (
     MAX_PITCH_RATIO,
     MAX_SEGMENTS_PER_BLOCK,
     WINDOW_ANCHOR_BLOCK,
+    bq_extra_resets,
 )
 from ..ops import adsr as adsr_ops
 from ..ops.voice import VoiceProgram, empty_program
@@ -64,6 +65,9 @@ class VoicePool:
 
     def __post_init__(self):
         V = self.num_voices
+        # beat-quantized reset slots past the segment horizon (0 at the
+        # live geometry — see constants.bq_extra_resets)
+        self.n_bq_extra = bq_extra_resets(self.block_frames, self.output_rate)
         zi = lambda dt=np.int64: np.zeros(V, dt)  # noqa: E731
         zf = lambda dt=np.float64: np.zeros(V, dt)  # noqa: E731
         self.active = np.zeros(V, bool)
@@ -238,13 +242,14 @@ class VoicePool:
         SamplerChannel whose process() returns early (lib/SamplerSynth.cpp:117).
         """
         B = self.block_frames
-        prog = empty_program(self.num_voices, B)
+        prog = empty_program(self.num_voices, B, self.n_bq_extra)
         act = self.active
         if lane_enabled is not None:
             act = act & lane_enabled[self.lane]
         if not act.any():
             self._bq_wraps = np.zeros(self.num_voices, np.int64)
             self._bq_boundary = np.zeros(self.num_voices, bool)
+            self._bq_last_reset = np.full(self.num_voices, -1, np.int64)
             self._stop_frames = np.full(self.num_voices, B, np.int64)
             return prog
 
@@ -299,8 +304,11 @@ class VoicePool:
             np.floor(((B - 1) - bq_diff) / bq_period).astype(np.int64) + 1,
             0,
         )
-        bq_boundary = np.zeros(V, bool)
         istart64 = self.istart.astype(np.int64)
+        # last expressed in-block bq reset frame (segments + extras), -1 if
+        # none — advance() rebases the end-of-block position from it
+        bq_last_reset = np.full(V, -1, np.int64)
+        prev_bq_hit = is_bq.copy()  # wrap chain: extras need all prior hits
         for s in range(1, S):
             k0 = np.maximum(
                 np.ceil(bq_diff + (s - 1) * bq_period), 0
@@ -311,7 +319,40 @@ class VoicePool:
             hit_seg = (is_bq | is_pos) & (r < B) & (r >= start_f)
             seg_start[:, s] = np.where(hit_seg, r, B)
             seg_pos_int[:, s] = np.where(hit_seg, istart64, 0)
-            bq_boundary |= is_bq & (r == B)
+            bq_hit = hit_seg & is_bq
+            bq_last_reset = np.where(bq_hit, r, bq_last_reset)
+            prev_bq_hit &= bq_hit
+        # beat-quantized resets past the segment horizon (wraps S..S-1+W):
+        # explicit integer reset-frame columns the kernel applies as
+        # `k >= r` rebases (VoiceProgram.bq_reset) — this keeps sub-
+        # (S-1)-tick bq loops exact at any block size, where the reference
+        # wraps per sample without limit (lib/SamplerSynthVoice.cpp:225-242).
+        # Guarded on the full prior-wrap chain: an extra only applies when
+        # every earlier wrap was expressed (so its frames sit in a wrap
+        # segment whose base is the loop start).
+        bq_reset = np.full((V, self.n_bq_extra), B, np.int64)
+        for e in range(self.n_bq_extra):
+            s = S + e
+            k0 = np.maximum(
+                np.ceil(bq_diff + (s - 1) * bq_period), 0
+            ).astype(np.int64)
+            r = k0 + 1
+            hit = prev_bq_hit & (r < B) & (r >= start_f)
+            bq_reset[:, e] = np.where(hit, r, B)
+            bq_last_reset = np.where(hit, r, bq_last_reset)
+            prev_bq_hit &= hit
+        # boundary wrap: the LAST counted wrap can land exactly at frame B
+        # (its reset affects the next block's frame 0); only that one can,
+        # since in-block resets ascend and the count caps at bq_diff +
+        # (m-1)*period <= B-1
+        with np.errstate(invalid="ignore"):
+            r_w_last = np.where(
+                bq_wraps >= 1,
+                np.ceil(bq_diff + (bq_wraps - 1).astype(np.float64)
+                        * bq_period) + 1,
+                -1.0,
+            )
+        bq_boundary = is_bq & (bq_wraps >= 1) & (r_w_last == B)
 
         # --- stop frame (non-looping hard stop, SamplerSynthVoice.cpp:249-252)
         end_frame = start_f + np.ceil(
@@ -381,6 +422,7 @@ class VoicePool:
             pan=self.pan,
             lane=self.lane.astype(np.int32),
             loop_period=np.where(is_pos, pos_period, 0).astype(np.int32),
+            bq_reset=np.minimum(bq_reset, B).astype(np.int32),
             env=adsr_ops.AdsrProgram(
                 stage0=self.stage.astype(np.int32),
                 env0=self.env,
@@ -400,6 +442,7 @@ class VoicePool:
         )
         self._bq_wraps = bq_wraps
         self._bq_boundary = bq_boundary
+        self._bq_last_reset = bq_last_reset
         self._stop_frames = stop_frames
         return prog
 
@@ -458,9 +501,25 @@ class VoicePool:
         pos2_frac = (frac2 - carry2).astype(np.float32)
         new_pos_int = np.where(crossed, pos2_int, new_pos_int)
         new_pos_frac = np.where(crossed, pos2_frac, new_pos_frac)
-        # beat-quantized: boundary snap (threshold firing on the last frame;
+        # beat-quantized: rebase from the last EXPRESSED in-block reset
+        # (segments or bq_reset extras — exactly what the device applied;
         # bq clips legitimately play past the loop stop between wall-clock
-        # boundaries, so no positional containment applies to them)
+        # boundaries, so no positional containment applies to them). For
+        # wraps within the segment horizon this reproduces the wrap-segment
+        # extrapolation bit for bit (same j * rate_frac f32 arithmetic from
+        # the same integer reset frame); past the horizon it replaces the
+        # stale linear extrapolation with the contained position.
+        last_r = self._bq_last_reset
+        bq_contained = act & (last_r >= 0)
+        jb = np.maximum(B - last_r, 0).astype(np.int64)
+        fracb = jb.astype(np.float32) * self.rate_frac
+        carryb = np.floor(fracb)
+        posb_int = self.istart + jb * self.rate_int + carryb.astype(np.int64)
+        posb_frac = (fracb - carryb).astype(np.float32)
+        new_pos_int = np.where(bq_contained, posb_int, new_pos_int)
+        new_pos_frac = np.where(bq_contained, posb_frac, new_pos_frac)
+        # boundary wrap (reset lands exactly at frame B): next block's
+        # frame 0 fetches the loop start
         boundary = act & self._bq_boundary
         new_pos_int = np.where(boundary, self.istart, new_pos_int)
         new_pos_frac = np.where(boundary, np.float32(0), new_pos_frac)

@@ -403,12 +403,13 @@ def _make_kernel_grid(block_frames: int, region: int, slab: int,
 
 def parse_suffix(suffix: str):
     """Parse a `fetch="windows:..."` suffix into
-    (precision, variant, chunk, align).
+    (precision, variant, chunk, align, group).
 
     Comma-separated tokens: a precision ("highest"|"default"), a kernel
     variant (any of _VARIANTS: "loop"|"fusedw"|"batchdot"|"grid"|"auto"),
-    a compute-chunk size ("c64", "c128"), and/or a slab-offset alignment
-    ("a32", "a128"). Unknown tokens raise.
+    a compute-chunk size ("c64", "c128"), a slab-offset alignment
+    ("a32", "a128"), and/or a grid-step voice group ("g8", "g16", "g32").
+    Unknown tokens raise.
     """
     precision, variant = "highest", _DEFAULT_VARIANT
     chunk, align, group = CHUNK, 128, GROUP

@@ -76,13 +76,20 @@ class VoiceProgram(NamedTuple):
                          #   overshoot and restarts at the integer loop
                          #   start = the wrap segment's seg_pos), so frames
                          #   in a wrap segment use j mod period — exact for
-                         #   any number of wraps. Beat-quantized loops wrap
-                         #   on the WALL CLOCK and legitimately play past
-                         #   the loop stop between boundaries; past the
-                         #   segment horizon they keep the linear schedule
-                         #   (resets beyond S-1 per block are dropped — a
-                         #   sub-3-tick-loop corner; the exact bq wrap
-                         #   COUNT keeps next_loop_tick bookkeeping right).
+                         #   any number of wraps.
+    bq_reset: Any        # int32 [V, W]: beat-quantized reset frames past
+                         #   the segment horizon (wraps S..S-1+W), B when
+                         #   unused. Beat-quantized loops wrap on the WALL
+                         #   CLOCK (lib/SamplerSynthVoice.cpp:225-242) and
+                         #   legitimately play past the loop stop between
+                         #   boundaries, so no modulo containment applies;
+                         #   instead the host precomputes EVERY in-block
+                         #   reset frame in float64 (the wrap count per
+                         #   block is bounded by the BPM ceiling — see
+                         #   constants.bq_extra_resets; W = 0 at the live
+                         #   geometry) and the kernel applies them as
+                         #   integer `k >= r` rebases — exact for any
+                         #   number of wraps.
     env: adsr_ops.AdsrProgram
 
 
@@ -115,6 +122,9 @@ def pack_program(prog: VoiceProgram):
              np.asarray(prog.seg_pos_int, np.int32)]
     ints += [np.asarray(getattr(prog, n), np.int32)[:, None]
              for n in _INT_TRAILER]
+    # trailing variable-width block: W beat-quantized reset columns (the
+    # count is static per engine geometry; unpack infers it from the shape)
+    ints += [np.asarray(prog.bq_reset, np.int32)]
     floats = [np.asarray(getattr(prog, n), np.float32)[:, None]
               for n in _F32_SCALARS]
     floats += [np.asarray(getattr(prog.env, n), np.float32)[:, None]
@@ -146,6 +156,7 @@ def unpack_program(ints, floats) -> VoiceProgram:
     seg_pos_int = ints[:, ni + ne + S : ni + ne + 2 * S]
     trailer = {n: ints[:, ni + ne + 2 * S + i]
                for i, n in enumerate(_INT_TRAILER)}
+    bq_reset = ints[:, ni + ne + 2 * S + len(_INT_TRAILER):]
     f_cols = {n: floats[:, i] for i, n in enumerate(_F32_SCALARS)}
     env_f = {n: floats[:, nf + i] for i, n in enumerate(_F32_ENV)}
     seg_pos_frac = floats[:, nf + nfe : nf + nfe + S]
@@ -159,6 +170,7 @@ def unpack_program(ints, floats) -> VoiceProgram:
         seg_start=seg_start,
         seg_pos_int=seg_pos_int,
         seg_pos_frac=seg_pos_frac,
+        bq_reset=bq_reset,
         env=env,
         **int_cols,
         **trailer,
@@ -182,7 +194,8 @@ def unpack_strips(packed):
     )
 
 
-def empty_program(num_voices: int, block_frames: int) -> VoiceProgram:
+def empty_program(num_voices: int, block_frames: int,
+                  n_bq_extra: int = 0) -> VoiceProgram:
     """An all-idle program (host fills in active voices per block)."""
     V, S = num_voices, MAX_SEGMENTS_PER_BLOCK
     zi = lambda *s: np.zeros(s or (V,), np.int32)  # noqa: E731
@@ -196,6 +209,7 @@ def empty_program(num_voices: int, block_frames: int) -> VoiceProgram:
         seg_start=np.full((V, S), block_frames, np.int32),
         seg_pos_int=zi(V, S),
         loop_period=zi(),
+        bq_reset=np.full((V, n_bq_extra), block_frames, np.int32),
         seg_pos_frac=zf(V, S),
         rate_int=zi(),
         rate_frac=zf(),
@@ -253,6 +267,16 @@ def positions_block(xp, prog: VoiceProgram, block_frames: int):
     per = prog.loop_period[:, None]
     wrapseg = (seg_idx >= 1) & (per > 0)
     jc = xp.where(wrapseg, jc % xp.maximum(per, 1), jc)
+    # beat-quantized containment past the segment horizon: the host ships
+    # every remaining in-block reset frame as an integer column (float64
+    # wall-clock math stays on the host — the kernel only compares ints,
+    # so device placement is bit-exact vs the scalar reference). Resets
+    # ascend, so later columns overwrite earlier ones. Frames at/after a
+    # reset sit in the last wrap segment already (seg_pos == loop start,
+    # zero fraction); only the frames-into-segment count rebases.
+    for e in range(prog.bq_reset.shape[1]):
+        r_e = prog.bq_reset[:, e : e + 1]            # [V, 1], == B if unused
+        jc = xp.where(k >= r_e, k - r_e, jc)
     frac_full = s_frac + jc.astype(f32) * prog.rate_frac[:, None]
     carry = xp.floor(frac_full)
     pos_int = s_int + jc * prog.rate_int[:, None] + carry.astype(np.int32)

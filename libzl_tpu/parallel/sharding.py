@@ -58,7 +58,7 @@ def program_sharding(mesh: Mesh) -> voice_ops.VoiceProgram:
         seg_start=vs, seg_pos_int=vs, seg_pos_frac=vs,
         rate_int=v, rate_frac=v, start_frame=v, stop_frame=v,
         gain=v, clip_volume=v, pan=v, lane=v,
-        loop_period=v, env=env,
+        loop_period=v, bq_reset=vs, env=env,
     )
 
 

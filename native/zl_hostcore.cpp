@@ -38,10 +38,11 @@ constexpr int kRelModeLinear = 0, kRelModeExp = 1;
 // packed program column layout (ops/voice.pack_program)
 // ints: active, base, len_minus1, win_blk_a, win_blk_b, rate_int,
 //       start_frame, stop_frame, lane, stage0, release_frame, rel_mode,
-//       seg_start[4], seg_pos_int[4], loop_period            -> 21 columns
+//       seg_start[4], seg_pos_int[4], loop_period, bq_reset[W]
+//       -> 21 + W columns (W = Params.n_bq_extra, static per engine)
 // floats: rate_frac, gain, clip_volume, pan, env0, a_rate, d_rate, sustain,
 //         rel_rate, inv_rel, rel_log2, seg_pos_frac[4]        -> 15 columns
-constexpr int kNI = 21;
+constexpr int kNIBase = 21;
 constexpr int kNF = 15;
 
 struct State {
@@ -88,6 +89,9 @@ struct Params {
   double tick_anchor_sample;
   int64_t tick_anchor;
   double samples_per_tick;
+  // beat-quantized reset columns past the segment horizon
+  // (constants.bq_extra_resets; 0 at the live geometry)
+  int64_t n_bq_extra;
 };
 
 // juce-compatible ADS envelope value at voice-local frame k (f32 arithmetic,
@@ -156,6 +160,8 @@ int64_t zl_voice_update(const Params *p, State *s, int32_t *prog_i,
                         float *prog_f, int64_t *died_out) {
   const int64_t V = p->num_voices;
   const int64_t B = p->block_frames;
+  const int W = (int)p->n_bq_extra;
+  const int kNI = kNIBase + W;
   int64_t died_count = 0;
 
   for (int64_t v = 0; v < V; ++v) {
@@ -168,6 +174,7 @@ int64_t zl_voice_update(const Params *p, State *s, int32_t *prog_i,
     pi[7] = (int32_t)B;              // stop_frame
     pi[10] = (int32_t)B;             // release_frame
     for (int j = 0; j < kSegments; ++j) pi[12 + j] = (int32_t)B;
+    for (int j = 0; j < W; ++j) pi[kNIBase + j] = (int32_t)B;
 
     bool act = s->active[v] && s->lane_enabled[s->lane[v]];
     if (!act) {
@@ -218,24 +225,54 @@ int64_t zl_voice_update(const Params *p, State *s, int32_t *prog_i,
       bq_wraps = (int64_t)std::floor(
                      ((double)(B - 1) - bq_diff) / bq_period) + 1;
     }
-    bool bq_boundary = false;
+    // last expressed in-block bq reset (segments + extras), -1 if none —
+    // the advance tail rebases the end-of-block position from it
+    int64_t bq_last_reset = -1;
+    bool prev_bq_hit = is_bq;  // wrap chain: extras need every prior hit
     for (int sI = 1; sI < kSegments; ++sI) {
       int64_t r;
       if (is_bq) {
         int64_t k0 = (int64_t)std::max(
             std::ceil(bq_diff + (double)(sI - 1) * bq_period), 0.0);
         r = k0 + 1;
-        if (r == B) bq_boundary = true;
       } else if (is_pos) {
         r = start_f + n1 + (int64_t)(sI - 1) * pos_period;
       } else {
         continue;
       }
-      if (r < B && r >= start_f) {
+      bool hit = r < B && r >= start_f;
+      if (hit) {
         seg_start[sI] = r;
         seg_pos_int[sI] = s->istart[v];
         seg_pos_frac[sI] = 0.0f;
       }
+      if (is_bq) {
+        if (hit) bq_last_reset = r;
+        prev_bq_hit = prev_bq_hit && hit;
+      }
+    }
+    // beat-quantized resets past the segment horizon: explicit integer
+    // reset-frame columns (mirrors voicestate.build_program; the device
+    // applies them as `k >= r` rebases — exact unlimited wraps where the
+    // reference wraps per sample, lib/SamplerSynthVoice.cpp:225-242)
+    for (int e = 0; e < W; ++e) {
+      if (!is_bq) break;
+      int64_t k0 = (int64_t)std::max(
+          std::ceil(bq_diff + (double)(kSegments + e - 1) * bq_period), 0.0);
+      int64_t r = k0 + 1;
+      bool hit = prev_bq_hit && r < B && r >= start_f;
+      if (hit) {
+        pi[kNIBase + e] = (int32_t)r;
+        bq_last_reset = r;
+      }
+      prev_bq_hit = prev_bq_hit && hit;
+    }
+    // boundary wrap: only the LAST counted wrap can land exactly at frame B
+    bool bq_boundary = false;
+    if (is_bq && bq_wraps >= 1) {
+      double r_w_last =
+          std::ceil(bq_diff + (double)(bq_wraps - 1) * bq_period) + 1.0;
+      bq_boundary = r_w_last == (double)B;
     }
 
     // --- stop frame (hard stop / ADSR death) ---
@@ -345,6 +382,18 @@ int64_t zl_voice_update(const Params *p, State *s, int32_t *prog_i,
           s->istart[v] + j2 * (int64_t)s->rate_int[v] + (int64_t)carry2;
       new_pos_frac = frac2 - carry2;
     }
+    // beat-quantized: rebase from the last EXPRESSED in-block reset —
+    // exactly what the device applied (bit-identical to the wrap-segment
+    // extrapolation for wraps within the horizon; contains the position
+    // past it). Boundary wrap (reset at frame B) snaps to the loop start.
+    if (bq_last_reset >= 0) {
+      int64_t jb = std::max(B - bq_last_reset, (int64_t)0);
+      float fracb = (float)jb * s->rate_frac[v];
+      float carryb = std::floor(fracb);
+      new_pos_int =
+          s->istart[v] + jb * (int64_t)s->rate_int[v] + (int64_t)carryb;
+      new_pos_frac = fracb - carryb;
+    }
     if (bq_boundary) {
       new_pos_int = s->istart[v];
       new_pos_frac = 0.0f;
@@ -416,6 +465,6 @@ int64_t zl_voice_update(const Params *p, State *s, int32_t *prog_i,
   return died_count;
 }
 
-int zl_hostcore_abi_version(void) { return 3; }
+int zl_hostcore_abi_version(void) { return 4; }
 
 }  // extern "C"

@@ -17,8 +17,8 @@ pytestmark = pytest.mark.skipif(
 )
 
 
-def make_pool(seed=0, V=64):
-    pool = VoicePool(V, B, SR)
+def make_pool(seed=0, V=64, block=B, short_bq=False):
+    pool = VoicePool(V, block, SR)
     rng = np.random.default_rng(seed)
     for v in range(V - 8):  # leave some idle
         looping = bool(rng.integers(0, 2))
@@ -45,6 +45,13 @@ def make_pool(seed=0, V=64):
             length_beats=float(rng.choice([1.0, 2.0, 0.75, 1.3])),
             start_tick=int(rng.integers(0, 96)),
         )
+        if short_bq and v % 3 == 0:
+            # 1-3-tick beat-quantized loops: multiple wall-clock wraps per
+            # superblock, exercising the bq_reset extra columns
+            pool.looping[v] = True
+            pool.beat_quantized[v] = True
+            pool.loop_len_ticks[v] = int(rng.integers(1, 4))
+            pool.next_loop_tick[v] = int(pool.loop_len_ticks[v])
     return pool
 
 
@@ -58,20 +65,20 @@ STATE_ARRAYS = [
 ]
 
 
-def run_both(seed, blocks=40, release_at=None, lane_disabled=None):
-    pool_np = make_pool(seed)
+def run_both(seed, blocks=40, release_at=None, lane_disabled=None,
+             block=B, short_bq=False, spt=250.0):
+    pool_np = make_pool(seed, block=block, short_bq=short_bq)
     pool_c = copy.deepcopy(pool_np)
     lane_enabled = np.ones(12, bool)
     if lane_disabled is not None:
         lane_enabled[lane_disabled] = False
-    spt = 250.0
     for b in range(blocks):
         if release_at is not None and b == release_at:
             for v in range(0, 8):
                 pool_np.note_off(v, tail=True, frame_offset=13)
                 pool_c.note_off(v, tail=True, frame_offset=13)
         args = dict(
-            block_start_sample=float(b * B),
+            block_start_sample=float(b * block),
             tick_anchor_sample=0.0,
             tick_anchor=0,
             samples_per_tick=spt,
@@ -119,6 +126,19 @@ def test_equivalence_with_releases():
 
 def test_equivalence_with_disabled_lane():
     run_both(seed=3, lane_disabled=4)
+
+
+def test_equivalence_short_bq_superblock():
+    """B=1024 with 1-3-tick beat-quantized loops: the bq_reset extra
+    columns and the rebased advance must be bit-identical between the
+    native core and the numpy voice machine."""
+    run_both(seed=5, blocks=30, block=1024, short_bq=True)
+
+
+def test_equivalence_short_bq_odd_bpm():
+    """Same, at a non-integer samples-per-tick (137.77 bpm)."""
+    run_both(seed=6, blocks=30, block=1024, short_bq=True,
+             spt=SR * 60.0 / (137.77 * 96.0))
 
 
 def test_native_speedup():

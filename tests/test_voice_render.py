@@ -274,3 +274,70 @@ def test_even_shorter_loop_multi_wrap_block():
     got = np.concatenate(out, axis=0)
     want = oracle.render(20 * B_SUPER)
     np.testing.assert_allclose(got, want, atol=3e-4)
+
+
+def _run_superblock(pool, sound, n_blocks, spt, B_frames=1024):
+    planar = np.ascontiguousarray(sound.T)
+    out = []
+    for b in range(n_blocks):
+        prog = pool.build_program(
+            block_start_sample=b * B_frames, tick_anchor_sample=0.0,
+            tick_anchor=0, samples_per_tick=spt,
+        )
+        _, _, contrib = render_voices(
+            np, planar, prog, B_frames, return_contrib=True
+        )
+        out.append(contrib[0])
+        pool.advance(prog)
+    return np.concatenate(out, axis=0)
+
+
+def test_short_bq_loop_superblock():
+    """A zero-length_beats clip is beat-quantized with a 1-tick loop
+    (SamplerSynthVoice.cpp:227's whole-beats rule admits 0; note_on floors
+    loop_len_ticks at 1) — at B=1024 that is ~5 wall-clock wraps per block,
+    past the segment horizon. The reference wraps per sample without limit
+    (lib/SamplerSynthVoice.cpp:225-242); the explicit bq_reset columns must
+    reproduce it exactly."""
+    spt = 250.0  # 120 bpm at 48 kHz
+    sound = make_sound(frames=30000)
+    pool = VoicePool(4, 1024, SR)
+    start_voice(pool, sound, looping=True, length_beats=0.0)
+    assert pool.beat_quantized[0] and pool.loop_len_ticks[0] == 1
+    oracle = make_oracle(pool, sound, looping=True, beat_quantized=True,
+                         spt=spt)
+    got = _run_superblock(pool, sound, n_blocks=40, spt=spt)
+    want = oracle.render(40 * 1024)
+    np.testing.assert_allclose(got, want, atol=3e-4)
+    assert pool.active[0]
+    # containment: position stays within one loop span of the start
+    assert int(pool.pos_int[0]) <= int(np.ceil(spt)) * 2
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_short_bq_loop_fuzz(seed):
+    """Hostile bq corner fuzz (VERDICT r2 #3): 1-3-tick beat-quantized
+    loops at B=1024 under random BPMs (non-integer samples-per-tick) and
+    pitch ratios, bit-green vs the scalar oracle."""
+    rng = np.random.default_rng(100 + seed)
+    bpm = float(rng.uniform(60.0, 200.0))
+    spt = SR * 60.0 / (bpm * 96.0)
+    ticks = int(rng.integers(1, 4))
+    sound = make_sound(frames=30000, freq=float(rng.uniform(100, 900)))
+    pool = VoicePool(4, 1024, SR)
+    start_voice(
+        pool, sound, midi_note=int(rng.integers(55, 67)),
+        looping=True, length_beats=1.0,
+        start_sec=float(rng.uniform(0, 0.01)),
+        stop_sec=float(rng.uniform(0.2, 0.6)),
+    )
+    # inject the short bq loop state directly (the note-on API only reaches
+    # it via length_beats=0; the voice machine must be exact regardless)
+    pool.beat_quantized[0] = True
+    pool.loop_len_ticks[0] = ticks
+    pool.next_loop_tick[0] = ticks
+    oracle = make_oracle(pool, sound, looping=True, beat_quantized=True,
+                         spt=spt)
+    got = _run_superblock(pool, sound, n_blocks=30, spt=spt)
+    want = oracle.render(30 * 1024)
+    np.testing.assert_allclose(got, want, atol=3e-4)
