@@ -111,6 +111,9 @@ def main() -> int:
     print(f"SLO: {slo.missed_blocks}/{slo.total_blocks} deadline misses, "
           f"dsp load {engine.dsp_load.load:.2f}, "
           f"playback peak {engine.levels.playback_a_hold:.1f} dBFS (hold)")
+    wd = engine.watchdog
+    print(f"watchdog: {wd.delivered}/{wd.scheduled} events delivered, "
+          f"{wd.mismatches} mismatched blocks")
     if runtime.pump_error is not None:
         print(f"pump error: {runtime.pump_error}", file=sys.stderr)
         return 1

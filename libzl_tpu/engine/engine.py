@@ -207,15 +207,22 @@ class AudioEngine:
         if voice_buckets not in ("auto", "off"):
             raise ValueError("voice_buckets must be 'auto' or 'off'")
         self._bucket_ladder = None
-        if (voice_buckets == "auto" and backend == "jax" and mesh is None
+        if (voice_buckets == "auto" and backend == "jax"
                 and num_voices > 64):
+            # under a mesh each bucket must split evenly over the devices
+            # AND keep the per-shard count a windows-kernel GROUP multiple,
+            # so the ladder unit is mesh.size * 8 (plain 64 single-chip) —
+            # a sparse session on an 8-chip pool then renders a prefix of
+            # every local shard instead of paying full-pool cost
+            unit = 64 if mesh is None else max(mesh.size * 8, 8)
             ladder = []
-            s = 64
+            s = ((64 + unit - 1) // unit) * unit
             while s < num_voices:
                 ladder.append(s)
                 s *= 2
-            ladder.append(num_voices)
-            self._bucket_ladder = ladder
+            if ladder:  # at least one size below the full pool
+                ladder.append(num_voices)
+                self._bucket_ladder = ladder
         self.allocator = VoiceAllocator(self.pool, voices_per_lane)
         self.bank = SoundBank(
             tail_guard=region_tail_guard(block_frames, self.max_pitch_ratio)
@@ -275,12 +282,17 @@ class AudioEngine:
         self.clip_command_sent_callbacks: list[Callable[[ClipCommand], None]] = []
         self.total_blocks = 0
         # observability (utils/profiling; SURVEY.md §5 tracing/xrun analogs)
-        from ..utils.profiling import BlockProfiler, DspLoad, SloCounter
+        from ..utils.profiling import (
+            BlockProfiler, DspLoad, EventWatchdog, SloCounter,
+        )
 
         period = block_frames / sample_rate
         self.profiler = BlockProfiler()
         self.slo = SloCounter(budget_seconds=period)
         self.dsp_load = DspLoad(period_seconds=period)
+        # per-block scheduled-vs-delivered event accounting across the MIDI
+        # fabric (MidiRouterWatchdog analog, lib/MidiRouter.cpp:135-188)
+        self.watchdog = EventWatchdog()
 
     # ------------------------------------------------------------ clip admin
 
@@ -552,21 +564,38 @@ class AudioEngine:
         return self.pool.num_voices
 
     def _dispatch_packed(self, sound, prog_i, prog_f, strips_packed):
-        if self._sharded_render is not None:
-            return self._sharded_render(sound, prog_i, prog_f, strips_packed)
+        from ..ops.voice import fuse_packed
+
+        # ONE host->device buffer per block: the program pair fuses into a
+        # single int32 matrix (f32 columns bit-cast). On relay-attached
+        # TPUs every per-block upload costs a ~1 ms latency round trip
+        # regardless of size — the two-array form measured 2.1 ms/block of
+        # pure transfer (tools/tpu_probe1_r3.py).
+        fused = fuse_packed(prog_i, prog_f)
         bucket = self._render_bucket(prog_i)
-        if bucket is not None and bucket < prog_i.shape[0]:
+        if self._sharded_render is not None:
+            # per-shard bucket ladder: a prefix slice re-shards over the
+            # mesh (contiguous row blocks), so every device renders
+            # bucket/n voices; the shard_map reduction is value-semantic,
+            # outputs are identical to full-pool dispatch. voice_peaks
+            # comes back at the bucket length — update_session pads.
+            if bucket is not None and bucket < fused.shape[0]:
+                return self._sharded_render(
+                    sound, fused[:bucket], strips_packed
+                )
+            return self._sharded_render(sound, fused, strips_packed)
+        if bucket is not None and bucket < fused.shape[0]:
             # voice_peaks pads back to [V] INSIDE the jit (an eager host
             # concat here measured ~0.3-0.5 ms/block of dispatch overhead
             # in a jax profiler trace of the live path)
-            return render_mod.render_block_packed(
-                sound, prog_i[:bucket], prog_f[:bucket], strips_packed,
+            return render_mod.render_block_fused(
+                sound, fused[:bucket], strips_packed,
                 block_frames=self.block_frames, quirk_gain=self.quirk_gain,
                 fetch=self.fetch, max_pitch_ratio=self.max_pitch_ratio,
                 pad_voices_to=self.pool.num_voices,
             )
-        return render_mod.render_block_packed(
-            sound, prog_i, prog_f, strips_packed,
+        return render_mod.render_block_fused(
+            sound, fused, strips_packed,
             block_frames=self.block_frames, quirk_gain=self.quirk_gain,
             fetch=self.fetch, max_pitch_ratio=self.max_pitch_ratio,
         )
@@ -611,6 +640,7 @@ class AudioEngine:
         import jax
 
         if self._bank_version_on_device != self.bank.version:
+            self._check_bank_capacity(jax)
             if self.fetch == "gather":
                 # interleaved [N, 2] rows: one row gather fetches the stereo
                 # pair — measured 5.4x faster than four planar takes in the
@@ -627,6 +657,31 @@ class AudioEngine:
                 )
             self._bank_version_on_device = self.bank.version
         return self._device_sound_data
+
+    def _check_bank_capacity(self, jax) -> None:
+        """Sound memory is REPLICATED per device (any voice may fetch any
+        sample — parallel/sharding.py), so the bank must fit each chip's
+        HBM alongside render working set. Fail loudly at upload time with
+        actionable guidance instead of OOMing mid-performance. A sharded
+        bank (voices fetching remote shards over ICI) was evaluated and
+        rejected: per-block fetch windows are small but latency-critical,
+        and the reference's deployment (a groovebox sample pool) is far
+        below one HBM. Documented in PARITY.md."""
+        itemsize = 2 if self.bank_dtype == "int16" else 4
+        bank_bytes = self.bank.data.size * itemsize
+        try:
+            stats = jax.local_devices()[0].memory_stats() or {}
+            limit = int(stats.get("bytes_limit", 0))
+        except Exception:
+            limit = 0
+        if limit and bank_bytes > 0.6 * limit:
+            raise RuntimeError(
+                f"sound bank ({bank_bytes / 2**30:.2f} GiB, replicated per "
+                f"device) exceeds 60% of device memory "
+                f"({limit / 2**30:.2f} GiB). Use bank_dtype='int16' (half "
+                f"the bytes), unload idle clips, or split the session "
+                f"across engines."
+            )
 
     def _packed_strips_for_backend(self):
         """Strips change rarely (UI gestures), so keep a device-resident copy
@@ -696,18 +751,18 @@ class AudioEngine:
         prog_i, prog_f = pack_program(prog)
         sound = self._sound_data_for_backend()
         strips = self._packed_strips_for_backend()
-        if self._sharded_render is not None:
-            sizes = [self.pool.num_voices]
-        else:
-            sizes = list(self._bucket_ladder or [self.pool.num_voices])
+        from ..ops.voice import fuse_packed
+
+        fused = fuse_packed(prog_i, prog_f)
+        sizes = list(self._bucket_ladder or [self.pool.num_voices])
         for s in sizes:
             if self._sharded_render is not None:
-                out = self._sharded_render(sound, prog_i, prog_f, strips)
+                out = self._sharded_render(sound, fused[:s], strips)
             else:
                 # mirror _dispatch_packed's exact static signature per
                 # bucket (pad_voices_to participates in the jit cache key)
-                out = render_mod.render_block_packed(
-                    sound, prog_i[:s], prog_f[:s], strips,
+                out = render_mod.render_block_fused(
+                    sound, fused[:s], strips,
                     block_frames=self.block_frames,
                     quirk_gain=self.quirk_gain, fetch=self.fetch,
                     max_pitch_ratio=self.max_pitch_ratio,
@@ -722,6 +777,21 @@ class AudioEngine:
         np.asarray(out.master)
         self._warmed_key = key
         return len(sizes)
+
+    def stats(self) -> dict:
+        """Runtime health counters: SLO (deadline misses), DSP load, and
+        the event watchdog (scheduled-vs-delivered MIDI accounting)."""
+        return {
+            "blocks": self.total_blocks,
+            "slo_missed": self.slo.missed_blocks,
+            "slo_total": self.slo.total_blocks,
+            "slo_worst_overrun_ms": round(self.slo.worst_overrun * 1e3, 3),
+            "dsp_load": round(self.dsp_load.load, 4),
+            "watchdog_scheduled": self.watchdog.scheduled,
+            "watchdog_delivered": self.watchdog.delivered,
+            "watchdog_mismatches": self.watchdog.mismatches,
+            "watchdog_lost": self.watchdog.lost,
+        }
 
     def process_block(self) -> BlockResult:
         """Render one block: drain due ticks, dispatch, advance."""
@@ -808,6 +878,11 @@ class AudioEngine:
         self.transport.handle_passthrough(self.router.passthrough_out)
         self.sampler_map.handle(self.router, self.router.passthrough_out)
         self.router.flush_external()
+        # event watchdog: everything that entered the fabric this block must
+        # have reached a terminal (sink append or intentional swallow)
+        self.watchdog.observe_block(
+            self.router.in_count, self.router.accounted_count
+        )
 
         # idle shortcut: with no live voices the render is identically zero —
         # skip the device dispatch (the reference's JACK clients always run;
@@ -935,6 +1010,11 @@ class AudioEngine:
         if include_recorders and self.levels.is_recording:
             self.levels.feed_recorders(result.outputs)
         peaks = np.asarray(result.outputs.voice_peaks)
+        if peaks.shape[0] < self.pool.num_voices:
+            # mesh-bucketed dispatch returns the bucket-length sharded
+            # peaks (the single-chip path pads inside the jit); inactive
+            # tail voices peaked at zero by definition
+            peaks = np.pad(peaks, (0, self.pool.num_voices - peaks.shape[0]))
         progress = self.pool.progress()
         act = np.flatnonzero(self.pool.active)
         if act.size:

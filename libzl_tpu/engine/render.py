@@ -132,3 +132,39 @@ def render_block_packed(
             out.voice_peaks, (0, pad_voices_to - prog_ints.shape[0])
         ))
     return out
+
+
+@functools.partial(
+    __import__("jax").jit,
+    static_argnames=("block_frames", "quirk_gain", "fetch",
+                     "max_pitch_ratio", "pad_voices_to"),
+)
+def render_block_fused(
+    sound_data,
+    prog_fused,
+    strips_packed,
+    block_frames: int = DEFAULT_BLOCK_FRAMES,
+    quirk_gain: bool = False,
+    fetch: str = "gather",
+    max_pitch_ratio: float = 4.0,
+    pad_voices_to: int = 0,
+) -> RenderOutputs:
+    """Single-buffer variant of render_block_packed: the program pair
+    arrives as ONE int32 matrix (ops/voice.fuse_packed). On relay-attached
+    TPUs each per-block host->device buffer costs a ~1 ms latency round
+    trip regardless of size (tools/tpu_probe1_r3.py), so the live path
+    ships exactly one — the split/bitcast is free inside the jit."""
+    import jax.numpy as jnp
+
+    prog_ints, prog_floats = voice_ops.split_fused(prog_fused)
+    prog = voice_ops.unpack_program(prog_ints, prog_floats)
+    strips = voice_ops.unpack_strips(strips_packed)
+    out = render_block_math(
+        jnp, sound_data, prog, strips, block_frames, quirk_gain=quirk_gain,
+        fetch=fetch, max_pitch_ratio=max_pitch_ratio,
+    )
+    if pad_voices_to > prog_fused.shape[0]:
+        out = out._replace(voice_peaks=jnp.pad(
+            out.voice_peaks, (0, pad_voices_to - prog_fused.shape[0])
+        ))
+    return out

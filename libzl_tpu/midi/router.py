@@ -84,6 +84,13 @@ class MidiRouter:
         self.external_out: list[tuple[int, bytes]] = []
         self.passthrough_out: list[tuple[int, bytes]] = []
         self.feedback_out: list[tuple[int, bytes]] = []
+        # watchdog accounting (MidiRouterWatchdog analog,
+        # lib/MidiRouter.cpp:135-188 — compile-time disabled there, live
+        # here): every event entering the fabric this block must reach a
+        # terminal (a sink append or an intentional swallow). The engine
+        # compares the two counts per block (AudioEngine.watchdog).
+        self.in_count = 0         # events accepted this block
+        self.accounted_count = 0  # events that reached a terminal
         # listeners (noteChanged analog): cb(source, frame_offset, data)
         self.note_listeners: list[Callable[[str, int, bytes], None]] = []
         self.reload_configuration()
@@ -150,6 +157,8 @@ class MidiRouter:
         self.external_out = []
         self.passthrough_out = []
         self.feedback_out = []
+        self.in_count = 0
+        self.accounted_count = 0
 
     def route_internal(self, events: list[tuple[int, bytes]]) -> None:
         """Route the scheduler's own MIDI (SyncTimerIn path,
@@ -157,6 +166,7 @@ class MidiRouter:
         for offset, data in events:
             if not data:
                 continue
+            self.in_count += 1
             ch = channel(data)
             if ch >= 0:
                 out = self.outputs[ch]
@@ -196,14 +206,18 @@ class MidiRouter:
                 else:  # NONE: swallowed, internal listeners still informed
                     if note:
                         self._emit_note("internal", offset, data)
+                self.accounted_count += 1
             elif data[0] == 0xF0:
-                pass  # sysex ignored (lib/MidiRouter.cpp:443-445)
+                # sysex ignored (lib/MidiRouter.cpp:443-445) — an
+                # intentional swallow still counts as accounted
+                self.accounted_count += 1
             else:
                 # system messages go external; timecode-ish bytes are not
                 # fed back to the transport (lib/MidiRouter.cpp:447-452)
                 self.external_out.append((offset, data))
                 if data[0] not in REALTIME_FILTERED:
                     self.passthrough_out.append((offset, data))
+                self.accounted_count += 1
 
     def route_hardware(self) -> None:
         """Drain every enabled hardware input and route with retargeting
@@ -226,11 +240,13 @@ class MidiRouter:
     def _route_hardware_event(
         self, entry: InputDeviceEntry, offset: int, data: bytes
     ) -> None:
+        self.in_count += 1
         data = apply_cc_translation(entry.cc_translations, data)
         ch = channel(data)
         if ch < 0:
             # realtime/system from hardware (incl. translated transport CCs)
             self.passthrough_out.append((offset, data))
+            self.accounted_count += 1
             return
         target = self.current_channel
         if is_note_message(data) and len(data) > 1:
@@ -274,6 +290,10 @@ class MidiRouter:
                 self._emit_note("external", offset, data)
             self.external_out.append((offset, with_channel(data, ext)))
             self.passthrough_out.append((offset, data))
+        # a NONE-destination hardware channel swallows the event on purpose
+        # (the reference's switch has no NONE case either); it still counts
+        # as accounted — the watchdog flags LOST events, not routed-to-void
+        self.accounted_count += 1
         if note:
             self._emit_note("hardware", offset, data)
 

@@ -133,6 +133,31 @@ def pack_program(prog: VoiceProgram):
     return np.concatenate(ints, axis=1), np.concatenate(floats, axis=1)
 
 
+def fuse_packed(prog_i: np.ndarray, prog_f: np.ndarray) -> np.ndarray:
+    """Fuse the packed program pair into ONE int32 matrix [V, Ki+Kf] (f32
+    columns bit-cast). On relay-attached TPUs every per-block host->device
+    buffer costs a ~1 ms transfer round trip regardless of size (probe
+    tpu_probe1_r3: two-array upload 2.1 ms, device-resident args 1.2 ms) —
+    one buffer halves the live path's dominant cost. `split_fused` undoes
+    it inside the jit where slicing and bitcasts are free."""
+    return np.concatenate([prog_i, prog_f.view(np.int32)], axis=1)
+
+
+def split_fused(fused):
+    """Inverse of fuse_packed for traced jax values (or numpy)."""
+    ki = fused.shape[1] - (len(_F32_SCALARS) + len(_F32_ENV)
+                           + MAX_SEGMENTS_PER_BLOCK)
+    ints = fused[:, :ki]
+    fbits = fused[:, ki:]
+    if isinstance(fbits, np.ndarray):
+        floats = np.ascontiguousarray(fbits).view(np.float32)
+    else:
+        import jax
+
+        floats = jax.lax.bitcast_convert_type(fbits, np.float32)
+    return ints, floats
+
+
 def active_high_water(prog_i) -> int:
     """Highest packed-program row with the active flag set, plus one
     (0 when no row is active). The program's `active` column is the

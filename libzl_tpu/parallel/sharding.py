@@ -115,7 +115,10 @@ def make_shardmap_packed_render(
     import jax.numpy as jnp
     from jax import shard_map
 
-    def local_fn(sound_data, prog_i, prog_f, strips_packed):
+    def local_fn(sound_data, prog_fused, strips_packed):
+        # ONE sharded program buffer per block (ops/voice.fuse_packed);
+        # the split/bitcast runs per shard inside the jit
+        prog_i, prog_f = voice_ops.split_fused(prog_fused)
         prog = voice_ops.unpack_program(prog_i, prog_f)
         strips = voice_ops.unpack_strips(strips_packed)
         lane_mix, voice_peaks = voice_ops.render_voices(
@@ -134,7 +137,7 @@ def make_shardmap_packed_render(
     )
     fn = shard_map(
         local_fn, mesh=mesh,
-        in_specs=(P(), Pv, Pv, P()),
+        in_specs=(P(), Pv, P()),
         out_specs=out_specs,
         check_vma=False,
     )

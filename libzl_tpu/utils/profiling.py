@@ -108,13 +108,17 @@ def device_trace(log_dir: str):
 
 class EventWatchdog:
     """Delivered-vs-expected event accounting (MidiRouterWatchdog analog,
-    lib/MidiRouter.cpp:135-188 — compile-time disabled there; first-class
-    here). Report mismatches instead of silently dropping events."""
+    lib/MidiRouter.cpp:135-188 — compile-time disabled there; live here).
+    AudioEngine.process_block feeds it the router's per-block counts
+    (events entering the fabric vs events reaching a terminal); a mismatch
+    means an event was LOST inside the fabric, reported instead of
+    silently dropped."""
 
     def __init__(self):
         self.scheduled = 0
         self.delivered = 0
         self.mismatches = 0
+        self.lost = 0
 
     def on_scheduled(self, n: int = 1) -> None:
         self.scheduled += n
@@ -126,4 +130,16 @@ class EventWatchdog:
         ok = self.scheduled == self.delivered
         if not ok:
             self.mismatches += 1
+        return ok
+
+    def observe_block(self, scheduled: int, delivered: int) -> bool:
+        """Per-cycle accounting (the production wiring): totals accumulate,
+        a block whose counts disagree records ONE mismatch and the number
+        of events lost."""
+        self.scheduled += scheduled
+        self.delivered += delivered
+        ok = scheduled == delivered
+        if not ok:
+            self.mismatches += 1
+            self.lost += scheduled - delivered
         return ok

@@ -223,7 +223,7 @@ def test_no_retracing_across_blocks():
     engine.start_transport(bpm=97)
     clip.play(loop=True, midi_channel=0)
     engine.process_block()
-    before = render_mod.render_block_packed._cache_size()
+    before = render_mod.render_block_fused._cache_size()
     # vary everything that may vary at runtime: commands, tempo, strips,
     # channel toggles, voice churn
     clip2 = make_clip(engine, seconds=0.1, freq=200.0)
@@ -232,7 +232,7 @@ def test_no_retracing_across_blocks():
     engine.set_strip(2, dry=0.3, pan=-0.5)
     for _ in range(50):
         engine.process_block()
-    assert render_mod.render_block_packed._cache_size() == before
+    assert render_mod.render_block_fused._cache_size() == before
 
 
 def test_strip_device_cache_reuses_and_invalidates():

@@ -78,3 +78,43 @@ def test_engine_wires_observability():
     assert engine.slo.total_blocks == 20
     assert engine.dsp_load.load > 0.0
     assert engine.profiler.summary()["process_block"]["count"] == 20
+
+
+def test_watchdog_wired_into_engine():
+    """Production wiring (MidiRouter.cpp:135-188 analog): every scheduled
+    MIDI event must be accounted by the routing fabric each block; a router
+    that LOSES events trips the watchdog with the lost count."""
+    from libzl_tpu.engine.engine import AudioEngine
+
+    engine = AudioEngine(backend="numpy", num_voices=8, sample_rate=48000)
+    engine.start_transport(bpm=120)
+    for i in range(8):
+        engine.schedule_note(60 + i, 0, True, 100, duration=4, delay=i)
+    for _ in range(10):
+        engine.process_block()
+    wd = engine.watchdog
+    assert wd.scheduled > 0, "no events reached the fabric"
+    assert wd.delivered == wd.scheduled
+    assert wd.mismatches == 0 and wd.lost == 0
+    assert engine.stats()["watchdog_mismatches"] == 0
+
+    # now a fabric that drops every second event AFTER accepting it
+    real_route = engine.router.route_internal
+
+    def droppy(events):
+        kept = []
+        for i, ev in enumerate(events):
+            if i % 2 and ev[1]:
+                engine.router.in_count += 1  # entered, then lost
+            else:
+                kept.append(ev)
+        real_route(kept)
+
+    engine.router.route_internal = droppy
+    for i in range(8):
+        engine.schedule_note(60 + i, 0, True, 100, duration=4, delay=i)
+    for _ in range(10):
+        engine.process_block()
+    assert wd.mismatches > 0
+    assert wd.lost > 0
+    assert engine.stats()["watchdog_lost"] == wd.lost

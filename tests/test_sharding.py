@@ -142,7 +142,7 @@ def test_shardmap_render_matches_insharding_render():
 
     sys.path.insert(0, "/root/repo")
     import __graft_entry__ as ge
-    from libzl_tpu.ops.voice import pack_program, pack_strips
+    from libzl_tpu.ops.voice import fuse_packed, pack_program, pack_strips
     from libzl_tpu.parallel.sharding import (
         make_mesh,
         make_shardmap_packed_render,
@@ -151,10 +151,11 @@ def test_shardmap_render_matches_insharding_render():
 
     sound, prog, strips = ge._example_inputs(64, 128, 1 << 12)
     pi, pf = pack_program(prog)
+    fused = fuse_packed(pi, pf)
     sp = pack_strips(strips)
     mesh = make_mesh(8)
     o_map = make_shardmap_packed_render(mesh, 128)(
-        np.ascontiguousarray(sound.T), pi, pf, sp
+        np.ascontiguousarray(sound.T), fused, sp
     )
     o_jit = make_sharded_packed_render(mesh, 128)(
         np.ascontiguousarray(sound.T), pi, pf, sp
@@ -167,7 +168,7 @@ def test_shardmap_render_matches_insharding_render():
     )
     # windows kernel per shard (planar bank)
     o_win = make_shardmap_packed_render(mesh, 128, fetch="windows")(
-        sound, pi, pf, sp
+        sound, fused, sp
     )
     np.testing.assert_allclose(
         np.asarray(o_win.master), np.asarray(o_map.master),
@@ -188,3 +189,47 @@ def test_randomized_session_sharded_equals_unsharded(n_devices):
     np.testing.assert_array_equal(m, m_ref)
     np.testing.assert_array_equal(p, p_ref)
     np.testing.assert_array_equal(r, r_ref)
+
+
+def test_mesh_bucket_ladder_matches_full_pool():
+    """Per-shard bucket ladder (sparse session on a sharded pool): the
+    prefix-bucket dispatch must produce the identical master to full-pool
+    dispatch, and must actually engage (voice_peaks at the bucket size)."""
+    import numpy as np
+
+    from libzl_tpu.engine.engine import AudioEngine
+    from libzl_tpu.io.wav import AudioData
+    from libzl_tpu.models.clip import ClipAudioSource
+    from libzl_tpu.parallel.sharding import make_mesh
+
+    def run(voice_buckets):
+        engine = AudioEngine(
+            sample_rate=48000, backend="jax", num_voices=128,
+            mesh=make_mesh(8), voice_buckets=voice_buckets,
+        )
+        t = np.arange(9000) / 48000
+        clip = ClipAudioSource(
+            engine,
+            audio=AudioData(
+                (0.4 * np.sin(2 * np.pi * 260 * t)).astype(np.float32)[:, None],
+                48000,
+            ),
+        )
+        engine.start_transport(bpm=120)
+        for ch in range(3):
+            clip.play(loop=True, midi_channel=ch)
+        out, last = [], None
+        for _ in range(25):
+            last = engine.process_block()
+            out.append(np.asarray(last.outputs.master))
+        return np.concatenate(out, axis=0), last, engine
+
+    bucketed, last_b, eng_b = run("auto")
+    full, last_f, _ = run("off")
+    assert eng_b._bucket_ladder is not None
+    # 3 active voices on a 128 pool over 8 shards -> 64-voice bucket
+    assert np.asarray(last_b.outputs.voice_peaks).shape[0] == 64
+    assert np.asarray(last_f.outputs.voice_peaks).shape[0] == 128
+    np.testing.assert_allclose(bucketed, full, atol=1e-6)
+    # session update path tolerates the short sharded peaks
+    eng_b.update_session(last_b)
