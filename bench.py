@@ -162,11 +162,27 @@ def measure_live_mode(blocks: int = 300) -> dict:
         jax.block_until_ready(res.outputs.master)
         times.append(time.perf_counter() - t0)
     p50 = float(np.percentile(np.asarray(times) * 1e3, 50))
+
+    # bounce drain (LIBZL_TPU_BOUNCE_DRAIN analog): fetch K blocks' master
+    # mixes in ONE device->host transfer — the sync is a fixed-cost round
+    # trip, so the bounce path amortizes it K-fold vs the synced loop
+    import jax.numpy as jnp
+
+    K = 8
+    drained = []
+    for _ in range(10):
+        t0 = time.perf_counter()
+        masters = [engine.process_block().outputs.master for _ in range(K)]
+        np.asarray(jnp.concatenate(masters, axis=0))
+        drained.append((time.perf_counter() - t0) / K * 1e3)
+    bounce_ms = float(np.percentile(np.asarray(drained), 50))
     return dict(
         rt_liveblock=round(rt_live, 3),
         device_ms_p50=round(device_ms, 3),
         latency_p50_ms=round(p50, 3),
         sync_ms_p50=round(max(p50 - device_ms, 0.0), 3),
+        bounce_ms_per_block=round(bounce_ms, 3),
+        bounce_sync_amortization=round(p50 / max(bounce_ms, 1e-6), 2),
     )
 
 

@@ -80,6 +80,7 @@ class AudioEngine:
         bank_dtype: str = "float32",
         max_pitch_ratio: float = 4.0,
         voice_buckets: str = "auto",
+        lookahead: "str | int" = "auto",
     ):
         self.sample_rate = sample_rate
         self.block_frames = block_frames
@@ -185,6 +186,37 @@ class AudioEngine:
             elif host_core == "native":
                 raise RuntimeError("native host core requested but unavailable")
 
+        # Speculative lookahead horizon (live path): render H blocks in ONE
+        # upload+dispatch and emit them as per-block slices, preempting the
+        # horizon whenever an event lands (so note latency stays one block).
+        # The render has no inter-block feedback — a committed schedule's
+        # horizon output equals per-block output — and on relay-attached
+        # TPUs each per-block upload/dispatch costs 1-3 ms of fixed latency
+        # (tools/tpu_probe{1,2}_r3.py), so clean blocks amortize it H-fold.
+        # Event blocks fall back to the per-block dispatch, exactly today's
+        # path. "auto" = 8 blocks on the jax single-chip live geometry.
+        if lookahead == "auto":
+            self._lookahead = (
+                8 if (backend == "jax" and mesh is None
+                      and block_frames <= 256) else 0
+            )
+        else:
+            self._lookahead = max(int(lookahead), 0)
+            if self._lookahead == 1:
+                self._lookahead = 0  # a 1-block horizon is the plain path
+            if self._lookahead and (backend != "jax" or mesh is not None):
+                raise ValueError(
+                    "lookahead requires the single-chip jax backend"
+                )
+        self._h_slices: list = []
+        self._h_cursor = 0
+        self._h_unadvanced = 0
+        self._h_anchor: Optional[dict] = None
+        self._h_lane_snapshot = None
+        self._h_fingerprint = None
+        self._clean_run = 0
+        self._block_dirty = False
+
         self.clock = BlockClock(
             sample_rate=float(sample_rate),
             block_frames=block_frames,
@@ -193,6 +225,14 @@ class AudioEngine:
         self.ring = StepRing()
         self.pool = VoicePool(num_voices, block_frames, float(sample_rate))
         self.pool.max_ratio = self.max_pitch_ratio
+        if self._lookahead:
+            # the horizon program's bq reset columns must cover the WINDOW
+            from ..constants import bq_extra_resets
+
+            self.pool.n_bq_extra = max(
+                self.pool.n_bq_extra,
+                bq_extra_resets(self._lookahead * block_frames, sample_rate),
+            )
         # Bucketed prefix rendering: the allocator claims the FIRST idle
         # voice (lib/SamplerSynth.cpp:204-215), so live voices cluster at
         # low indices and a sparse session only needs a prefix of the pool
@@ -384,12 +424,14 @@ class AudioEngine:
 
     def start_transport(self, bpm: Optional[float] = None) -> None:
         """SyncTimer::start (lib/SyncTimer.cpp:870-879)."""
+        self._mark_event()
         if bpm is not None:
             self.set_bpm(bpm)
         self.transport_running = True
 
     def stop_transport(self) -> None:
         """SyncTimer::stop with the ring flush (lib/SyncTimer.cpp:881-929)."""
+        self._mark_event()
         self.transport_running = False
         note_offs, zeroed = self.ring.flush_for_stop()
         for cmd in zeroed:
@@ -449,9 +491,21 @@ class AudioEngine:
 
     # -------------------------------------------------------------- commands
 
+    def _mark_event(self) -> None:
+        """An event is about to mutate engine/pool state: the speculative
+        horizon (if any) is stale from this block on. Catch the pool
+        mirror up to the emission frontier FIRST (the command must apply
+        to current state), then discard the remaining slices."""
+        self._block_dirty = True
+        if self._h_slices:
+            self._catch_up_pool()
+            self._h_slices = []
+            self._h_cursor = 0
+
     def _apply_timer_command(self, cmd: TimerCommand, tick: int,
                              frame_offset: int) -> None:
         """lib/SyncTimer.cpp:563-632."""
+        self._mark_event()
         for cb in self.timer_command_callbacks:
             cb(cmd)
         op = cmd.operation
@@ -520,6 +574,7 @@ class AudioEngine:
 
     def _apply_clip_command(self, cmd: ClipCommand, tick: int,
                             frame_offset: int) -> None:
+        self._mark_event()
         clip = self.clips.get(cmd.clip_id)
         # speed/pitch/gain changes route to the clip's offline render —
         # DEFERRED to the render worker: a whole-clip STFT must not stall
@@ -599,6 +654,128 @@ class AudioEngine:
             block_frames=self.block_frames, quirk_gain=self.quirk_gain,
             fetch=self.fetch, max_pitch_ratio=self.max_pitch_ratio,
         )
+
+    # ------------------------------------------------- lookahead horizon
+
+    def _release_died(self, died_pairs) -> None:
+        """Dead voices release their playback positions
+        (lib/SamplerSynthVoice.cpp:156-158)."""
+        for cid, pid in died_pairs:
+            clip = self.clips.get(int(cid))
+            if clip is not None:
+                clip.positions_model.remove_position(int(pid))
+
+    def _catch_up_pool(self) -> None:
+        """Advance the pool mirror past slices already emitted from the
+        horizon (deferred so a mid-horizon event can rebuild from the
+        exact emission frontier). Uses the CLOCK ANCHORS CAPTURED AT
+        HORIZON BUILD — later BPM/transport mutations must not re-time
+        blocks that already rendered. Idempotent."""
+        n = self._h_unadvanced
+        if not n:
+            return
+        self._h_unadvanced = 0
+        w = n * self.block_frames
+        anchor = self._h_anchor
+        lane = self._h_lane_snapshot
+        if self.use_native_host:
+            from . import hostcore as _hostcore
+
+            _, _, died_info = _hostcore.voice_update(
+                self.pool, lane_enabled=lane, window_frames=w, **anchor
+            )
+            died_pairs = [(cid, pid) for _, cid, pid in died_info]
+        else:
+            prog = self.pool.build_program(
+                lane_enabled=lane, window_frames=w, **anchor
+            )
+            adv = self.pool.advance(prog, window_frames=w)
+            died_pairs = list(zip(adv["died_clips"], adv["died_positions"]))
+        anchor["block_start_sample"] += float(w)
+        self._release_died(died_pairs)
+
+    def _fingerprint(self):
+        """Out-of-band state a horizon depends on: direct API mutations
+        (set_bpm, set_strip, lane toggles, bank reloads) that bypass the
+        command hooks must still preempt stale slices."""
+        from ..ops.voice import pack_strips
+
+        return (
+            self.clock.samples_per_tick,
+            self.transport_running,
+            self.bank.version,
+            self.lane_enabled.tobytes(),
+            pack_strips(self.strips).tobytes(),
+        )
+
+    def _lookahead_outputs(self) -> Optional[render_mod.RenderOutputs]:
+        """Emit the next horizon slice, or None when this block must
+        dispatch fresh (event landed / horizon exhausted / out-of-band
+        state moved). Starts a new horizon after 3 consecutive clean
+        blocks (event-storm sessions degrade to exactly the per-block
+        path instead of wasting speculative device renders)."""
+        if self._block_dirty:
+            self._clean_run = 0
+            return None
+        if self._h_cursor < len(self._h_slices):
+            if self._fingerprint() == self._h_fingerprint:
+                out = self._h_slices[self._h_cursor]
+                self._h_cursor += 1
+                self._h_unadvanced += 1
+                self._clean_run += 1
+                return out
+            self._catch_up_pool()
+            self._h_slices = []
+            self._h_cursor = 0
+            self._clean_run = 0
+            return None
+        self._catch_up_pool()
+        self._clean_run += 1
+        if self._clean_run < 3 or not self.pool.active.any():
+            return None
+        return self._start_horizon()
+
+    def _start_horizon(self) -> render_mod.RenderOutputs:
+        """Build + dispatch an H-block horizon; emit slice 0."""
+        from ..ops.voice import fuse_packed, pack_program
+
+        H = self._lookahead
+        W = H * self.block_frames
+        anchor = dict(
+            block_start_sample=float(self.clock.sample_position),
+            tick_anchor_sample=self.clock.anchor_sample,
+            tick_anchor=self.clock.anchor_tick,
+            samples_per_tick=self.clock.samples_per_tick,
+        )
+        lane = self.lane_enabled.copy()
+        prog = self.pool.build_program(
+            lane_enabled=lane, window_frames=W, **anchor
+        )
+        prog_i, prog_f = pack_program(prog)
+        fused = fuse_packed(prog_i, prog_f)
+        sound = self._sound_data_for_backend()
+        strips = self._packed_strips_for_backend()
+        bucket = self._render_bucket(prog_i)
+        V = self.pool.num_voices
+        if bucket is not None and bucket < V:
+            slices = render_mod.render_horizon_fused(
+                sound, fused[:bucket], strips, window_frames=W, slices=H,
+                quirk_gain=self.quirk_gain, fetch=self.fetch,
+                max_pitch_ratio=self.max_pitch_ratio, pad_voices_to=V,
+            )
+        else:
+            slices = render_mod.render_horizon_fused(
+                sound, fused, strips, window_frames=W, slices=H,
+                quirk_gain=self.quirk_gain, fetch=self.fetch,
+                max_pitch_ratio=self.max_pitch_ratio,
+            )
+        self._h_slices = list(slices)
+        self._h_cursor = 1
+        self._h_unadvanced = 1
+        self._h_anchor = anchor
+        self._h_lane_snapshot = lane
+        self._h_fingerprint = self._fingerprint()
+        return self._h_slices[0]
 
     def _zero_outputs(self) -> render_mod.RenderOutputs:
         if not hasattr(self, "_zero_outputs_cache"):
@@ -770,6 +947,28 @@ class AudioEngine:
                                    if s < self.pool.num_voices else 0),
                 )
             jax.block_until_ready(out.master)
+            if self._lookahead:
+                # the lookahead horizon graph per bucket (same cache rules)
+                W = self._lookahead * self.block_frames
+                hp = self.pool.build_program(
+                    window_frames=W,
+                    block_start_sample=float(self.clock.sample_position),
+                    tick_anchor_sample=self.clock.anchor_sample,
+                    tick_anchor=self.clock.anchor_tick,
+                    samples_per_tick=self.clock.samples_per_tick,
+                    lane_enabled=self.lane_enabled,
+                )
+                hi, hf = pack_program(hp)
+                hfused = fuse_packed(hi, hf)
+                outs = render_mod.render_horizon_fused(
+                    sound, hfused[:s], strips, window_frames=W,
+                    slices=self._lookahead, quirk_gain=self.quirk_gain,
+                    fetch=self.fetch,
+                    max_pitch_ratio=self.max_pitch_ratio,
+                    pad_voices_to=(self.pool.num_voices
+                                   if s < self.pool.num_voices else 0),
+                )
+                jax.block_until_ready(outs[0].master)
         # one REAL device->host transfer: block_until_ready alone does not
         # validate the readback path everywhere (on relay-attached TPUs the
         # first D2H stalls for minutes — pay that at boot, never inside the
@@ -884,6 +1083,22 @@ class AudioEngine:
             self.router.in_count, self.router.accounted_count
         )
 
+        # speculative lookahead: clean blocks emit pre-rendered horizon
+        # slices (one upload+dispatch per H blocks); event blocks fall
+        # through to the per-block dispatch below with the pool caught up
+        if self._lookahead:
+            out = self._lookahead_outputs()
+            self._block_dirty = False
+            if out is not None:
+                self.clock.advance_block()
+                self.total_blocks += 1
+                busy = _time.perf_counter() - _t0
+                self.profiler.record("process_block", busy)
+                self.slo.observe(busy)
+                self.dsp_load.observe(busy)
+                return BlockResult(outputs=out, midi_out=midi_out,
+                                   tick_count=tick_count)
+
         # idle shortcut: with no live voices the render is identically zero —
         # skip the device dispatch (the reference's JACK clients always run;
         # a block engine can simply not submit work)
@@ -942,12 +1157,7 @@ class AudioEngine:
                 )
             adv = self.pool.advance(prog)
             died_pairs = list(zip(adv["died_clips"], adv["died_positions"]))
-        # dead voices release their playback positions
-        # (lib/SamplerSynthVoice.cpp:156-158)
-        for cid, pid in died_pairs:
-            clip = self.clips.get(int(cid))
-            if clip is not None:
-                clip.positions_model.remove_position(int(pid))
+        self._release_died(died_pairs)
         self.clock.advance_block()
         self.total_blocks += 1
         busy = _time.perf_counter() - _t0
@@ -992,6 +1202,9 @@ class AudioEngine:
         call this every `_levels_every` blocks (see capi/bridge), feeding
         recorders separately each block while recording and folding skipped
         blocks' peaks via accumulate_peaks."""
+        # positions/progress read the pool mirror: catch it up to the
+        # emission frontier first (no-op outside lookahead mode)
+        self._catch_up_pool()
         peak_override = None
         if self._peak_accum is not None:
             self.accumulate_peaks(result)

@@ -100,6 +100,7 @@ def voice_update(
     tick_anchor: int,
     samples_per_tick: float,
     lane_enabled: np.ndarray,
+    window_frames: int | None = None,
 ):
     """Native build_program + advance in one pass.
 
@@ -117,7 +118,7 @@ def voice_update(
 
     params = _Params(
         num_voices=V,
-        block_frames=pool.block_frames,
+        block_frames=int(window_frames or pool.block_frames),
         block_start_sample=float(block_start_sample),
         tick_anchor_sample=float(tick_anchor_sample),
         tick_anchor=int(tick_anchor),

@@ -134,6 +134,83 @@ def render_block_packed(
     return out
 
 
+def render_horizon_math(
+    xp,
+    sound_data,
+    prog: voice_ops.VoiceProgram,
+    strips: mixer_ops.StripParams,
+    window_frames: int,
+    slices: int,
+    quirk_gain: bool = False,
+    fetch: str = "gather",
+    max_pitch_ratio: float = 4.0,
+) -> tuple:
+    """Render a `window_frames` lookahead horizon and return it as `slices`
+    per-block RenderOutputs (each block_frames = window/slices wide, with
+    its OWN peaks/meters/voice_peaks — consumers see exactly what per-block
+    rendering would produce for a committed schedule).
+
+    This is the engine's speculative-horizon primitive: on hosts where
+    every dispatch/upload pays a fixed latency round trip (relay-attached
+    TPUs: ~1-3 ms per host->device buffer, ~0.8 ms per dispatch —
+    tools/tpu_probe{1,2}_r3.py), rendering H blocks per dispatch amortizes
+    those costs H-fold while event latency stays one block (the engine
+    preempts the horizon whenever a command lands)."""
+    B = window_frames // slices
+    lane_mix, _, contrib = voice_ops.render_voices(
+        xp, sound_data, prog, window_frames, quirk_gain=quirk_gain,
+        fetch=fetch, max_pitch_ratio=max_pitch_ratio, return_contrib=True,
+    )
+    V = contrib.shape[0]
+    # per-slice voice peaks: the reference metric max(l+r, 0) over each
+    # block (lib/SamplerSynthVoice.cpp:213) — computed per slice so the
+    # positions-model gain feed is identical to per-block rendering
+    lr = (contrib[..., 0] + contrib[..., 1]).reshape(V, slices, B)
+    vp = xp.maximum(lr.max(axis=2), 0.0)            # [V, slices]
+    outs = []
+    for i in range(slices):
+        outs.append(finish_block(
+            xp, lane_mix[:, i * B:(i + 1) * B], strips, vp[:, i]
+        ))
+    return tuple(outs)
+
+
+@functools.partial(
+    __import__("jax").jit,
+    static_argnames=("window_frames", "slices", "quirk_gain", "fetch",
+                     "max_pitch_ratio", "pad_voices_to"),
+)
+def render_horizon_fused(
+    sound_data,
+    prog_fused,
+    strips_packed,
+    window_frames: int,
+    slices: int,
+    quirk_gain: bool = False,
+    fetch: str = "gather",
+    max_pitch_ratio: float = 4.0,
+    pad_voices_to: int = 0,
+) -> tuple:
+    """Jitted horizon render over the fused single-buffer program: ONE
+    upload + ONE dispatch produce `slices` blocks of outputs."""
+    import jax.numpy as jnp
+
+    prog_ints, prog_floats = voice_ops.split_fused(prog_fused)
+    prog = voice_ops.unpack_program(prog_ints, prog_floats)
+    strips = voice_ops.unpack_strips(strips_packed)
+    outs = render_horizon_math(
+        jnp, sound_data, prog, strips, window_frames, slices,
+        quirk_gain=quirk_gain, fetch=fetch, max_pitch_ratio=max_pitch_ratio,
+    )
+    if pad_voices_to > prog_fused.shape[0]:
+        pad = pad_voices_to - prog_fused.shape[0]
+        outs = tuple(
+            o._replace(voice_peaks=jnp.pad(o.voice_peaks, (0, pad)))
+            for o in outs
+        )
+    return outs
+
+
 @functools.partial(
     __import__("jax").jit,
     static_argnames=("block_frames", "quirk_gain", "fetch",

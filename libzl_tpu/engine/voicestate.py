@@ -233,6 +233,7 @@ class VoicePool:
         tick_anchor: int,
         samples_per_tick: float,
         lane_enabled: np.ndarray | None = None,
+        window_frames: int | None = None,
     ) -> VoiceProgram:
         """Produce the device program for the next block and precompute the
         wrap schedule. Vectorized over all voices.
@@ -240,8 +241,11 @@ class VoicePool:
         `lane_enabled` (bool [num_lanes]) freezes voices on disabled sampler
         channels: they neither render nor advance, like a disabled
         SamplerChannel whose process() returns early (lib/SamplerSynth.cpp:117).
+        `window_frames` overrides the block size for lookahead-horizon
+        builds (engine lookahead mode: one program covers H blocks; the
+        caller is responsible for pool.n_bq_extra covering the window).
         """
-        B = self.block_frames
+        B = int(window_frames or self.block_frames)
         prog = empty_program(self.num_voices, B, self.n_bq_extra)
         act = self.active
         if lane_enabled is not None:
@@ -448,13 +452,15 @@ class VoicePool:
 
     # ------------------------------------------------------------ state advance
 
-    def advance(self, prog: VoiceProgram) -> dict:
+    def advance(self, prog: VoiceProgram,
+                window_frames: int | None = None) -> dict:
         """Advance host state past one block rendered with `prog`.
 
         Returns a dict of per-voice observations for the session layer
-        (positions model updates, voices that died).
+        (positions model updates, voices that died). `window_frames` must
+        match the `prog` build's window (lookahead catch-up advances).
         """
-        B = self.block_frames
+        B = int(window_frames or self.block_frames)
         # voices frozen by a disabled lane were excluded from the program's
         # active mask and must not advance
         act = np.asarray(prog.active).astype(bool)

@@ -260,11 +260,14 @@ def time_stretch(
 
 def resolve_stretch_backend(backend: str = "auto") -> str:
     """Resolve the stretch backend: 'wsola' (native/zl_stretch.cpp, the
-    reference's SoundTouch-class algorithm) or 'vocoder' (the numpy phase
-    vocoder above). An explicit `backend` wins; LIBZL_TPU_STRETCH overrides
-    only the 'auto' default, which picks the native WSOLA when the library
-    builds, else the vocoder. Requesting 'wsola' explicitly on a host where
-    it cannot build raises instead of silently substituting."""
+    reference's SoundTouch-class algorithm), 'vocoder' (the numpy phase
+    vocoder above) or 'jax' (the accelerator-resident vocoder,
+    ops/stretch_jax.py — deferred re-renders stop contending with the
+    block pump for the host core). An explicit `backend` wins;
+    LIBZL_TPU_STRETCH overrides only the 'auto' default, which picks the
+    native WSOLA when the library builds, else the vocoder. Requesting
+    'wsola' explicitly on a host where it cannot build raises instead of
+    silently substituting."""
     import os
 
     from . import stretch_native
@@ -282,12 +285,14 @@ def resolve_stretch_backend(backend: str = "auto") -> str:
         return "wsola"
     if choice in ("vocoder", "pv", "python"):
         return "vocoder"
+    if choice == "jax":
+        return "jax"
     if choice != "auto":
         # a typo'd explicit request must fail loudly, not silently run the
         # auto default (A/B probes would measure the wrong stretcher)
         raise ValueError(
-            f"unknown stretch backend {choice!r}: use 'auto', 'wsola' or "
-            f"'vocoder'"
+            f"unknown stretch backend {choice!r}: use 'auto', 'wsola', "
+            f"'vocoder' or 'jax'"
         )
     return "wsola" if stretch_native.available() else "vocoder"
 
@@ -302,10 +307,15 @@ def stretch(
     pitch preserved, via the resolved backend."""
     if factor == 1.0:
         return np.asarray(samples, np.float32)
-    if resolve_stretch_backend(backend) == "wsola":
+    resolved = resolve_stretch_backend(backend)
+    if resolved == "wsola":
         from . import stretch_native
 
         return stretch_native.time_stretch_wsola(samples, factor, sample_rate)
+    if resolved == "jax":
+        from .stretch_jax import time_stretch_jax
+
+        return time_stretch_jax(samples, factor)
     return time_stretch(samples, factor)
 
 

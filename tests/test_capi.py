@@ -217,3 +217,63 @@ def test_pump_block_sequence_integrity(tmp_path, depth):
     expect = 0.5 * ramp[k : k + len(seg), 0]
     err = float(np.abs(seg - expect).max())
     assert err < 3.1e-5, f"block sequence broken (max dev {err})"
+
+
+def test_bounce_drain_delivers_every_block_in_order(tmp_path):
+    """LIBZL_TPU_BOUNCE_DRAIN=K: non-pacing sinks get K blocks per
+    device->host sync (the bounce amortization, one fetch per K blocks) —
+    the delivered stream must be bit-identical to per-block delivery,
+    including the partial drain at stop and the per-block fallback when
+    recording starts mid-run."""
+    import numpy as np
+
+    from libzl_tpu.capi.bridge import EngineRuntime
+    from libzl_tpu.engine.commands import ClipCommand
+    from libzl_tpu.io.sinks import AudioSink
+    from libzl_tpu.io.wav import AudioData
+    from libzl_tpu.models.clip import ClipAudioSource
+
+    class CaptureSink(AudioSink):
+        pacing = False
+
+        def __init__(self):
+            self.blocks = []
+
+        def write(self, block):
+            self.blocks.append(np.array(block))
+
+    sr = 48000
+    n = sr
+    ramp = (np.arange(1, n + 1, dtype=np.float32) / n * 0.5)[:, None]
+
+    def run(drain, record_at=None):
+        rt = EngineRuntime(sr, 128, 16, backend="numpy",
+                           bounce_drain=drain)
+        sink = CaptureSink()
+        rt.set_sink(sink)
+        clip = ClipAudioSource(rt.engine, audio=AudioData(ramp, sr))
+        rt.engine.start_transport(bpm=120)
+        cmd = ClipCommand.channel(clip.id, 0)
+        cmd.midi_note = 60
+        cmd.start_playback = True
+        rt.engine.schedule_clip_command(cmd, 0)
+        if record_at is None:
+            rt.step_blocks(50)
+        else:
+            rt.step_blocks(record_at)
+            rt.engine.levels.set_record_global_playback(True)
+            rt.engine.levels.set_global_playback_filename_prefix(
+                str(tmp_path / f"rec{drain}"))
+            rt.engine.levels.start_recording()
+            rt.step_blocks(50 - record_at)
+            rt.engine.levels.stop_recording()
+        return np.concatenate(sink.blocks, axis=0), len(sink.blocks)
+
+    plain, n1 = run(1)
+    drained, n2 = run(4)
+    assert n1 == n2 == 50
+    np.testing.assert_array_equal(drained, plain)
+    # a partial drain tail (50 % 4 != 0) flushed at step_blocks end
+    mid, n3 = run(6, record_at=21)  # recording starts mid-drain
+    assert n3 == 50
+    np.testing.assert_array_equal(mid, plain)

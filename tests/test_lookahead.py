@@ -1,0 +1,203 @@
+"""Speculative lookahead horizon (AudioEngine lookahead mode).
+
+The engine renders H blocks per upload+dispatch on clean blocks and
+preempts the horizon whenever an event lands, so event latency stays one
+block while fixed per-dispatch costs amortize H-fold (the live-path
+decomposition that motivated this is in tools/tpu_probe{1,2}_r3.py and
+NOTES_TPU_ENV.md). The render has no inter-block feedback, so a committed
+schedule's horizon output equals per-block output to f32 tolerance.
+"""
+
+import numpy as np
+import pytest
+
+from libzl_tpu.engine.commands import ClipCommand
+from libzl_tpu.engine.engine import AudioEngine
+from libzl_tpu.io.wav import AudioData
+from libzl_tpu.models.clip import ClipAudioSource
+
+SR = 48000
+
+
+def _tone(seconds=0.5, freq=220.0):
+    t = np.arange(int(SR * seconds)) / SR
+    return AudioData(
+        (0.4 * np.sin(2 * np.pi * freq * t)).astype(np.float32)[:, None], SR
+    )
+
+
+def _engine(lookahead, voices=64, block=128):
+    eng = AudioEngine(block_frames=block, num_voices=voices, backend="jax",
+                      lookahead=lookahead)
+    clip = ClipAudioSource(eng, audio=_tone())
+    eng.start_transport(bpm=120)
+    return eng, clip
+
+
+def _run_script(lookahead, script, blocks=100):
+    """Run `blocks` with script = {block_index: fn(eng, clip)}."""
+    eng, clip = _engine(lookahead)
+    outs, peaks = [], []
+    for i in range(blocks):
+        if i in script:
+            script[i](eng, clip)
+        res = eng.process_block()
+        outs.append(np.asarray(res.outputs.master))
+        peaks.append(np.asarray(res.outputs.voice_peaks))
+    return np.concatenate(outs), np.stack(peaks), eng
+
+
+def _play(eng, clip, note=60, channel=0, loop=True):
+    cmd = ClipCommand.channel(clip.id, channel)
+    cmd.midi_note = note
+    cmd.start_playback = True
+    cmd.looping = loop
+    cmd.change_looping = loop
+    eng.schedule_clip_command(cmd, 0)
+
+
+def test_auto_resolution():
+    eng, _ = _engine("auto")
+    assert eng._lookahead == 8
+    eng_np = AudioEngine(block_frames=128, num_voices=16, backend="numpy")
+    assert eng_np._lookahead == 0
+    eng_sb = AudioEngine(block_frames=1024, num_voices=16, backend="jax")
+    assert eng_sb._lookahead == 0  # superblock path: already amortized
+    with pytest.raises(ValueError):
+        AudioEngine(block_frames=128, num_voices=16, backend="numpy",
+                    lookahead=8)
+
+
+def test_clean_session_matches_per_block():
+    script = {0: lambda e, c: _play(e, c)}
+    on, pk_on, eng = _run_script("auto", script)
+    off, pk_off, _ = _run_script(0, script)
+    np.testing.assert_allclose(on, off, atol=1e-5)
+    np.testing.assert_allclose(pk_on, pk_off, atol=1e-5)
+    assert eng._h_slices, "horizon never engaged"
+
+
+def test_midhorizon_event_preempts_with_exact_timing():
+    """A note landing mid-horizon must sound at exactly the same frame as
+    per-block dispatch — the horizon preempts, it does not delay."""
+    script = {
+        0: lambda e, c: _play(e, c),
+        17: lambda e, c: _play(e, c, note=67, channel=1),
+        18: lambda e, c: _play(e, c, note=72, channel=2),
+        45: lambda e, c: _play(e, c, note=48, channel=3),
+    }
+    on, pk_on, eng = _run_script("auto", script)
+    off, pk_off, _ = _run_script(0, script)
+    np.testing.assert_allclose(on, off, atol=1e-5)
+    np.testing.assert_allclose(pk_on, pk_off, atol=1e-5)
+
+
+def test_out_of_band_mutations_preempt():
+    """Direct API mutations (set_bpm / set_strip / lane toggle) bypass the
+    command hooks; the fingerprint must still preempt stale slices."""
+    def mutate_bpm(e, c):
+        e.set_bpm(151.5)
+
+    def mutate_strip(e, c):
+        e.set_strip(0, dry=0.6, pan=-0.4)
+
+    def mutate_lane(e, c):
+        e.lane_enabled[5] = False
+
+    script = {0: lambda e, c: _play(e, c),
+              20: mutate_bpm, 40: mutate_strip, 60: mutate_lane}
+    on, _, _ = _run_script("auto", script)
+    off, _, _ = _run_script(0, script)
+    np.testing.assert_allclose(on, off, atol=1e-5)
+
+
+def test_stop_transport_and_noteoff_midhorizon():
+    def stop_note(e, c):
+        cmd = ClipCommand.channel(c.id, 0)
+        cmd.midi_note = 60
+        cmd.stop_playback = True
+        e.schedule_clip_command(cmd, 0)
+
+    script = {0: lambda e, c: _play(e, c), 30: stop_note,
+              50: lambda e, c: e.stop_transport()}
+    on, _, _ = _run_script("auto", script)
+    off, _, _ = _run_script(0, script)
+    np.testing.assert_allclose(on, off, atol=1e-5)
+
+
+def test_oneshot_death_midhorizon_releases_positions():
+    """A one-shot voice dying inside the horizon still releases its
+    positions-model entry (at catch-up) and ends at the same frame."""
+    # the 0.5 s one-shot spans ~188 blocks; run past its death
+    script = {0: lambda e, c: _play(e, c, loop=False)}
+    on, _, eng_on = _run_script("auto", script, blocks=220)
+    off, _, eng_off = _run_script(0, script, blocks=220)
+    np.testing.assert_allclose(on, off, atol=1e-5)
+    assert int(eng_on.pool.active.sum()) == 0
+    assert int(eng_off.pool.active.sum()) == 0
+
+
+def test_no_retrace_after_first_horizon():
+    """Steady sessions reuse one compiled horizon program: per-block
+    inputs are values, not shapes."""
+    from libzl_tpu.engine import render as render_mod
+
+    eng, clip = _engine("auto")
+    _play(eng, clip)
+    for _ in range(20):
+        eng.process_block()
+    before = render_mod.render_horizon_fused._cache_size()
+    _play(eng, clip, note=65, channel=4)  # event -> preempt -> new horizon
+    for _ in range(40):
+        eng.process_block()
+    assert render_mod.render_horizon_fused._cache_size() == before
+
+
+def test_event_storm_degrades_to_per_block():
+    """With an event every block the engine must never build horizons
+    (speculative renders would waste device time H-fold)."""
+    eng, clip = _engine("auto")
+    import libzl_tpu.engine.engine as E
+
+    starts = []
+    orig = E.AudioEngine._start_horizon
+
+    def spy(self):
+        starts.append(self.total_blocks)
+        return orig(self)
+
+    eng._start_horizon = spy.__get__(eng)
+    for i in range(30):
+        _play(eng, clip, note=40 + i % 20, channel=i % 10)
+        eng.process_block()
+    assert not starts
+
+
+def test_update_session_midhorizon_progress_current():
+    """update_session catches the pool mirror up to the emission frontier
+    so positions/progress reflect the audio actually delivered."""
+    eng, clip = _engine("auto")
+    _play(eng, clip)
+    for _ in range(20):
+        res = eng.process_block()
+    assert eng._h_unadvanced > 0 or eng._h_slices
+    pos_before = int(eng.pool.pos_int[0])
+    eng.update_session(res)
+    # the pool advanced to the emission frontier (catch-up ran)
+    assert eng._h_unadvanced == 0
+    assert int(eng.pool.pos_int[0]) >= pos_before
+
+
+def test_lookahead_with_bq_short_loop():
+    """The horizon window needs more bq reset slots than a single live
+    block (pool.n_bq_extra sized by the window): a 1-tick beat-quantized
+    loop wraps ~5x inside an 8x128 horizon and must match per-block."""
+    def play_bq(e, c):
+        c.length_beats = 0.0
+        _play(e, c)
+
+    script = {0: play_bq}
+    on, _, eng = _run_script("auto", script)
+    off, _, _ = _run_script(0, script)
+    assert eng.pool.n_bq_extra >= 5
+    np.testing.assert_allclose(on, off, atol=1e-5)

@@ -18,6 +18,12 @@ SR = 48000
 
 
 def _make_engine(**kw):
+    # lookahead off: this suite asserts BIT equality of bucketed vs full
+    # dispatch, the per-block path's contract. The lookahead horizon graph
+    # is only tolerance-equal across bucket sizes (XLA picks a different
+    # reduction tree for different contraction widths at window scale) —
+    # covered by test_lookahead_bucket_tolerance below.
+    kw.setdefault("lookahead", 0)
     eng = AudioEngine(
         sample_rate=SR, block_frames=128, num_voices=128, backend="jax", **kw
     )
@@ -217,3 +223,20 @@ def test_bucket_tracks_high_water():
     _play(eng, clip, 72)
     eng.process_block()
     assert eng._render_bucket() == 64
+
+
+def test_lookahead_bucket_tolerance():
+    """Bucketed lookahead horizons match full-pool lookahead within f32
+    reduction-order tolerance (bit-equality is the per-block contract)."""
+    eng_a, clip_a = _make_engine(lookahead=8)
+    eng_b, clip_b = _make_engine(lookahead=8, voice_buckets="off")
+    for eng, clip in ((eng_a, clip_a), (eng_b, clip_b)):
+        for i in range(12):
+            _play(eng, clip, 40 + i, channel=i % 10)
+    for b in range(40):
+        ra = eng_a.process_block()
+        rb = eng_b.process_block()
+        np.testing.assert_allclose(
+            np.asarray(ra.outputs.master), np.asarray(rb.outputs.master),
+            atol=1e-5, err_msg=f"block {b}")
+    assert eng_a._h_slices and eng_b._h_slices  # horizons engaged
