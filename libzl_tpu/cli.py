@@ -379,6 +379,22 @@ def cmd_env(args) -> int:
         print(f"    windows kernel: precision={prec} variant={variant} "
               f"chunk={chunk} align={align} group={group}")
     print(f"  native host core: {eng.use_native_host}")
+    print("  lookahead horizon: "
+          + (f"{eng._lookahead} blocks (window "
+             f"{eng._lookahead * eng.block_frames} frames)"
+             if eng._lookahead else "off"))
+    if eng.fetch.startswith("windows"):
+        from .ops.fetch_pallas import region_rows, slab_cols
+
+        region = region_rows(eng.block_frames, eng.max_pitch_ratio)
+        slab = slab_cols(eng.max_pitch_ratio)
+        # roofline summary (tools/roofline_r3.py has the full model)
+        V, B = eng.pool.num_voices, eng.block_frames
+        dma_mb = V * 2 * 2 * region * 4 / 1e6
+        stream_us = V * (B // 128) * 2 * slab / 0.94e9 / 4 * 1e6
+        print(f"  fetch roofline: DMA {dma_mb:.1f} MB/block, skinny-dot "
+              f"stream bound ~{stream_us:.0f} us/block "
+              f"(binding; see tools/roofline_r3.py)")
     from .ops.resample import resolve_stretch_backend
 
     print(f"  stretch backend (auto): {resolve_stretch_backend()}")

@@ -1,0 +1,129 @@
+"""Real-TPU long soak: the C-ABI pump sustained for N minutes (VERDICT r2 #8).
+
+Boots the production path (native/libzl.so shim -> jax/TPU backend,
+bucket warmup, lookahead horizon, wall-paced pump with a file sink),
+plays a sequenced multi-clip session live for SOAK_MINUTES, records
+global playback, and reports the reliability counters the reference's
+"runs a whole set live" bar implies: deadline misses (SLO), dsp load,
+watchdog event accounting, pump errors, recorder output integrity.
+
+    SOAK_MINUTES=10 nohup python tools/tpu_soak_r3.py \
+        > /tmp/tpu_soak_r3.log 2>&1 &
+"""
+
+import ctypes
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+MINUTES = float(os.environ.get("SOAK_MINUTES", "10"))
+
+
+def main():
+    os.environ.setdefault("LIBZL_TPU_BACKEND", "jax")
+    os.environ.setdefault("LIBZL_TPU_VOICES", "1024")
+    os.environ.setdefault("LIBZL_TPU_WARMUP", "1")
+    os.environ.setdefault("LIBZL_TPU_PIPELINE", "2")
+    os.environ.setdefault("LIBZL_TPU_SINK", "file:/tmp/tpu_soak_sink.wav")
+
+    from libzl_tpu.io.wav import read_wav, write_wav
+
+    sr = 48000
+    rng = np.random.default_rng(7)
+    clips_wav = []
+    for i, freq in enumerate((110.0, 220.5, 331.0, 441.5)):
+        t = np.arange(int(sr * (0.5 + 0.3 * i))) / sr
+        w = (0.35 * np.sin(2 * np.pi * freq * t)
+             + 0.1 * np.sin(2 * np.pi * 2 * freq * t)).astype(np.float32)
+        p = f"/tmp/tpu_soak_in{i}.wav"
+        write_wav(p, w, sr)
+        clips_wav.append(p)
+
+    zl = ctypes.CDLL(os.path.join(REPO, "native", "libzl.so"))
+    zl.ClipAudioSource_new.restype = ctypes.c_void_p
+    zl.ClipAudioSource_new.argtypes = [ctypes.c_char_p, ctypes.c_bool]
+    zl.ClipAudioSource_play.argtypes = [ctypes.c_void_p, ctypes.c_bool]
+    zl.ClipAudioSource_stop.argtypes = [ctypes.c_void_p]
+
+    t0 = time.perf_counter()
+    zl.initJuce()
+    print(f"initJuce (warmup+fence+pump): {time.perf_counter()-t0:.1f}s",
+          flush=True)
+
+    from libzl_tpu.capi import bridge
+
+    rt = bridge._rt()
+    eng = rt.engine
+    import jax
+
+    print("backend:", jax.default_backend(), "fetch:", eng.fetch,
+          "lookahead:", eng._lookahead, "buckets:", eng._bucket_ladder,
+          flush=True)
+
+    handles = [zl.ClipAudioSource_new(p.encode(), False) for p in clips_wav]
+    assert all(handles)
+    zl.AudioLevels_setRecordGlobalPlayback(True)
+    zl.AudioLevels_setGlobalPlaybackFilenamePrefix(b"/tmp/tpu_soak_rec.wav")
+    zl.AudioLevels_startRecording()
+    zl.SyncTimer_startTimer(124)
+    for h in handles:
+        zl.ClipAudioSource_play(h, True)
+
+    deadline = time.monotonic() + MINUTES * 60.0
+    last_report = 0.0
+    while time.monotonic() < deadline:
+        time.sleep(5.0)
+        # light live traffic: retrigger a random clip every few seconds
+        # (events preempt the lookahead horizon — the realistic mix of
+        # clean and dirty blocks)
+        h = handles[int(rng.integers(0, len(handles)))]
+        zl.ClipAudioSource_play(h, True)
+        now = time.monotonic()
+        if now - last_report > 30.0:
+            last_report = now
+            s = eng.stats()
+            print(f"t={MINUTES * 60 - (deadline - now):6.0f}s "
+                  f"blocks={s['blocks']} slo={s['slo_missed']}/"
+                  f"{s['slo_total']} load={s['dsp_load']:.2f} "
+                  f"wd={s['watchdog_mismatches']} "
+                  f"err={type(rt.pump_error).__name__ if rt.pump_error else '-'}",
+                  flush=True)
+
+    for h in handles:
+        zl.ClipAudioSource_stop(h)
+    time.sleep(0.5)
+    zl.AudioLevels_stopRecording()
+    zl.SyncTimer_stopTimer()
+    stats = eng.stats()
+    pump_err = rt.pump_error
+    realtime_blocks = stats["blocks"]
+    expected = MINUTES * 60 * sr / eng.block_frames
+    zl.shutdownJuce()
+
+    rec = read_wav("/tmp/tpu_soak_rec.wav")
+    out = dict(
+        minutes=MINUTES,
+        blocks=realtime_blocks,
+        blocks_expected=int(expected),
+        sustained_realtime=bool(realtime_blocks >= 0.99 * expected),
+        slo_missed=stats["slo_missed"],
+        slo_miss_rate=round(stats["slo_missed"] / max(stats["slo_total"], 1),
+                            5),
+        dsp_load=stats["dsp_load"],
+        watchdog_mismatches=stats["watchdog_mismatches"],
+        watchdog_lost=stats["watchdog_lost"],
+        pump_error=repr(pump_err) if pump_err else None,
+        recorded_seconds=round(rec.samples.shape[0] / sr, 1),
+        recorded_peak=round(float(np.abs(rec.samples).max()), 4),
+    )
+    print("RESULT " + json.dumps(out), flush=True)
+
+
+if __name__ == "__main__":
+    main()
