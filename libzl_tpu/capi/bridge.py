@@ -586,15 +586,24 @@ def timer_start(bpm: int) -> None:
     SyncTimer::start(int bpm) calls setBpm(bpm) directly
     (lib/SyncTimer.cpp:869-872; libzl.cpp:313 just forwards). A
     reference-compatible client passing 120 must get 120 BPM."""
-    _rt().engine.start_transport(bpm=max(int(bpm), 1))
+    rt = _rt()
+    # under the runtime lock: transport mutations now preempt the
+    # lookahead horizon (catching the pool mirror up), which must not
+    # race the pump's process_block
+    with rt._lock:
+        rt.engine.start_transport(bpm=max(int(bpm), 1))
 
 
 def timer_stop() -> None:
-    _rt().engine.stop_transport()
+    rt = _rt()
+    with rt._lock:
+        rt.engine.stop_transport()
 
 
 def timer_set_bpm(bpm: float) -> None:
-    _rt().engine.set_bpm(bpm)
+    rt = _rt()
+    with rt._lock:
+        rt.engine.set_bpm(bpm)
 
 
 def timer_get_multiplier() -> int:
