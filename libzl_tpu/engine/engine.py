@@ -775,6 +775,7 @@ class AudioEngine:
         self._h_anchor = anchor
         self._h_lane_snapshot = lane
         self._h_fingerprint = self._fingerprint()
+        self._h_built_this_block = True
         return self._h_slices[0]
 
     def _zero_outputs(self) -> render_mod.RenderOutputs:
@@ -1087,6 +1088,7 @@ class AudioEngine:
         # slices (one upload+dispatch per H blocks); event blocks fall
         # through to the per-block dispatch below with the pool caught up
         if self._lookahead:
+            self._h_built_this_block = False
             out = self._lookahead_outputs()
             self._block_dirty = False
             if out is not None:
@@ -1094,7 +1096,13 @@ class AudioEngine:
                 self.total_blocks += 1
                 busy = _time.perf_counter() - _t0
                 self.profiler.record("process_block", busy)
-                self.slo.observe(busy)
+                # a horizon-build block delivers H blocks of audio: its
+                # deadline is H periods (the pump runs that far ahead)
+                self.slo.observe(
+                    busy,
+                    budget_blocks=(self._lookahead
+                                   if self._h_built_this_block else 1),
+                )
                 self.dsp_load.observe(busy)
                 return BlockResult(outputs=out, midi_out=midi_out,
                                    tick_count=tick_count)

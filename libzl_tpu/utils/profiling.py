@@ -67,11 +67,16 @@ class SloCounter:
         self.missed_blocks = 0
         self.worst_overrun = 0.0
 
-    def observe(self, seconds: float) -> bool:
+    def observe(self, seconds: float, budget_blocks: int = 1) -> bool:
+        """`budget_blocks`: how many blocks of audio this observation
+        produced — a lookahead horizon-build block delivers H blocks per
+        call, so its deadline is H periods (the pump runs that far ahead;
+        the counter predicts dropouts, not per-call latency)."""
         self.total_blocks += 1
-        if seconds > self.budget:
+        budget = self.budget * max(budget_blocks, 1)
+        if seconds > budget:
             self.missed_blocks += 1
-            self.worst_overrun = max(self.worst_overrun, seconds - self.budget)
+            self.worst_overrun = max(self.worst_overrun, seconds - budget)
             return False
         return True
 
