@@ -35,7 +35,8 @@ class EngineRuntime:
 
     def __init__(self, sample_rate: int = 48000, block_frames: int = 128,
                  num_voices: int = 256, backend: str = "auto",
-                 pipeline_depth: int = 1, bounce_drain: int = 1):
+                 pipeline_depth: int = 1,
+                 bounce_drain: "int | str" = "auto"):
         from ..engine.engine import AudioEngine
 
         if backend == "auto":
@@ -65,8 +66,13 @@ class EngineRuntime:
         # device->host transfer — on relay-attached TPUs each sync is a
         # fixed ~25-30 ms round trip regardless of size, so K blocks per
         # sync amortizes the bounce path's dominant cost K-fold
-        # (NOTES_TPU_ENV.md; VERDICT r2 #7). Per-block delivery semantics
-        # (recorders, capture, pacing sinks) bypass the drain.
+        # (NOTES_TPU_ENV.md; VERDICT r2 #7). Global-playback recording
+        # rides the drain (its input IS the fetched master); other
+        # per-block consumers (port/channel recorders, capture sources,
+        # pacing sinks) fall back to per-block delivery. "auto" = 8 on the
+        # jax backend (every sync is a device round trip), 1 on numpy.
+        if bounce_drain == "auto":
+            bounce_drain = 8 if self.engine.backend == "jax" else 1
         self.bounce_drain_blocks = max(int(bounce_drain), 1)
         self._drain_buf: list = []  # [(block_no, BlockResult)]
         # sinks/sources replaced while pumping await a safe close (set_sink)
@@ -113,6 +119,9 @@ class EngineRuntime:
         thread (its only user), which closes it at a safe point between
         blocks — closing here would race an in-flight blocking write
         (use-after-close on the ALSA handle)."""
+        # blocks drained for the OLD sink must land in it before the swap
+        # (a bounce file must not lose its tail to the replacement)
+        self._flush_drain()
         with self._lock:
             old, self.sink = self.sink, sink
             if old is not None:
@@ -124,7 +133,9 @@ class EngineRuntime:
 
     def set_source(self, source) -> None:
         """Attach/replace the audio capture source (None detaches); same
-        retirement discipline as set_sink."""
+        retirement discipline as set_sink. Attaching a source disables the
+        bounce drain (per-block capture semantics) — flush first."""
+        self._flush_drain()
         with self._lock:
             old, self.source = self.source, source
             if old is not None:
@@ -153,14 +164,23 @@ class EngineRuntime:
         and must not stall C-API calls."""
         sink = self.sink
         if self.bounce_drain_blocks > 1:
+            levels = self.engine.levels
+            rec_ok = (not levels.is_recording
+                      or levels.only_global_recording())
             draining = (
                 sink is not None and not sink.pacing
                 and self.source is None
-                and not self.engine.levels.is_recording
+                and rec_ok
             )
             if draining:
-                self._drain_buf.append((block_no, res))
-                if len(self._drain_buf) >= self.bounce_drain_blocks:
+                # under the lock: set_sink/set_source flush from API
+                # threads, and a plain list swap can lose a concurrent
+                # append
+                with self._lock:
+                    self._drain_buf.append((block_no, res))
+                    full = (len(self._drain_buf)
+                            >= self.bounce_drain_blocks)
+                if full:
                     self._flush_drain()
                 return
             # per-block semantics resumed (recording started / sink
@@ -191,7 +211,8 @@ class EngineRuntime:
     def _flush_drain(self) -> None:
         """Deliver all drained blocks in order with ONE device->host
         transfer for their concatenated master mixes."""
-        buf, self._drain_buf = self._drain_buf, []
+        with self._lock:
+            buf, self._drain_buf = self._drain_buf, []
         if not buf:
             return
         masters = [r.outputs.master for _, r in buf]
@@ -204,10 +225,16 @@ class EngineRuntime:
         B = self.engine.block_frames
         sink = self.sink
         for i, (block_no, res) in enumerate(buf):
+            blk = big[i * B:(i + 1) * B]
             if sink is not None:
-                sink.write(big[i * B:(i + 1) * B])
+                sink.write(blk)
             with self._lock:
                 engine = self.engine
+                levels = engine.levels
+                if levels.is_recording and levels.only_global_recording():
+                    # the global recorder's input IS the fetched master —
+                    # feed it from the batch, no extra sync
+                    levels.feed_global_recorder(blk)
                 if block_no % engine._levels_every == 0:
                     engine.update_session(res, include_recorders=False)
                 else:
@@ -234,7 +261,12 @@ class EngineRuntime:
 
         spb = self.engine.block_frames / self.engine.sample_rate
         depth = self.pipeline_depth
-        ahead = max(4, 2 * (depth + 1)) * spb
+        # run-ahead must cover the lookahead horizon: a horizon-build block
+        # legitimately takes up to H periods (its SLO budget), so the pump
+        # keeps at least H+2 blocks of slack to absorb it without starving
+        # the sink
+        la = getattr(self.engine, "_lookahead", 0)
+        ahead = max(4, 2 * (depth + 1), la + 2) * spb
         start = time.monotonic()
         rendered = 0.0
         # pipelined dispatch: keep up to `depth` blocks in flight and consume
@@ -353,7 +385,9 @@ def init_engine(sample_rate: int = 48000, block_frames: int = 128,
         block_frames = int(os.environ.get("LIBZL_TPU_BLOCK", block_frames))
         sample_rate = int(os.environ.get("LIBZL_TPU_RATE", sample_rate))
         depth = int(os.environ.get("LIBZL_TPU_PIPELINE", 1))
-        drain = int(os.environ.get("LIBZL_TPU_BOUNCE_DRAIN", 1))
+        drain = os.environ.get("LIBZL_TPU_BOUNCE_DRAIN", "auto")
+        if drain != "auto":
+            drain = int(drain)
         if os.environ.get("LIBZL_TPU_NO_PUMP"):
             pump = False
         # build fully before publishing the singleton: a bad sink/source
@@ -659,11 +693,19 @@ def levels_set_global_playback_filename_prefix(prefix: str) -> None:
 
 
 def levels_start_recording() -> None:
-    _rt().engine.levels.start_recording()
+    rt = _rt()
+    # blocks drained BEFORE the toggle belong to the pre-record stream:
+    # flush them now so the recorder starts exactly at the toggle boundary
+    rt._flush_drain()
+    rt.engine.levels.start_recording()
 
 
 def levels_stop_recording() -> None:
-    _rt().engine.levels.stop_recording()
+    rt = _rt()
+    # drained blocks rendered while recording must reach the recorder
+    # before it closes
+    rt._flush_drain()
+    rt.engine.levels.stop_recording()
 
 
 def levels_set_record_ports_filename_prefix(prefix: str) -> None:

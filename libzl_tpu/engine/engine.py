@@ -264,8 +264,12 @@ class AudioEngine:
                 ladder.append(num_voices)
                 self._bucket_ladder = ladder
         self.allocator = VoiceAllocator(self.pool, voices_per_lane)
+        # the tail guard must cover the LARGEST render window's region DMA:
+        # lookahead horizons fetch region_rows(H*B) rows past a sound's end
+        # anchor, not region_rows(B)
+        max_window = max(self._lookahead, 1) * block_frames
         self.bank = SoundBank(
-            tail_guard=region_tail_guard(block_frames, self.max_pitch_ratio)
+            tail_guard=region_tail_guard(max_window, self.max_pitch_ratio)
         )
         self._bank_version_on_device = -1
         self._device_sound_data = None

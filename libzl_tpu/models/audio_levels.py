@@ -244,6 +244,25 @@ class AudioLevels:
             return np.asarray(arr)[int(idx)][:, channel % 2]
         return master[:, channel % 2]
 
+    def only_global_recording(self) -> bool:
+        """True when the global-playback recorder is the ONLY active
+        target — the bounce drain can then feed it from its own batched
+        master fetch instead of per-block device syncs (capi/bridge)."""
+        if not self._global_recorder.is_recording:
+            return False
+        if self._ports_recorder.is_recording and self.record_ports:
+            return False
+        return not any(
+            self._channel_recorders[c].is_recording
+            for c in self.channels_to_record
+        )
+
+    def feed_global_recorder(self, master_block: np.ndarray) -> None:
+        """Push one already-fetched master block into the global recorder
+        (the drain path's zero-extra-sync feed)."""
+        if self._global_recorder.is_recording:
+            self._global_recorder.push(master_block)
+
     def feed_recorders(self, outputs) -> None:
         """Push one rendered block into every active recorder."""
         if self._global_recorder.is_recording:

@@ -102,16 +102,23 @@ def _stretch_kernel(x, anchors, mask, exp_ana, stretch32, fft_size: int,
         ).astype(np.float32))                            # [R, Kb]
         lin = jnp.take(lin_table, counts % R, axis=0)    # [M, Kb]
     else:
-        lin = jnp.mod(
-            counts[:, None].astype(jnp.float64)
-            * (2.0 * np.pi * jnp.arange(n_bins) / fft_size * syn_hop),
+        # M is static: wrap the full table host-side in numpy float64
+        # (jnp float64 inside jit is silently f32 without x64 — it would
+        # lose exactly the precision this split exists to keep)
+        lin = jnp.asarray(np.mod(
+            np.arange(M, dtype=np.float64)[:, None]
+            * (2.0 * np.pi * np.arange(n_bins) / fft_size * syn_hop),
             2.0 * np.pi,
-        ).astype(f32)
+        ).astype(np.float32))                            # [M, Kb]
     c = c + lin[:, None, :]
 
-    # onset detection: positive spectral flux, global statistics
+    # onset detection: positive spectral flux, global statistics. The
+    # carry-in magnitude sum for frame 0 is ZERO exactly like the numpy
+    # oracle (flux[0] == mag_sum[0] inflates the threshold identically in
+    # both paths; frame 0 itself never resets)
     mag_sum = mag.sum(axis=2)                            # [M, C]
-    prev_sums = jnp.concatenate([mag_sum[:1], mag_sum[:-1]], axis=0)
+    prev_sums = jnp.concatenate(
+        [jnp.zeros_like(mag_sum[:1]), mag_sum[:-1]], axis=0)
     flux = jnp.maximum(mag_sum - prev_sums, 0.0) * mask[:, None]
     nvalid = jnp.maximum(mask.sum(), 1.0)
     mean = (flux.sum(axis=0)) / nvalid

@@ -115,9 +115,12 @@ class EventWatchdog:
     """Delivered-vs-expected event accounting (MidiRouterWatchdog analog,
     lib/MidiRouter.cpp:135-188 — compile-time disabled there; live here).
     AudioEngine.process_block feeds it the router's per-block counts
-    (events entering the fabric vs events reaching a terminal); a mismatch
-    means an event was LOST inside the fabric, reported instead of
-    silently dropped."""
+    (events entering the fabric vs events reaching a terminal — a sink
+    append or an intentional swallow). Like the reference's watchdog it
+    monitors a STRUCTURAL invariant: today's fabric accounts every event
+    by construction, so a mismatch means a regression (an added early
+    return / dropped branch / wrapper eating events), caught in
+    production instead of silently dropping notes."""
 
     def __init__(self):
         self.scheduled = 0

@@ -277,3 +277,46 @@ def test_bounce_drain_delivers_every_block_in_order(tmp_path):
     mid, n3 = run(6, record_at=21)  # recording starts mid-drain
     assert n3 == 50
     np.testing.assert_array_equal(mid, plain)
+
+
+def test_bounce_drain_with_global_recording(tmp_path):
+    """Global-playback recording rides the drain (fed from the batched
+    master fetch): the recorded WAV must equal the per-block path's."""
+    import numpy as np
+
+    from libzl_tpu.capi.bridge import EngineRuntime
+    from libzl_tpu.engine.commands import ClipCommand
+    from libzl_tpu.io.sinks import NullSink
+    from libzl_tpu.io.wav import AudioData, read_wav
+    from libzl_tpu.models.clip import ClipAudioSource
+
+    sr = 48000
+    t = np.arange(sr // 2) / sr
+    wave = (0.4 * np.sin(2 * np.pi * 330 * t)).astype(np.float32)[:, None]
+
+    def run(drain, tag):
+        rt = EngineRuntime(sr, 128, 16, backend="numpy", bounce_drain=drain)
+        rt.set_sink(NullSink())
+        clip = ClipAudioSource(rt.engine, audio=AudioData(wave, sr))
+        rt.engine.start_transport(bpm=120)
+        cmd = ClipCommand.channel(clip.id, 0)
+        cmd.midi_note = 60
+        cmd.start_playback = True
+        rt.engine.schedule_clip_command(cmd, 0)
+        lv = rt.engine.levels
+        assert not lv.only_global_recording()
+        lv.set_record_global_playback(True)
+        lv.set_global_playback_filename_prefix(
+            str(tmp_path / f"rec_{tag}.wav"))
+        rt._flush_drain()
+        lv.start_recording()
+        assert lv.only_global_recording()
+        rt.step_blocks(40)
+        rt._flush_drain()
+        lv.stop_recording()
+        return read_wav(str(tmp_path / f"rec_{tag}.wav")).samples
+
+    plain = run(1, "plain")
+    drained = run(5, "drained")
+    assert plain.shape[0] == 40 * 128
+    np.testing.assert_array_equal(drained, plain)
