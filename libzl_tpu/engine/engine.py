@@ -186,7 +186,7 @@ class AudioEngine:
             elif host_core == "native":
                 raise RuntimeError("native host core requested but unavailable")
 
-        # Speculative lookahead horizon (live path): render H blocks in ONE
+        # Speculative lookahead horizon: render H blocks in ONE
         # upload+dispatch and emit them as per-block slices, preempting the
         # horizon whenever an event lands (so note latency stays one block).
         # The render has no inter-block feedback — a committed schedule's
@@ -194,12 +194,19 @@ class AudioEngine:
         # TPUs each per-block upload/dispatch costs 1-3 ms of fixed latency
         # (tools/tpu_probe{1,2}_r3.py), so clean blocks amortize it H-fold.
         # Event blocks fall back to the per-block dispatch, exactly today's
-        # path. "auto" = 8 blocks on the jax single-chip live geometry.
+        # path. "auto" = 8 at the live geometry, scaling down so the window
+        # caps at 4096 frames (the windows kernel's double-buffered region
+        # scratch must fit VMEM: region_rows(4096)*128*4B ~ 8.9 MB) — the
+        # superblock bounce path (B=1024) gets H=4, lifting throughput the
+        # same way (its dispatch+upload was ~2.9 ms of the ~5.3 ms block).
         if lookahead == "auto":
             self._lookahead = (
-                8 if (backend == "jax" and mesh is None
-                      and block_frames <= 256) else 0
+                max(min(8, 4096 // block_frames), 0)
+                if (backend == "jax" and mesh is None
+                    and block_frames <= 4096) else 0
             )
+            if self._lookahead == 1:
+                self._lookahead = 0
         else:
             self._lookahead = max(int(lookahead), 0)
             if self._lookahead == 1:
@@ -303,8 +310,8 @@ class AudioEngine:
             int(0.05 * sample_rate / block_frames), 1
         )
         self._last_analyze_block = -(10**9)
-        # device-side running peak max (see accumulate_peaks)
-        self._peak_accum = None
+        # queued per-block peak arrays (see accumulate_peaks)
+        self._peak_accum: list = []
         # completed deferred clip renders awaiting their block-boundary swap
         # (models/clip._render_worker appends; drained in process_block)
         # deferred clip renders completed by the worker thread; deque's
@@ -1182,50 +1189,90 @@ class AudioEngine:
     # ------------------------------------------------------- session updates
 
     def accumulate_peaks(self, result: BlockResult) -> None:
-        """Fold one block's peak arrays into a device-side running max
-        WITHOUT forcing a device->host sync (the maximums stay lazy jax
-        values). A realtime pump calls this every block so transients between
-        analysis points are not lost, then drains it via update_session at
-        the 50 ms cadence — matching the reference, whose per-cycle process()
-        snapshots every buffer for the 50 ms scan (lib/AudioLevels.cpp:238-257,
-        347-412)."""
+        """Queue one block's peak arrays for the next update_session
+        WITHOUT any device work — a plain list append (even a tiny
+        per-block device op costs ~1 ms of dispatch on relay-attached
+        TPUs). The fold happens as ONE stacked max at the meter cadence.
+        A realtime pump calls this every block so transients between
+        analysis points are not lost — matching the reference, whose
+        per-cycle process() snapshots every buffer for the 50 ms scan
+        (lib/AudioLevels.cpp:238-257, 347-412)."""
         o = result.outputs
-        if self._peak_accum is None:
-            self._peak_accum = (o.lane_peaks, o.master_peak)
+        self._peak_accum.append((o.lane_peaks, o.master_peak))
+
+    def _fold_peaks(self, outputs):
+        """One stacked max over the queued peak blocks plus the current
+        one; drains the queue. Returns lazy (lane_peaks, master_peak)."""
+        pairs = self._peak_accum
+        self._peak_accum = []
+        if not pairs:
+            return outputs.lane_peaks, outputs.master_peak
+        if self.backend == "numpy":
+            xp = np
         else:
-            if self.backend == "numpy":
-                import numpy as xp
-            else:
-                import jax.numpy as xp
-            self._peak_accum = (
-                xp.maximum(self._peak_accum[0], o.lane_peaks),
-                xp.maximum(self._peak_accum[1], o.master_peak),
-            )
+            import jax.numpy as xp
+        lanes = xp.stack(
+            [p for p, _ in pairs] + [outputs.lane_peaks]).max(axis=0)
+        mast = xp.stack(
+            [m for _, m in pairs] + [outputs.master_peak]).max(axis=0)
+        return lanes, mast
+
+    def fetch_session_arrays(self, result: BlockResult) -> dict:
+        """Fetch everything update_session needs in ONE device->host
+        transfer (folded peaks, RMS, voice peaks): on relay-attached TPUs
+        each transfer is a fixed ~25-30 ms round trip, so the per-cadence
+        cost is one sync regardless of array count."""
+        o = result.outputs
+        lanes, mast = self._fold_peaks(o)
+        if self.backend == "numpy":
+            return dict(lane_peaks=np.asarray(lanes),
+                        master_peak=np.asarray(mast),
+                        lane_rms=np.asarray(o.lane_rms),
+                        voice_peaks=np.asarray(o.voice_peaks))
+        import jax.numpy as jnp
+
+        flat = np.asarray(jnp.concatenate([
+            jnp.ravel(lanes), jnp.ravel(mast), jnp.ravel(o.lane_rms),
+            jnp.ravel(o.voice_peaks),
+        ]))
+        n_lanes = int(np.prod(np.shape(o.lane_peaks)))
+        n_rms = int(np.prod(np.shape(o.lane_rms)))
+        i0 = n_lanes
+        i1 = i0 + 2
+        i2 = i1 + n_rms
+        return dict(
+            lane_peaks=flat[:i0].reshape(np.shape(o.lane_peaks)),
+            master_peak=flat[i0:i1],
+            lane_rms=flat[i1:i2].reshape(np.shape(o.lane_rms)),
+            voice_peaks=flat[i2:],
+        )
 
     def update_session(self, result: BlockResult,
-                       include_recorders: bool = True) -> None:
+                       include_recorders: bool = True,
+                       fetched: Optional[dict] = None) -> None:
         """Feed voice peaks/progress back to the clip positions models
         (lib/SamplerSynthVoice.cpp:264-267), the AudioLevels meters and any
         active disk recorders.
 
-        NOTE: this forces device->host transfers of the block's meter and
-        peak arrays. Meters only need the reference's 50 ms cadence
-        (lib/AudioLevels.cpp:325) — callers driving a realtime pump should
-        call this every `_levels_every` blocks (see capi/bridge), feeding
-        recorders separately each block while recording and folding skipped
-        blocks' peaks via accumulate_peaks."""
+        NOTE: this forces ONE device->host transfer of the block's meter
+        and peak arrays (fetch_session_arrays). Meters only need the
+        reference's 50 ms cadence (lib/AudioLevels.cpp:325) — callers
+        driving a realtime pump should call this every `_levels_every`
+        blocks (see capi/bridge), feeding recorders separately each block
+        while recording and queuing skipped blocks' peaks via
+        accumulate_peaks. `fetched`: a fetch_session_arrays result the
+        caller already transferred (the bounce drain batches it with the
+        master fetch)."""
         # positions/progress read the pool mirror: catch it up to the
         # emission frontier first (no-op outside lookahead mode)
         self._catch_up_pool()
-        peak_override = None
-        if self._peak_accum is not None:
-            self.accumulate_peaks(result)
-            peak_override = (
-                np.asarray(self._peak_accum[0]),
-                np.asarray(self._peak_accum[1]),
-            )
-            self._peak_accum = None
-        self.levels.ingest_block(result.outputs, peak_override=peak_override)
+        if fetched is None:
+            fetched = self.fetch_session_arrays(result)
+        self.levels.ingest_block(
+            result.outputs,
+            peak_override=(fetched["lane_peaks"], fetched["master_peak"]),
+            rms_override=fetched["lane_rms"],
+        )
         # analysis cadence by block distance (not modulo: callers invoke this
         # at different block phases — the modulo form never fired from the
         # pipelined pump, leaving meters at the -200 floor)
@@ -1234,7 +1281,7 @@ class AudioEngine:
             self._last_analyze_block = self.total_blocks
         if include_recorders and self.levels.is_recording:
             self.levels.feed_recorders(result.outputs)
-        peaks = np.asarray(result.outputs.voice_peaks)
+        peaks = fetched["voice_peaks"]
         if peaks.shape[0] < self.pool.num_voices:
             # mesh-bucketed dispatch returns the bucket-length sharded
             # peaks (the single-chip path pads inside the jit); inactive

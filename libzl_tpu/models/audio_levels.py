@@ -87,11 +87,14 @@ class AudioLevels:
         )
         self._last_capture = block
 
-    def ingest_block(self, outputs, peak_override=None) -> None:
+    def ingest_block(self, outputs, peak_override=None,
+                     rms_override=None) -> None:
         """Fold one block's peaks into the fixed-point accumulators
         (replaces the reference's buffer re-scan, lib/AudioLevels.cpp:356-383).
         `peak_override` — optional (lane_peaks, master_peak) already maxed
-        over several blocks by the engine's device-side accumulator.
+        over several blocks by the engine's peak queue; `rms_override` —
+        optional pre-fetched lane_rms (both come batched in ONE transfer
+        from AudioEngine.fetch_session_arrays).
         """
         if peak_override is not None:
             lane_peaks, master_peak = peak_override
@@ -106,7 +109,8 @@ class AudioLevels:
             lane_peaks[2 : 2 + NUM_TRACKS] * PEAK_INT_SCALE
         ).astype(np.int64)
         self._peak_int = np.maximum(self._peak_int, ints)
-        lane_rms = np.asarray(outputs.lane_rms)
+        lane_rms = (rms_override if rms_override is not None
+                    else np.asarray(outputs.lane_rms))
         track_rms = lane_rms[2 : 2 + NUM_TRACKS].max(axis=1)
         self.channels_rms = [to_dbfs(float(v)) for v in track_rms]
 

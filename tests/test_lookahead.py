@@ -61,8 +61,12 @@ def test_auto_resolution():
     assert eng._lookahead == 8
     eng_np = AudioEngine(block_frames=128, num_voices=16, backend="numpy")
     assert eng_np._lookahead == 0
+    # superblock bounce path: H=4 (window caps at 4096 frames for the
+    # windows kernel's VMEM region scratch)
     eng_sb = AudioEngine(block_frames=1024, num_voices=16, backend="jax")
-    assert eng_sb._lookahead == 0  # superblock path: already amortized
+    assert eng_sb._lookahead == 4
+    eng_huge = AudioEngine(block_frames=4096, num_voices=16, backend="jax")
+    assert eng_huge._lookahead == 0
     with pytest.raises(ValueError):
         AudioEngine(block_frames=128, num_voices=16, backend="numpy",
                     lookahead=8)
