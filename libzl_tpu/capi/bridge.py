@@ -69,10 +69,14 @@ class EngineRuntime:
         # (NOTES_TPU_ENV.md; VERDICT r2 #7). Global-playback recording
         # rides the drain (its input IS the fetched master); other
         # per-block consumers (port/channel recorders, capture sources,
-        # pacing sinks) fall back to per-block delivery. "auto" = 8 on the
-        # jax backend (every sync is a device round trip), 1 on numpy.
+        # pacing sinks) fall back to per-block delivery. "auto" = 32 on
+        # the jax backend (27 ms relay sync / 32 ≈ 0.85 ms/block, under
+        # the 2.67 ms live budget with the ~1.4 ms lookahead render; the
+        # meter-cadence session fetch rides the same transfer), 1 on
+        # numpy. Depth only delays non-pacing consumers: a file bounce
+        # sees its audio ≤ K blocks (85 ms) late, never reordered.
         if bounce_drain == "auto":
-            bounce_drain = 8 if self.engine.backend == "jax" else 1
+            bounce_drain = 32 if self.engine.backend == "jax" else 1
         self.bounce_drain_blocks = max(int(bounce_drain), 1)
         self._drain_buf: list = []  # [(block_no, BlockResult)]
         # sinks/sources replaced while pumping await a safe close (set_sink)
@@ -210,35 +214,61 @@ class EngineRuntime:
 
     def _flush_drain(self) -> None:
         """Deliver all drained blocks in order with ONE device->host
-        transfer for their concatenated master mixes."""
+        transfer: the K concatenated master mixes PLUS the session arrays
+        (folded peaks/RMS/voice peaks) of every meter-cadence block in the
+        batch ride the same flattened fetch — on relay-attached TPUs each
+        transfer costs a fixed ~25-30 ms round trip regardless of size, so
+        per-block sync cost is one round trip / drain depth."""
         with self._lock:
             buf, self._drain_buf = self._drain_buf, []
         if not buf:
             return
+        engine = self.engine
+        B = engine.block_frames
+        # walk in block order: accumulate_peaks queues skipped blocks'
+        # maxima so each cadence block's plan folds everything before it
+        plans = {}
+        with self._lock:
+            for i, (block_no, res) in enumerate(buf):
+                if block_no % engine._levels_every == 0:
+                    plans[i] = engine.session_fetch_plan(res)
+                else:
+                    engine.accumulate_peaks(res)
         masters = [r.outputs.master for _, r in buf]
-        if self.engine.backend == "jax":
+        if engine.backend == "jax":
             import jax.numpy as jnp
 
-            big = np.asarray(jnp.concatenate(masters, axis=0))
+            parts = [jnp.ravel(m) for m in masters]
+            for i in sorted(plans):
+                parts.extend(jnp.ravel(a) for a in plans[i][0])
+            flat = np.asarray(jnp.concatenate(parts))
         else:
-            big = np.concatenate(masters, axis=0)
-        B = self.engine.block_frames
+            parts = [np.ravel(np.asarray(m)) for m in masters]
+            for i in sorted(plans):
+                parts.extend(np.ravel(np.asarray(a)) for a in plans[i][0])
+            flat = np.concatenate(parts)
+        n_master = B * 2
+        big = flat[: n_master * len(buf)].reshape(len(buf) * B, 2)
+        off = n_master * len(buf)
+        fetched = {}
+        for i in sorted(plans):
+            _, unpack, total = plans[i]
+            fetched[i] = unpack(flat, off)
+            off += total
         sink = self.sink
         for i, (block_no, res) in enumerate(buf):
             blk = big[i * B:(i + 1) * B]
             if sink is not None:
                 sink.write(blk)
             with self._lock:
-                engine = self.engine
                 levels = engine.levels
                 if levels.is_recording and levels.only_global_recording():
                     # the global recorder's input IS the fetched master —
                     # feed it from the batch, no extra sync
                     levels.feed_global_recorder(blk)
-                if block_no % engine._levels_every == 0:
-                    engine.update_session(res, include_recorders=False)
-                else:
-                    engine.accumulate_peaks(res)
+                if i in fetched:
+                    engine.update_session(res, include_recorders=False,
+                                          fetched=fetched[i])
 
     def step_blocks(self, n: int) -> None:
         """Deterministic pump: render and consume `n` blocks synchronously.

@@ -1217,35 +1217,45 @@ class AudioEngine:
             [m for _, m in pairs] + [outputs.master_peak]).max(axis=0)
         return lanes, mast
 
+    def session_fetch_plan(self, result: BlockResult):
+        """Lazy session arrays + an unpacker, so a caller can append them
+        to its own device arrays and make ONE combined D2H (the bounce
+        drain concatenates these with its K master mixes). Returns
+        ``(arrays, unpack, total)`` where ``unpack(flat, off)`` slices the
+        flattened transfer back into the fetch_session_arrays dict and
+        ``total`` is the element count consumed. Folds the peak queue —
+        build plans in block order."""
+        o = result.outputs
+        lanes, mast = self._fold_peaks(o)
+        arrs = (lanes, mast, o.lane_rms, o.voice_peaks)
+        names = ("lane_peaks", "master_peak", "lane_rms", "voice_peaks")
+        shapes = [np.shape(a) for a in arrs]
+
+        def unpack(flat, off=0):
+            out = {}
+            for name, shp in zip(names, shapes):
+                k = int(np.prod(shp))
+                out[name] = np.asarray(flat[off:off + k]).reshape(shp)
+                off += k
+            return out
+
+        total = sum(int(np.prod(s)) for s in shapes)
+        return arrs, unpack, total
+
     def fetch_session_arrays(self, result: BlockResult) -> dict:
         """Fetch everything update_session needs in ONE device->host
         transfer (folded peaks, RMS, voice peaks): on relay-attached TPUs
         each transfer is a fixed ~25-30 ms round trip, so the per-cadence
         cost is one sync regardless of array count."""
-        o = result.outputs
-        lanes, mast = self._fold_peaks(o)
+        arrs, unpack, _ = self.session_fetch_plan(result)
         if self.backend == "numpy":
-            return dict(lane_peaks=np.asarray(lanes),
-                        master_peak=np.asarray(mast),
-                        lane_rms=np.asarray(o.lane_rms),
-                        voice_peaks=np.asarray(o.voice_peaks))
-        import jax.numpy as jnp
+            flat = np.concatenate([np.ravel(np.asarray(a)) for a in arrs])
+        else:
+            import jax.numpy as jnp
 
-        flat = np.asarray(jnp.concatenate([
-            jnp.ravel(lanes), jnp.ravel(mast), jnp.ravel(o.lane_rms),
-            jnp.ravel(o.voice_peaks),
-        ]))
-        n_lanes = int(np.prod(np.shape(o.lane_peaks)))
-        n_rms = int(np.prod(np.shape(o.lane_rms)))
-        i0 = n_lanes
-        i1 = i0 + 2
-        i2 = i1 + n_rms
-        return dict(
-            lane_peaks=flat[:i0].reshape(np.shape(o.lane_peaks)),
-            master_peak=flat[i0:i1],
-            lane_rms=flat[i1:i2].reshape(np.shape(o.lane_rms)),
-            voice_peaks=flat[i2:],
-        )
+            flat = np.asarray(
+                jnp.concatenate([jnp.ravel(a) for a in arrs]))
+        return unpack(flat)
 
     def update_session(self, result: BlockResult,
                        include_recorders: bool = True,
