@@ -168,7 +168,7 @@ def measure_live_mode(blocks: int = 300) -> dict:
     # trip, so the bounce path amortizes it K-fold vs the synced loop
     import jax.numpy as jnp
 
-    K = 8
+    K = 32  # matches the bridge's auto bounce drain depth
     drained = []
     for _ in range(10):
         t0 = time.perf_counter()

@@ -484,6 +484,8 @@ def stop_clips(clip_ids: list[int]) -> None:
 # ------------------------------------------------------- ClipAudioSource API
 
 def clip_new(filepath: str, muted: bool = False) -> int:
+    import os
+
     from ..io.wav import read_audio
     from ..models.clip import ClipAudioSource
 
@@ -492,6 +494,14 @@ def clip_new(filepath: str, muted: bool = False) -> int:
     # the pump past its schedule-ahead (the reference loads on the message
     # thread while the JACK callback keeps rendering); only the engine
     # registration needs the lock
+    if not os.path.exists(filepath):
+        # the reference tolerates not-yet-written sample files: a 100 ms
+        # poll loads them when they land (lib/SamplerSynthSound.cpp:55-58);
+        # until then the clip plays a silent placeholder
+        with rt._lock:
+            clip = ClipAudioSource(rt.engine, filepath=str(filepath),
+                                   muted=muted, wait_for_file=True)
+        return clip.id
     audio = read_audio(filepath)
     with rt._lock:
         clip = ClipAudioSource(rt.engine, audio=audio, muted=muted)

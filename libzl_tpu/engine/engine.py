@@ -1192,7 +1192,8 @@ class AudioEngine:
         """Queue one block's peak arrays for the next update_session
         WITHOUT any device work — a plain list append (even a tiny
         per-block device op costs ~1 ms of dispatch on relay-attached
-        TPUs). The fold happens as ONE stacked max at the meter cadence.
+        TPUs). The queued arrays ride the next session fetch raw and are
+        max-folded host-side (session_fetch_plan).
         A realtime pump calls this every block so transients between
         analysis points are not lost — matching the reference, whose
         per-cycle process() snapshots every buffer for the 50 ms scan
@@ -1200,46 +1201,54 @@ class AudioEngine:
         o = result.outputs
         self._peak_accum.append((o.lane_peaks, o.master_peak))
 
-    def _fold_peaks(self, outputs):
-        """One stacked max over the queued peak blocks plus the current
-        one; drains the queue. Returns lazy (lane_peaks, master_peak)."""
-        pairs = self._peak_accum
-        self._peak_accum = []
-        if not pairs:
-            return outputs.lane_peaks, outputs.master_peak
-        if self.backend == "numpy":
-            xp = np
-        else:
-            import jax.numpy as xp
-        lanes = xp.stack(
-            [p for p, _ in pairs] + [outputs.lane_peaks]).max(axis=0)
-        mast = xp.stack(
-            [m for _, m in pairs] + [outputs.master_peak]).max(axis=0)
-        return lanes, mast
-
     def session_fetch_plan(self, result: BlockResult):
         """Lazy session arrays + an unpacker, so a caller can append them
         to its own device arrays and make ONE combined D2H (the bounce
         drain concatenates these with its K master mixes). Returns
         ``(arrays, unpack, total)`` where ``unpack(flat, off)`` slices the
         flattened transfer back into the fetch_session_arrays dict and
-        ``total`` is the element count consumed. Folds the peak queue —
-        build plans in block order."""
+        ``total`` is the element count consumed.
+
+        Drains the peak queue: the queued blocks' lane/master peaks ride
+        the same transfer RAW (~26 floats per block — bytes are free, the
+        round trip is the cost) and the max-fold happens host-side in
+        numpy. Folding on device looked cheaper but issued one eager
+        stack+max dispatch pair per cadence (1-3 ms each on relay-attached
+        TPUs, recompiling at every new queue length); zero device ops is
+        strictly better. Build plans in block order."""
         o = result.outputs
-        lanes, mast = self._fold_peaks(o)
-        arrs = (lanes, mast, o.lane_rms, o.voice_peaks)
-        names = ("lane_peaks", "master_peak", "lane_rms", "voice_peaks")
-        shapes = [np.shape(a) for a in arrs]
+        pairs = self._peak_accum
+        self._peak_accum = []
+        arrs = []
+        for lp, mp in pairs:
+            arrs += [lp, mp]
+        arrs += [o.lane_peaks, o.master_peak, o.lane_rms, o.voice_peaks]
+        lp_shape = np.shape(o.lane_peaks)
+        mp_shape = np.shape(o.master_peak)
+        rms_shape = np.shape(o.lane_rms)
+        vp_shape = np.shape(o.voice_peaks)
+        n_lp = int(np.prod(lp_shape))
+        n_mp = int(np.prod(mp_shape))
+        n_rms = int(np.prod(rms_shape))
+        n_vp = int(np.prod(vp_shape))
+        nq = len(pairs)
 
         def unpack(flat, off=0):
-            out = {}
-            for name, shp in zip(names, shapes):
-                k = int(np.prod(shp))
-                out[name] = np.asarray(flat[off:off + k]).reshape(shp)
-                off += k
-            return out
+            lanes = mast = None
+            for _ in range(nq + 1):
+                lp = np.asarray(flat[off:off + n_lp]).reshape(lp_shape)
+                off += n_lp
+                mp = np.asarray(flat[off:off + n_mp]).reshape(mp_shape)
+                off += n_mp
+                lanes = lp if lanes is None else np.maximum(lanes, lp)
+                mast = mp if mast is None else np.maximum(mast, mp)
+            rms = np.asarray(flat[off:off + n_rms]).reshape(rms_shape)
+            off += n_rms
+            vp = np.asarray(flat[off:off + n_vp]).reshape(vp_shape)
+            return dict(lane_peaks=lanes, master_peak=mast,
+                        lane_rms=rms, voice_peaks=vp)
 
-        total = sum(int(np.prod(s)) for s in shapes)
+        total = (nq + 1) * (n_lp + n_mp) + n_rms + n_vp
         return arrs, unpack, total
 
     def fetch_session_arrays(self, result: BlockResult) -> dict:

@@ -99,6 +99,66 @@ def _ensure_render_worker() -> None:
         _render_thread = _t.Thread(target=_render_worker, daemon=True)
         _render_thread.start()
 
+
+# ------------------------------------------------------------ file watcher
+# The reference tolerates samples that do not exist yet: SamplerSynthSound
+# polls a missing playback file every 100 ms until it appears
+# (lib/SamplerSynthSound.cpp:55-58), and WaveFormItem retries thumbnail
+# sources on a 200 ms timer (lib/WaveFormItem.cpp:130-143). Clips built
+# with wait_for_file=True get the same behavior: a silent placeholder
+# plays (nothing, at zero length) until the file lands, then the real
+# audio is loaded off-thread and swapped in at a block boundary through
+# the deferred-render path. Read failures (e.g. a file still being
+# written) keep polling — the retry loop, not an error.
+FILE_POLL_SECONDS = 0.1
+_watch_lock = None
+_watch_list: list = []  # [(clip, generation)]
+_watch_thread = None
+
+
+def _file_watcher() -> None:
+    import os as _os
+    import time as _time
+
+    while True:
+        _time.sleep(FILE_POLL_SECONDS)
+        with _watch_lock:
+            entries = list(_watch_list)
+        if not entries:
+            continue
+        done = []
+        for clip, gen in entries:
+            if gen != clip._render_generation:
+                done.append((clip, gen))  # superseded / destroyed
+                continue
+            path = clip.filepath
+            if not path or not _os.path.exists(path):
+                continue
+            try:
+                audio = read_audio(path)
+            except Exception:
+                continue  # partial write: keep polling
+            clip._attach_loaded_audio(audio, gen)
+            done.append((clip, gen))
+        if done:
+            with _watch_lock:
+                for e in done:
+                    if e in _watch_list:
+                        _watch_list.remove(e)
+
+
+def _watch_file(clip: "ClipAudioSource", gen: int) -> None:
+    global _watch_lock, _watch_thread
+    import threading as _t
+
+    if _watch_lock is None:
+        _watch_lock = _t.Lock()
+    with _watch_lock:
+        _watch_list.append((clip, gen))
+    if _watch_thread is None or not _watch_thread.is_alive():
+        _watch_thread = _t.Thread(target=_file_watcher, daemon=True)
+        _watch_thread.start()
+
 PROGRESS_THROTTLE_S = 0.100   # lib/ClipAudioSource.cpp:237
 LEVEL_THROTTLE_S = 0.030      # lib/ClipAudioSource.cpp:111
 LEVEL_DECAY = 0.94            # positions-model peak fade (lib/ClipAudioSource.cpp:95)
@@ -120,11 +180,24 @@ class ClipAudioSource:
         filepath: Optional[str] = None,
         audio: Optional[AudioData] = None,
         muted: bool = False,
+        wait_for_file: bool = False,
     ):
+        pending_file = False
         if audio is None:
             if filepath is None:
                 raise ValueError("need filepath or audio")
-            audio = read_audio(filepath)
+            import os as _os
+
+            if wait_for_file and not _os.path.exists(filepath):
+                # missing-file poll (lib/SamplerSynthSound.cpp:55-58): play
+                # a silent placeholder until the file lands (_file_watcher)
+                sr = engine.sample_rate if engine is not None else 48000
+                audio = AudioData(
+                    np.zeros((max(int(0.05 * sr), 1), 1), np.float32), sr
+                )
+                pending_file = True
+            else:
+                audio = read_audio(filepath)
         self.id = next(_ids)
         _registry[self.id] = self
         self.engine = engine
@@ -174,9 +247,32 @@ class ClipAudioSource:
         self.playback_audio = audio  # replaced by renders
         self._render_generation = 0
         self.slot = None
+        self.pending_file = pending_file
         if engine is not None:
             engine.register_clip(self)
         self.set_slices(DEFAULT_SLICE_COUNT)
+        if pending_file:
+            _watch_file(self, self._render_generation)
+
+    def _attach_loaded_audio(self, audio: AudioData, gen: int) -> None:
+        """File-watcher completion: the pending file exists and decoded.
+        Update the source + timing fields, then hand the playback render to
+        the deferred worker so the swap lands at a block boundary (the
+        playbackFileChanged path, lib/ClipAudioSource.cpp:404-413)."""
+        if gen != self._render_generation:
+            return  # destroyed or superseded while polling
+        self.source = audio
+        self.start_position_seconds = 0.0
+        self.length_seconds = audio.duration_seconds
+        self.length_beats = (
+            audio.duration_seconds
+            / ticks_to_seconds(
+                self.engine.bpm if self.engine else 120, BEAT_SUBDIVISIONS)
+            if self.engine
+            else 0.0
+        )
+        self.pending_file = False
+        self._update_playback(defer=True)
 
     # ------------------------------------------------------------- lifecycle
 
