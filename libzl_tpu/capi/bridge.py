@@ -36,7 +36,8 @@ class EngineRuntime:
     def __init__(self, sample_rate: int = 48000, block_frames: int = 128,
                  num_voices: int = 256, backend: str = "auto",
                  pipeline_depth: int = 1,
-                 bounce_drain: "int | str" = "auto"):
+                 bounce_drain: "int | str" = "auto",
+                 lookahead: "int | str" = "auto"):
         from ..engine.engine import AudioEngine
 
         if backend == "auto":
@@ -48,6 +49,7 @@ class EngineRuntime:
             block_frames=block_frames,
             num_voices=num_voices,
             backend=backend,
+            lookahead=lookahead,
         )
         # blocks in flight on the device before the host consumes the oldest
         # (each level hides one block of host->device sync behind device
@@ -88,6 +90,23 @@ class EngineRuntime:
         self._timer_callbacks: list = []
         self.engine.timer_callbacks.append(self._fan_timer_callbacks)
         self._lock = threading.RLock()
+        # cumulative pump phase timing (seconds) + event counts — the
+        # soak/diagnostic view of where the wall clock actually goes
+        # (render vs sink vs session vs drain-flush vs pacing sleep)
+        self._phase_s: dict = {}
+        self._phase_n: dict = {}
+
+    def _phase(self, name: str, dt: float) -> None:
+        self._phase_s[name] = self._phase_s.get(name, 0.0) + dt
+        self._phase_n[name] = self._phase_n.get(name, 0) + 1
+
+    def phase_stats(self) -> dict:
+        """Cumulative pump phase times (ms) and counts since boot."""
+        out = {}
+        for k in sorted(self._phase_s):
+            out[k + "_ms"] = round(self._phase_s[k] * 1e3, 1)
+            out[k + "_n"] = self._phase_n[k]
+        return out
 
     # ------------------------------------------------------------- pumping
 
@@ -192,12 +211,15 @@ class EngineRuntime:
             if self._drain_buf:
                 self._flush_drain()
         if sink is not None:
+            t0 = time.perf_counter()
             sink.write(np.asarray(res.outputs.master))
+            self._phase("sink", time.perf_counter() - t0)
         source = self.source
         capture = (
             source.read(self.engine.block_frames) if source is not None
             else None
         )
+        t0 = time.perf_counter()
         with self._lock:
             engine = self.engine
             if capture is not None:
@@ -211,6 +233,7 @@ class EngineRuntime:
                 # update_session so transients between analysis points
                 # still register on the meters
                 engine.accumulate_peaks(res)
+        self._phase("session", time.perf_counter() - t0)
 
     def _flush_drain(self) -> None:
         """Deliver all drained blocks in order with ONE device->host
@@ -227,6 +250,7 @@ class EngineRuntime:
         B = engine.block_frames
         # walk in block order: accumulate_peaks queues skipped blocks'
         # maxima so each cadence block's plan folds everything before it
+        t0 = time.perf_counter()
         plans = {}
         with self._lock:
             for i, (block_no, res) in enumerate(buf):
@@ -234,19 +258,26 @@ class EngineRuntime:
                     plans[i] = engine.session_fetch_plan(res)
                 else:
                     engine.accumulate_peaks(res)
+        self._phase("flush_plan", time.perf_counter() - t0)
         masters = [r.outputs.master for _, r in buf]
         if engine.backend == "jax":
             import jax.numpy as jnp
 
+            t0 = time.perf_counter()
             parts = [jnp.ravel(m) for m in masters]
             for i in sorted(plans):
                 parts.extend(jnp.ravel(a) for a in plans[i][0])
-            flat = np.asarray(jnp.concatenate(parts))
+            cat = jnp.concatenate(parts)
+            self._phase("flush_concat", time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            flat = np.asarray(cat)
+            self._phase("flush_sync", time.perf_counter() - t0)
         else:
             parts = [np.ravel(np.asarray(m)) for m in masters]
             for i in sorted(plans):
                 parts.extend(np.ravel(np.asarray(a)) for a in plans[i][0])
             flat = np.concatenate(parts)
+        t0 = time.perf_counter()
         n_master = B * 2
         big = flat[: n_master * len(buf)].reshape(len(buf) * B, 2)
         off = n_master * len(buf)
@@ -269,6 +300,7 @@ class EngineRuntime:
                 if i in fetched:
                     engine.update_session(res, include_recorders=False,
                                           fetched=fetched[i])
+        self._phase("flush_deliver", time.perf_counter() - t0)
 
     def step_blocks(self, n: int) -> None:
         """Deterministic pump: render and consume `n` blocks synchronously.
@@ -316,17 +348,21 @@ class EngineRuntime:
             if sink is None or not sink.pacing:
                 now = time.monotonic() - start
                 if rendered - now > ahead:
+                    t0 = time.perf_counter()
                     time.sleep(spb / 2)
+                    self._phase("sleep", time.perf_counter() - t0)
                     continue
             # per-block exception guard: a bad record-port name or malformed
             # command must not silently kill audio forever (the thread looks
             # alive from outside). Record, keep pumping; give up only after
             # sustained failure.
             try:
+                t0 = time.perf_counter()
                 with self._lock:
                     engine = self.engine
                     res = engine.process_block()
                     inflight.append((engine.total_blocks, res))
+                self._phase("render", time.perf_counter() - t0)
                 while len(inflight) > depth:
                     consume(*inflight.popleft())
                 consecutive_errors = 0
@@ -401,6 +437,8 @@ def init_engine(sample_rate: int = 48000, block_frames: int = 128,
     LIBZL_TPU_RATE, LIBZL_TPU_NO_PUMP=1, LIBZL_TPU_PIPELINE=<depth>,
     LIBZL_TPU_BOUNCE_DRAIN=<K> (non-pacing sinks: one device->host sync
     per K blocks — the bounce amortization),
+    LIBZL_TPU_LOOKAHEAD=<H> (speculative horizon depth; jax single-chip
+    only — "auto" scales 8 down so H*block <= 4096 frames),
     LIBZL_TPU_SINK=alsa[:dev]|file:path|null,
     LIBZL_TPU_SOURCE=alsa[:dev]|file:path|null,
     LIBZL_TPU_WARMUP=1 (pre-compile every voice-bucket render shape before
@@ -418,13 +456,17 @@ def init_engine(sample_rate: int = 48000, block_frames: int = 128,
         drain = os.environ.get("LIBZL_TPU_BOUNCE_DRAIN", "auto")
         if drain != "auto":
             drain = int(drain)
+        la = os.environ.get("LIBZL_TPU_LOOKAHEAD", "auto")
+        if la != "auto":
+            la = int(la)
         if os.environ.get("LIBZL_TPU_NO_PUMP"):
             pump = False
         # build fully before publishing the singleton: a bad sink/source
         # spec must raise WITHOUT leaving a half-initialized, pump-less
         # engine behind (a retry would then silently no-op)
         runtime = EngineRuntime(sample_rate, block_frames, num_voices, backend,
-                                pipeline_depth=depth, bounce_drain=drain)
+                                pipeline_depth=depth, bounce_drain=drain,
+                                lookahead=la)
         try:
             sink_spec = os.environ.get("LIBZL_TPU_SINK")
             if sink_spec:

@@ -94,6 +94,7 @@ def main():
                   f"wd={s['watchdog_mismatches']} "
                   f"err={type(rt.pump_error).__name__ if rt.pump_error else '-'}",
                   flush=True)
+            print("  phases " + json.dumps(rt.phase_stats()), flush=True)
 
     for h in handles:
         zl.ClipAudioSource_stop(h)
@@ -101,6 +102,7 @@ def main():
     zl.AudioLevels_stopRecording()
     zl.SyncTimer_stopTimer()
     stats = eng.stats()
+    phases = rt.phase_stats()
     pump_err = rt.pump_error
     realtime_blocks = stats["blocks"]
     expected = MINUTES * 60 * sr / eng.block_frames
@@ -121,6 +123,7 @@ def main():
         pump_error=repr(pump_err) if pump_err else None,
         recorded_seconds=round(rec.samples.shape[0] / sr, 1),
         recorded_peak=round(float(np.abs(rec.samples).max()), 4),
+        phases=phases,
     )
     print("RESULT " + json.dumps(out), flush=True)
 
