@@ -81,6 +81,7 @@ class AudioEngine:
         max_pitch_ratio: float = 4.0,
         voice_buckets: str = "auto",
         lookahead: "str | int" = "auto",
+        ratio_ladder: str = "auto",
     ):
         self.sample_rate = sample_rate
         self.block_frames = block_frames
@@ -129,6 +130,22 @@ class AudioEngine:
         if not 1.0 <= float(max_pitch_ratio) <= 4.0:
             raise ValueError("max_pitch_ratio must be within [1.0, 4.0]")
         self.max_pitch_ratio = float(max_pitch_ratio)
+        # Ratio ladder: the windows kernel's binding bound is the skinny-dot
+        # STREAM over the weight slab, and slab width scales with the
+        # declared pitch ceiling (roofline, NOTES_TPU_ENV.md round 3; probe
+        # 26: rmax 2.0 = slab 768->512 = -11% superblock time). Like the
+        # voice-bucket ladder, pay only for what the block actually uses:
+        # when every active voice's pitch ratio fits a lower rung, dispatch
+        # the narrower-slab compile of the SAME kernel — identical taps and
+        # weights, so outputs are bit-identical (tests/test_fetch_windows).
+        # Most musical sessions stay within +-1 octave; warmup() compiles
+        # every rung so a high note never hits a mid-performance compile.
+        if ratio_ladder not in ("auto", "off"):
+            raise ValueError("ratio_ladder must be auto|off")
+        self._ratio_ladder = [self.max_pitch_ratio]
+        if (ratio_ladder == "auto" and fetch.startswith("windows")
+                and mesh is None and self.max_pitch_ratio > 2.0):
+            self._ratio_ladder = [2.0, self.max_pitch_ratio]
         if fetch.startswith("windows"):
             from ..ops.fetch_pallas import parse_suffix
 
@@ -195,15 +212,16 @@ class AudioEngine:
         # (tools/tpu_probe{1,2}_r3.py), so clean blocks amortize it H-fold.
         # Event blocks fall back to the per-block dispatch, exactly today's
         # path. "auto" = 8 at the live geometry, scaling down so the window
-        # caps at 4096 frames (the windows kernel's double-buffered region
-        # scratch must fit VMEM: region_rows(4096)*128*4B ~ 8.9 MB) — the
-        # superblock bounce path (B=1024) gets H=4, lifting throughput the
-        # same way (its dispatch+upload was ~2.9 ms of the ~5.3 ms block).
+        # caps at 2048 frames: W=4096 fits VMEM (region scratch ~8.9 MB)
+        # but measures WORSE than W=2048 on hardware — probe 4 at B=1024
+        # has H=2 at 5.09 ms/block vs H=4 at 5.26 and H=0 at 6.05
+        # (interleaved in-process rounds; VMEM pressure eats the extra
+        # amortization past 2048 frames).
         if lookahead == "auto":
             self._lookahead = (
-                max(min(8, 4096 // block_frames), 0)
+                max(min(8, 2048 // block_frames), 0)
                 if (backend == "jax" and mesh is None
-                    and block_frames <= 4096) else 0
+                    and block_frames <= 2048) else 0
             )
             if self._lookahead == 1:
                 self._lookahead = 0
@@ -629,6 +647,27 @@ class AudioEngine:
                 return s
         return self.pool.num_voices
 
+    def _render_rmax(self, prog_i, prog_f) -> float:
+        """Smallest ratio-ladder rung covering every active voice's pitch
+        ratio this block (ratios are per-voice constants within a program —
+        pitch changes arrive as commands, which dirty the block and rebuild
+        the program, so a horizon never outlives its rung)."""
+        ladder = self._ratio_ladder
+        if len(ladder) <= 1:
+            return ladder[0]
+        from ..ops.voice import _F32_SCALARS, _INT_SCALARS
+
+        act = prog_i[:, _INT_SCALARS.index("active")] != 0
+        if not act.any():
+            return ladder[0]
+        ratio = (prog_i[:, _INT_SCALARS.index("rate_int")]
+                 + prog_f[:, _F32_SCALARS.index("rate_frac")])
+        m = float(np.max(np.where(act, ratio, 0.0)))
+        for r in ladder:
+            if m <= r:
+                return r
+        return ladder[-1]
+
     def _dispatch_packed(self, sound, prog_i, prog_f, strips_packed):
         from ..ops.voice import fuse_packed
 
@@ -639,6 +678,7 @@ class AudioEngine:
         # pure transfer (tools/tpu_probe1_r3.py).
         fused = fuse_packed(prog_i, prog_f)
         bucket = self._render_bucket(prog_i)
+        rmax = self._render_rmax(prog_i, prog_f)
         if self._sharded_render is not None:
             # per-shard bucket ladder: a prefix slice re-shards over the
             # mesh (contiguous row blocks), so every device renders
@@ -657,13 +697,13 @@ class AudioEngine:
             return render_mod.render_block_fused(
                 sound, fused[:bucket], strips_packed,
                 block_frames=self.block_frames, quirk_gain=self.quirk_gain,
-                fetch=self.fetch, max_pitch_ratio=self.max_pitch_ratio,
+                fetch=self.fetch, max_pitch_ratio=rmax,
                 pad_voices_to=self.pool.num_voices,
             )
         return render_mod.render_block_fused(
             sound, fused, strips_packed,
             block_frames=self.block_frames, quirk_gain=self.quirk_gain,
-            fetch=self.fetch, max_pitch_ratio=self.max_pitch_ratio,
+            fetch=self.fetch, max_pitch_ratio=rmax,
         )
 
     # ------------------------------------------------- lookahead horizon
@@ -767,18 +807,19 @@ class AudioEngine:
         sound = self._sound_data_for_backend()
         strips = self._packed_strips_for_backend()
         bucket = self._render_bucket(prog_i)
+        rmax = self._render_rmax(prog_i, prog_f)
         V = self.pool.num_voices
         if bucket is not None and bucket < V:
             slices = render_mod.render_horizon_fused(
                 sound, fused[:bucket], strips, window_frames=W, slices=H,
                 quirk_gain=self.quirk_gain, fetch=self.fetch,
-                max_pitch_ratio=self.max_pitch_ratio, pad_voices_to=V,
+                max_pitch_ratio=rmax, pad_voices_to=V,
             )
         else:
             slices = render_mod.render_horizon_fused(
                 sound, fused, strips, window_frames=W, slices=H,
                 quirk_gain=self.quirk_gain, fetch=self.fetch,
-                max_pitch_ratio=self.max_pitch_ratio,
+                max_pitch_ratio=rmax,
             )
         self._h_slices = list(slices)
         self._h_cursor = 1
@@ -945,42 +986,44 @@ class AudioEngine:
         fused = fuse_packed(prog_i, prog_f)
         sizes = list(self._bucket_ladder or [self.pool.num_voices])
         for s in sizes:
-            if self._sharded_render is not None:
-                out = self._sharded_render(sound, fused[:s], strips)
-            else:
-                # mirror _dispatch_packed's exact static signature per
-                # bucket (pad_voices_to participates in the jit cache key)
-                out = render_mod.render_block_fused(
-                    sound, fused[:s], strips,
-                    block_frames=self.block_frames,
-                    quirk_gain=self.quirk_gain, fetch=self.fetch,
-                    max_pitch_ratio=self.max_pitch_ratio,
-                    pad_voices_to=(self.pool.num_voices
-                                   if s < self.pool.num_voices else 0),
-                )
-            jax.block_until_ready(out.master)
-            if self._lookahead:
-                # the lookahead horizon graph per bucket (same cache rules)
-                W = self._lookahead * self.block_frames
-                hp = self.pool.build_program(
-                    window_frames=W,
-                    block_start_sample=float(self.clock.sample_position),
-                    tick_anchor_sample=self.clock.anchor_sample,
-                    tick_anchor=self.clock.anchor_tick,
-                    samples_per_tick=self.clock.samples_per_tick,
-                    lane_enabled=self.lane_enabled,
-                )
-                hi, hf = pack_program(hp)
-                hfused = fuse_packed(hi, hf)
-                outs = render_mod.render_horizon_fused(
-                    sound, hfused[:s], strips, window_frames=W,
-                    slices=self._lookahead, quirk_gain=self.quirk_gain,
-                    fetch=self.fetch,
-                    max_pitch_ratio=self.max_pitch_ratio,
-                    pad_voices_to=(self.pool.num_voices
-                                   if s < self.pool.num_voices else 0),
-                )
-                jax.block_until_ready(outs[0].master)
+            for rmax in self._ratio_ladder:
+                if self._sharded_render is not None:
+                    out = self._sharded_render(sound, fused[:s], strips)
+                else:
+                    # mirror _dispatch_packed's exact static signature per
+                    # bucket (pad_voices_to participates in the jit cache key)
+                    out = render_mod.render_block_fused(
+                        sound, fused[:s], strips,
+                        block_frames=self.block_frames,
+                        quirk_gain=self.quirk_gain, fetch=self.fetch,
+                        max_pitch_ratio=rmax,
+                        pad_voices_to=(self.pool.num_voices
+                                       if s < self.pool.num_voices else 0),
+                    )
+                jax.block_until_ready(out.master)
+                if self._lookahead:
+                    # the lookahead horizon graph per bucket (same cache
+                    # rules)
+                    W = self._lookahead * self.block_frames
+                    hp = self.pool.build_program(
+                        window_frames=W,
+                        block_start_sample=float(self.clock.sample_position),
+                        tick_anchor_sample=self.clock.anchor_sample,
+                        tick_anchor=self.clock.anchor_tick,
+                        samples_per_tick=self.clock.samples_per_tick,
+                        lane_enabled=self.lane_enabled,
+                    )
+                    hi, hf = pack_program(hp)
+                    hfused = fuse_packed(hi, hf)
+                    outs = render_mod.render_horizon_fused(
+                        sound, hfused[:s], strips, window_frames=W,
+                        slices=self._lookahead, quirk_gain=self.quirk_gain,
+                        fetch=self.fetch,
+                        max_pitch_ratio=rmax,
+                        pad_voices_to=(self.pool.num_voices
+                                       if s < self.pool.num_voices else 0),
+                    )
+                    jax.block_until_ready(outs[0].master)
         # one REAL device->host transfer: block_until_ready alone does not
         # validate the readback path everywhere (on relay-attached TPUs the
         # first D2H stalls for minutes — pay that at boot, never inside the

@@ -331,6 +331,70 @@ def test_max_pitch_ratio_option():
                     max_pitch_ratio=8.0)
 
 
+def test_ratio_ladder_dispatch():
+    """The ratio ladder dispatches the narrow-slab kernel variant when every
+    active voice's pitch ratio fits the lower rung, and the wide variant
+    otherwise — outputs identical either way (the rung only changes slab
+    sizing, not the interpolation taps)."""
+    import numpy as np
+
+    from libzl_tpu.engine.commands import ClipCommand
+    from libzl_tpu.io.wav import AudioData
+    from libzl_tpu.models.clip import ClipAudioSource
+
+    def run(note, **kw):
+        e = AudioEngine(sample_rate=SR, backend="jax", num_voices=16,
+                        fetch="windows", **kw)
+        t = np.arange(12000) / SR
+        c = ClipAudioSource(e, audio=AudioData(
+            (0.4 * np.sin(2 * np.pi * 330 * t)).astype(np.float32)[:, None],
+            SR))
+        e.start_transport(bpm=120)
+        cmd = ClipCommand.channel(c.id, 1)
+        cmd.midi_note = note
+        cmd.change_volume = True
+        cmd.volume = 1.0
+        cmd.looping = True
+        cmd.start_playback = True
+        e.schedule_clip_command(cmd, 0)
+        out = np.concatenate([
+            np.asarray(e.process_block().outputs.master) for _ in range(8)
+        ])
+        return out, e
+
+    # ratio 1.5 (note 67 vs root 60): fits the 2.0 rung
+    low, e = run(67)
+    assert e._ratio_ladder == [2.0, 4.0]
+    prog = e.pool.build_program(
+        block_start_sample=float(e.clock.sample_position),
+        tick_anchor_sample=e.clock.anchor_sample,
+        tick_anchor=e.clock.anchor_tick,
+        samples_per_tick=e.clock.samples_per_tick,
+        lane_enabled=e.lane_enabled,
+    )
+    from libzl_tpu.ops.voice import pack_program
+
+    pi, pf = pack_program(prog)
+    assert e._render_rmax(pi, pf) == 2.0
+
+    # ratio 2^(19/12) ~ 3.0 (note 79): needs the top rung
+    hi, e_hi = run(79)
+    prog = e_hi.pool.build_program(
+        block_start_sample=float(e_hi.clock.sample_position),
+        tick_anchor_sample=e_hi.clock.anchor_sample,
+        tick_anchor=e_hi.clock.anchor_tick,
+        samples_per_tick=e_hi.clock.samples_per_tick,
+        lane_enabled=e_hi.lane_enabled,
+    )
+    pi, pf = pack_program(prog)
+    assert e_hi._render_rmax(pi, pf) == 4.0
+
+    # ladder off: same audio (dispatching a rung never changes the output)
+    low_off, e_off = run(67, ratio_ladder="off")
+    assert e_off._ratio_ladder == [4.0]
+    np.testing.assert_allclose(low, low_off, rtol=1e-5, atol=1e-7)
+
+
 def test_compile_cache_env(tmp_path, monkeypatch):
     """LIBZL_TPU_COMPILE_CACHE persists XLA compiles across processes (the
     deployment fast-boot path; no-op without the env var)."""

@@ -61,10 +61,10 @@ def test_auto_resolution():
     assert eng._lookahead == 8
     eng_np = AudioEngine(block_frames=128, num_voices=16, backend="numpy")
     assert eng_np._lookahead == 0
-    # superblock bounce path: H=4 (window caps at 4096 frames for the
-    # windows kernel's VMEM region scratch)
+    # superblock bounce path: H=2 (window caps at 2048 frames — W=4096
+    # fits VMEM but measures worse on hardware; NOTES round-3 probe 4)
     eng_sb = AudioEngine(block_frames=1024, num_voices=16, backend="jax")
-    assert eng_sb._lookahead == 4
+    assert eng_sb._lookahead == 2
     eng_huge = AudioEngine(block_frames=4096, num_voices=16, backend="jax")
     assert eng_huge._lookahead == 0
     with pytest.raises(ValueError):
