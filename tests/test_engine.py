@@ -331,6 +331,38 @@ def test_max_pitch_ratio_option():
                     max_pitch_ratio=8.0)
 
 
+def test_bank_capacity_check():
+    """A replicated sound bank past 60% of per-device memory fails loudly
+    at upload time with actionable guidance (PARITY.md round-3 table);
+    within budget it passes silently. Exercised against a stub device so
+    the test does not depend on the host's real memory stats."""
+    import types
+
+    e = AudioEngine(sample_rate=SR, backend="jax", num_voices=8)
+    bank_bytes = e.bank.data.size * 4  # float32 default
+
+    def fake_jax(limit):
+        dev = types.SimpleNamespace(
+            memory_stats=lambda: {"bytes_limit": limit})
+        return types.SimpleNamespace(local_devices=lambda: [dev])
+
+    # bank is 60%+ of a tiny device: loud failure naming the remedy
+    with pytest.raises(RuntimeError, match="int16"):
+        e._check_bank_capacity(fake_jax(int(bank_bytes / 0.6) - 1))
+    # plenty of room: no-op
+    e._check_bank_capacity(fake_jax(int(bank_bytes * 4)))
+    # devices that report no stats (CPU, some relays): check is skipped
+    dev = types.SimpleNamespace(memory_stats=lambda: None)
+    e._check_bank_capacity(
+        types.SimpleNamespace(local_devices=lambda: [dev]))
+
+    # int16 banks count 2 bytes/sample: the same limit that fails f32
+    # passes at half the bytes
+    e16 = AudioEngine(sample_rate=SR, backend="jax", num_voices=8,
+                      bank_dtype="int16")
+    e16._check_bank_capacity(fake_jax(int(bank_bytes / 0.6) - 1))
+
+
 def test_ratio_ladder_dispatch():
     """The ratio ladder dispatches the narrow-slab kernel variant when every
     active voice's pitch ratio fits the lower rung, and the wide variant
