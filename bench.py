@@ -257,6 +257,7 @@ def main() -> int:
         "unit": "x_realtime",
         "vs_baseline": round(rt_factor * active / 96.0, 2),
         "rt_superblock": round(rt_factor, 3),
+        "rt_superblock_median": round(float(np.median(rounds)), 3),
         "rt_superblock_rounds": rounds,
         **live,
         "realtime_factor_96voices": round(rt_96, 3),
