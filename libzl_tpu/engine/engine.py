@@ -985,45 +985,62 @@ class AudioEngine:
 
         fused = fuse_packed(prog_i, prog_f)
         sizes = list(self._bucket_ladder or [self.pool.num_voices])
-        for s in sizes:
-            for rmax in self._ratio_ladder:
-                if self._sharded_render is not None:
-                    out = self._sharded_render(sound, fused[:s], strips)
-                else:
-                    # mirror _dispatch_packed's exact static signature per
-                    # bucket (pad_voices_to participates in the jit cache key)
-                    out = render_mod.render_block_fused(
-                        sound, fused[:s], strips,
-                        block_frames=self.block_frames,
-                        quirk_gain=self.quirk_gain, fetch=self.fetch,
-                        max_pitch_ratio=rmax,
-                        pad_voices_to=(self.pool.num_voices
-                                       if s < self.pool.num_voices else 0),
-                    )
-                jax.block_until_ready(out.master)
-                if self._lookahead:
-                    # the lookahead horizon graph per bucket (same cache
-                    # rules)
-                    W = self._lookahead * self.block_frames
-                    hp = self.pool.build_program(
-                        window_frames=W,
-                        block_start_sample=float(self.clock.sample_position),
-                        tick_anchor_sample=self.clock.anchor_sample,
-                        tick_anchor=self.clock.anchor_tick,
-                        samples_per_tick=self.clock.samples_per_tick,
-                        lane_enabled=self.lane_enabled,
-                    )
-                    hi, hf = pack_program(hp)
-                    hfused = fuse_packed(hi, hf)
-                    outs = render_mod.render_horizon_fused(
-                        sound, hfused[:s], strips, window_frames=W,
-                        slices=self._lookahead, quirk_gain=self.quirk_gain,
-                        fetch=self.fetch,
-                        max_pitch_ratio=rmax,
-                        pad_voices_to=(self.pool.num_voices
-                                       if s < self.pool.num_voices else 0),
-                    )
-                    jax.block_until_ready(outs[0].master)
+        hfused = None
+        if self._lookahead:
+            # the horizon program doesn't depend on bucket or rung: build
+            # its packed form once for every (bucket, rung) compile below
+            W = self._lookahead * self.block_frames
+            hp = self.pool.build_program(
+                window_frames=W,
+                block_start_sample=float(self.clock.sample_position),
+                tick_anchor_sample=self.clock.anchor_sample,
+                tick_anchor=self.clock.anchor_tick,
+                samples_per_tick=self.clock.samples_per_tick,
+                lane_enabled=self.lane_enabled,
+            )
+            hi, hf = pack_program(hp)
+            hfused = fuse_packed(hi, hf)
+
+        def warm_one(s, rmax):
+            # mirror _dispatch_packed's exact static signature per bucket
+            # (pad_voices_to participates in the jit cache key)
+            pad = self.pool.num_voices if s < self.pool.num_voices else 0
+            if self._sharded_render is not None:
+                out = self._sharded_render(sound, fused[:s], strips)
+            else:
+                out = render_mod.render_block_fused(
+                    sound, fused[:s], strips,
+                    block_frames=self.block_frames,
+                    quirk_gain=self.quirk_gain, fetch=self.fetch,
+                    max_pitch_ratio=rmax, pad_voices_to=pad,
+                )
+            jax.block_until_ready(out.master)
+            if hfused is not None:
+                outs = render_mod.render_horizon_fused(
+                    sound, hfused[:s], strips,
+                    window_frames=self._lookahead * self.block_frames,
+                    slices=self._lookahead, quirk_gain=self.quirk_gain,
+                    fetch=self.fetch, max_pitch_ratio=rmax,
+                    pad_voices_to=pad,
+                )
+                jax.block_until_ready(outs[0].master)
+            return out
+
+        work = [(s, r) for s in sizes for r in self._ratio_ladder]
+        jobs = int(os.environ.get("LIBZL_TPU_WARMUP_JOBS", "4") or "1")
+        if jobs > 1 and len(work) > 1 and self._sharded_render is None:
+            # compile the (bucket, rung) graphs concurrently: XLA/PjRt
+            # compilation is thread-safe and each graph compiles
+            # independently, so warmup wall time approaches the slowest
+            # compile instead of the sum (the rung ladder doubled the graph
+            # count; boot must not double with it)
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=min(jobs, len(work))) as ex:
+                out = list(ex.map(lambda sr: warm_one(*sr), work))[-1]
+        else:
+            for s, r in work:
+                out = warm_one(s, r)
         # one REAL device->host transfer: block_until_ready alone does not
         # validate the readback path everywhere (on relay-attached TPUs the
         # first D2H stalls for minutes — pay that at boot, never inside the
