@@ -81,6 +81,11 @@ class EngineRuntime:
             bounce_drain = 32 if self.engine.backend == "jax" else 1
         self.bounce_drain_blocks = max(int(bounce_drain), 1)
         self._drain_buf: list = []  # [(block_no, BlockResult)]
+        # an in-flight async drain: (buf, plans, cat) whose device->host
+        # copy was started with copy_to_host_async and which materializes
+        # at the NEXT flush (probe 7: the relay's drain copy partially
+        # overlaps rendering — 1.71 vs 2.48 ms/block, sync 57 -> 33 ms)
+        self._pending_drain = None
         # sinks/sources replaced while pumping await a safe close (set_sink)
         self._retired_io: list = []
         self._pump: Optional[threading.Thread] = None
@@ -204,11 +209,11 @@ class EngineRuntime:
                     full = (len(self._drain_buf)
                             >= self.bounce_drain_blocks)
                 if full:
-                    self._flush_drain()
+                    self._flush_drain_pipelined()
                 return
             # per-block semantics resumed (recording started / sink
             # swapped): older drained blocks must land FIRST
-            if self._drain_buf:
+            if self._drain_buf or self._pending_drain is not None:
                 self._flush_drain()
         if sink is not None:
             t0 = time.perf_counter()
@@ -235,21 +240,11 @@ class EngineRuntime:
                 engine.accumulate_peaks(res)
         self._phase("session", time.perf_counter() - t0)
 
-    def _flush_drain(self) -> None:
-        """Deliver all drained blocks in order with ONE device->host
-        transfer: the K concatenated master mixes PLUS the session arrays
-        (folded peaks/RMS/voice peaks) of every meter-cadence block in the
-        batch ride the same flattened fetch — on relay-attached TPUs each
-        transfer costs a fixed ~25-30 ms round trip regardless of size, so
-        per-block sync cost is one round trip / drain depth."""
-        with self._lock:
-            buf, self._drain_buf = self._drain_buf, []
-        if not buf:
-            return
+    def _plan_drain(self, buf) -> dict:
+        """Walk drained blocks in order: accumulate_peaks queues skipped
+        blocks' maxima so each cadence block's plan folds everything before
+        it."""
         engine = self.engine
-        B = engine.block_frames
-        # walk in block order: accumulate_peaks queues skipped blocks'
-        # maxima so each cadence block's plan folds everything before it
         t0 = time.perf_counter()
         plans = {}
         with self._lock:
@@ -259,24 +254,91 @@ class EngineRuntime:
                 else:
                     engine.accumulate_peaks(res)
         self._phase("flush_plan", time.perf_counter() - t0)
-        masters = [r.outputs.master for _, r in buf]
-        if engine.backend == "jax":
-            import jax.numpy as jnp
+        return plans
 
+    def _concat_drain(self, buf, plans):
+        """One flattened device buffer: the K master mixes plus every
+        meter-cadence block's session arrays."""
+        import jax.numpy as jnp
+
+        t0 = time.perf_counter()
+        parts = [jnp.ravel(r.outputs.master) for _, r in buf]
+        for i in sorted(plans):
+            parts.extend(jnp.ravel(a) for a in plans[i][0])
+        cat = jnp.concatenate(parts)
+        self._phase("flush_concat", time.perf_counter() - t0)
+        return cat
+
+    def _complete_pending_drain(self) -> None:
+        """Materialize and deliver the in-flight async drain, if any."""
+        with self._lock:
+            pending, self._pending_drain = self._pending_drain, None
+        if pending is None:
+            return
+        buf, plans, cat = pending
+        t0 = time.perf_counter()
+        flat = np.asarray(cat)
+        self._phase("flush_sync", time.perf_counter() - t0)
+        self._deliver_drained(buf, plans, flat)
+
+    def _flush_drain_pipelined(self) -> None:
+        """Pump-path flush: start the new batch's device->host copy
+        asynchronously, then deliver the PREVIOUS batch (whose copy has
+        been in flight for a whole drain window). Costs one drain window
+        of delivery latency — free on the non-pacing bounce sinks drains
+        engage on — and overlaps the relay's blocking sync with rendering
+        (probe 7: 31% faster per drained block)."""
+        with self._lock:
+            buf, self._drain_buf = self._drain_buf, []
+        if not buf:
+            self._complete_pending_drain()
+            return
+        if self.engine.backend != "jax":
+            self._flush_buf_sync(buf)
+            return
+        plans = self._plan_drain(buf)
+        cat = self._concat_drain(buf, plans)
+        cat.copy_to_host_async()
+        with self._lock:
+            prev, self._pending_drain = self._pending_drain, (buf, plans,
+                                                              cat)
+        if prev is not None:
+            pbuf, pplans, pcat = prev
             t0 = time.perf_counter()
-            parts = [jnp.ravel(m) for m in masters]
-            for i in sorted(plans):
-                parts.extend(jnp.ravel(a) for a in plans[i][0])
-            cat = jnp.concatenate(parts)
-            self._phase("flush_concat", time.perf_counter() - t0)
+            flat = np.asarray(pcat)
+            self._phase("flush_sync", time.perf_counter() - t0)
+            self._deliver_drained(pbuf, pplans, flat)
+
+    def _flush_drain(self) -> None:
+        """Demanded flush (sink/source swaps, record toggles, pump stop,
+        step_blocks): deliver EVERYTHING — the in-flight async drain first
+        (older blocks), then the current buffer synchronously with one
+        device->host transfer (on relay-attached TPUs each transfer costs
+        a fixed ~25-30 ms round trip regardless of size, so per-block sync
+        cost is one round trip / drain depth)."""
+        self._complete_pending_drain()
+        with self._lock:
+            buf, self._drain_buf = self._drain_buf, []
+        if buf:
+            self._flush_buf_sync(buf)
+
+    def _flush_buf_sync(self, buf) -> None:
+        plans = self._plan_drain(buf)
+        if self.engine.backend == "jax":
+            cat = self._concat_drain(buf, plans)
             t0 = time.perf_counter()
             flat = np.asarray(cat)
             self._phase("flush_sync", time.perf_counter() - t0)
         else:
-            parts = [np.ravel(np.asarray(m)) for m in masters]
+            parts = [np.ravel(np.asarray(r.outputs.master)) for _, r in buf]
             for i in sorted(plans):
                 parts.extend(np.ravel(np.asarray(a)) for a in plans[i][0])
             flat = np.concatenate(parts)
+        self._deliver_drained(buf, plans, flat)
+
+    def _deliver_drained(self, buf, plans, flat) -> None:
+        engine = self.engine
+        B = engine.block_frames
         t0 = time.perf_counter()
         n_master = B * 2
         big = flat[: n_master * len(buf)].reshape(len(buf) * B, 2)

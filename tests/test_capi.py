@@ -320,3 +320,71 @@ def test_bounce_drain_with_global_recording(tmp_path):
     drained = run(5, "drained")
     assert plain.shape[0] == 40 * 128
     np.testing.assert_array_equal(drained, plain)
+
+
+def test_pipelined_drain_async_jax(tmp_path):
+    """On the jax backend the full-drain flush goes ASYNC: the batch's
+    device->host copy starts immediately but delivery waits one drain
+    window (probe 7: the relay copy overlaps rendering). The delivered
+    stream must still be bit-identical and in order, the in-flight batch
+    must land on demanded flushes (record toggles, step_blocks end), and
+    the one-window latency must be observable (that's the pipelining)."""
+    import numpy as np
+
+    from libzl_tpu.capi.bridge import EngineRuntime
+    from libzl_tpu.engine.commands import ClipCommand
+    from libzl_tpu.io.sinks import AudioSink
+    from libzl_tpu.io.wav import AudioData
+    from libzl_tpu.models.clip import ClipAudioSource
+
+    class CaptureSink(AudioSink):
+        pacing = False
+
+        def __init__(self):
+            self.blocks = []
+
+        def write(self, block):
+            self.blocks.append(np.array(block))
+
+    sr = 48000
+    n = sr
+    ramp = (np.arange(1, n + 1, dtype=np.float32) / n * 0.5)[:, None]
+
+    def build(drain):
+        rt = EngineRuntime(sr, 128, 16, backend="jax", bounce_drain=drain)
+        sink = CaptureSink()
+        rt.set_sink(sink)
+        clip = ClipAudioSource(rt.engine, audio=AudioData(ramp, sr))
+        rt.engine.start_transport(bpm=120)
+        cmd = ClipCommand.channel(clip.id, 0)
+        cmd.midi_note = 60
+        cmd.start_playback = True
+        rt.engine.schedule_clip_command(cmd, 0)
+        return rt, sink
+
+    rt1, sink1 = build(1)
+    rt1.step_blocks(24)
+    plain = np.concatenate(sink1.blocks, axis=0)
+
+    rt4, sink4 = build(4)
+    # step_blocks flushes at the end; drive _consume directly to observe
+    # the mid-stream pipelining latency
+    def pump(rt, k):
+        for _ in range(k):
+            with rt._lock:
+                res = rt.engine.process_block()
+                bno = rt.engine.total_blocks
+            rt._consume(bno, res)
+
+    pump(rt4, 8)   # two full drains: first went async, second delivers #1
+    assert len(sink4.blocks) == 4, "first drain must pipeline, not deliver"
+    assert rt4._pending_drain is not None
+    pump(rt4, 10)  # blocks 9-16 drain; 17-18 buffered
+    rt4._flush_drain()  # demanded: in-flight batch + partial tail land
+    assert rt4._pending_drain is None
+    assert len(sink4.blocks) == 18
+    pump(rt4, 6)
+    rt4._flush_drain()
+    drained = np.concatenate(sink4.blocks, axis=0)
+    assert len(sink4.blocks) == 24
+    np.testing.assert_allclose(drained, plain, atol=1e-6)
