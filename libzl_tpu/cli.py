@@ -383,6 +383,10 @@ def cmd_env(args) -> int:
           + (f"{eng._lookahead} blocks (window "
              f"{eng._lookahead * eng.block_frames} frames)"
              if eng._lookahead else "off"))
+    print("  ratio ladder: "
+          + (f"rungs {eng._ratio_ladder} (narrow-slab kernel when active "
+             f"ratios fit a lower rung)"
+             if len(eng._ratio_ladder) > 1 else "off (single rung)"))
     if eng.fetch.startswith("windows"):
         from .ops.fetch_pallas import region_rows, slab_cols
 

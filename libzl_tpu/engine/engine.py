@@ -211,15 +211,16 @@ class AudioEngine:
         # TPUs each per-block upload/dispatch costs 1-3 ms of fixed latency
         # (tools/tpu_probe{1,2}_r3.py), so clean blocks amortize it H-fold.
         # Event blocks fall back to the per-block dispatch, exactly today's
-        # path. "auto" = 8 at the live geometry, scaling down so the window
-        # caps at 2048 frames: W=4096 fits VMEM (region scratch ~8.9 MB)
-        # but measures WORSE than W=2048 on hardware — probe 4 at B=1024
-        # has H=2 at 5.09 ms/block vs H=4 at 5.26 and H=0 at 6.05
-        # (interleaved in-process rounds; VMEM pressure eats the extra
-        # amortization past 2048 frames).
+        # path. "auto" fills a 2048-frame window (16 blocks at the live
+        # geometry): W=4096 fits VMEM (region scratch ~8.9 MB) but measures
+        # WORSE than W=2048 on hardware — probe 4 at B=1024 has H=2 at
+        # 5.09 ms/block vs H=4 at 5.26 and H=0 at 6.05, and probe 5 at
+        # B=128 has H=16 at 1.06 ms/block vs H=8 at 1.32-1.51 (interleaved
+        # in-process rounds; VMEM pressure eats the extra amortization past
+        # 2048 frames).
         if lookahead == "auto":
             self._lookahead = (
-                max(min(8, 2048 // block_frames), 0)
+                max(min(16, 2048 // block_frames), 0)
                 if (backend == "jax" and mesh is None
                     and block_frames <= 2048) else 0
             )

@@ -58,7 +58,7 @@ def _play(eng, clip, note=60, channel=0, loop=True):
 
 def test_auto_resolution():
     eng, _ = _engine("auto")
-    assert eng._lookahead == 8
+    assert eng._lookahead == 16
     eng_np = AudioEngine(block_frames=128, num_voices=16, backend="numpy")
     assert eng_np._lookahead == 0
     # superblock bounce path: H=2 (window caps at 2048 frames — W=4096
