@@ -29,6 +29,22 @@ _PROGRESS_CB = ctypes.CFUNCTYPE(None, ctypes.c_float)
 _LEVEL_CB = ctypes.CFUNCTYPE(None, ctypes.c_float)
 _TIMER_CB = ctypes.CFUNCTYPE(None, ctypes.c_int)
 
+_flat_concat_jit = None
+
+
+def _flat_concat(parts: tuple):
+    """jit(flatten+concat) over a tuple of device arrays — one dispatch
+    instead of one reshape dispatch per array (jax lazily imported: the
+    numpy backend never calls this)."""
+    global _flat_concat_jit
+    if _flat_concat_jit is None:
+        import jax
+        import jax.numpy as jnp
+
+        _flat_concat_jit = jax.jit(
+            lambda ps: jnp.concatenate([jnp.ravel(p) for p in ps]))
+    return _flat_concat_jit(parts)
+
 
 class EngineRuntime:
     """The process-wide engine singleton + block pump thread."""
@@ -258,14 +274,17 @@ class EngineRuntime:
 
     def _concat_drain(self, buf, plans):
         """One flattened device buffer: the K master mixes plus every
-        meter-cadence block's session arrays."""
-        import jax.numpy as jnp
-
+        meter-cadence block's session arrays. The flatten+concat runs as
+        ONE jitted call: eagerly, each ravel is its own op dispatch — ~40
+        dispatches x ~0.25 ms relay latency was the drain's largest
+        remaining phase (soak #2 flush_concat 10.6 ms/flush). Shape
+        signatures recur (drain depth and cadence pattern are stable), so
+        the jit cache holds a handful of entries."""
         t0 = time.perf_counter()
-        parts = [jnp.ravel(r.outputs.master) for _, r in buf]
+        parts = [r.outputs.master for _, r in buf]
         for i in sorted(plans):
-            parts.extend(jnp.ravel(a) for a in plans[i][0])
-        cat = jnp.concatenate(parts)
+            parts.extend(plans[i][0])
+        cat = _flat_concat(tuple(parts))
         self._phase("flush_concat", time.perf_counter() - t0)
         return cat
 
