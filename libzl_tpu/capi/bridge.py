@@ -102,6 +102,12 @@ class EngineRuntime:
         # at the NEXT flush (probe 7: the relay's drain copy partially
         # overlaps rendering — 1.71 vs 2.48 ms/block, sync 57 -> 33 ms)
         self._pending_drain = None
+        # serializes whole drain flushes: a demanded flush (set_sink on an
+        # API thread) must not interleave its sink writes with a pipelined
+        # flush the pump is mid-delivery on — batches must land in block
+        # order (test_pump_block_sequence_integrity's invariant). Ordering:
+        # _flush_lock is taken BEFORE self._lock, never after.
+        self._flush_lock = threading.Lock()
         # sinks/sources replaced while pumping await a safe close (set_sink)
         self._retired_io: list = []
         self._pump: Optional[threading.Thread] = None
@@ -307,26 +313,27 @@ class EngineRuntime:
         of delivery latency — free on the non-pacing bounce sinks drains
         engage on — and overlaps the relay's blocking sync with rendering
         (probe 7: 31% faster per drained block)."""
-        with self._lock:
-            buf, self._drain_buf = self._drain_buf, []
-        if not buf:
-            self._complete_pending_drain()
-            return
-        if self.engine.backend != "jax":
-            self._flush_buf_sync(buf)
-            return
-        plans = self._plan_drain(buf)
-        cat = self._concat_drain(buf, plans)
-        cat.copy_to_host_async()
-        with self._lock:
-            prev, self._pending_drain = self._pending_drain, (buf, plans,
-                                                              cat)
-        if prev is not None:
-            pbuf, pplans, pcat = prev
-            t0 = time.perf_counter()
-            flat = np.asarray(pcat)
-            self._phase("flush_sync", time.perf_counter() - t0)
-            self._deliver_drained(pbuf, pplans, flat)
+        with self._flush_lock:
+            with self._lock:
+                buf, self._drain_buf = self._drain_buf, []
+            if not buf:
+                self._complete_pending_drain()
+                return
+            if self.engine.backend != "jax":
+                self._flush_buf_sync(buf)
+                return
+            plans = self._plan_drain(buf)
+            cat = self._concat_drain(buf, plans)
+            cat.copy_to_host_async()
+            with self._lock:
+                prev = self._pending_drain
+                self._pending_drain = (buf, plans, cat)
+            if prev is not None:
+                pbuf, pplans, pcat = prev
+                t0 = time.perf_counter()
+                flat = np.asarray(pcat)
+                self._phase("flush_sync", time.perf_counter() - t0)
+                self._deliver_drained(pbuf, pplans, flat)
 
     def _flush_drain(self) -> None:
         """Demanded flush (sink/source swaps, record toggles, pump stop,
@@ -335,11 +342,12 @@ class EngineRuntime:
         device->host transfer (on relay-attached TPUs each transfer costs
         a fixed ~25-30 ms round trip regardless of size, so per-block sync
         cost is one round trip / drain depth)."""
-        self._complete_pending_drain()
-        with self._lock:
-            buf, self._drain_buf = self._drain_buf, []
-        if buf:
-            self._flush_buf_sync(buf)
+        with self._flush_lock:
+            self._complete_pending_drain()
+            with self._lock:
+                buf, self._drain_buf = self._drain_buf, []
+            if buf:
+                self._flush_buf_sync(buf)
 
     def _flush_buf_sync(self, buf) -> None:
         plans = self._plan_drain(buf)

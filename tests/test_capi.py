@@ -388,3 +388,79 @@ def test_pipelined_drain_async_jax(tmp_path):
     drained = np.concatenate(sink4.blocks, axis=0)
     assert len(sink4.blocks) == 24
     np.testing.assert_allclose(drained, plain, atol=1e-6)
+
+
+def test_demanded_flush_races_pipelined_flush():
+    """A demanded flush from an API thread (record toggles, set_sink) must
+    SERIALIZE with the pump's pipelined flush — without the flush lock the
+    API thread can pop the in-flight async batch and deliver it while the
+    pump is still mid-delivery of the OLDER previous batch, interleaving
+    sink writes out of block order. Hammer both paths concurrently and
+    assert the delivered stream is exactly the per-block stream."""
+    import threading
+
+    import numpy as np
+
+    from libzl_tpu.capi.bridge import EngineRuntime
+    from libzl_tpu.engine.commands import ClipCommand
+    from libzl_tpu.io.sinks import AudioSink
+    from libzl_tpu.io.wav import AudioData
+    from libzl_tpu.models.clip import ClipAudioSource
+
+    class CaptureSink(AudioSink):
+        pacing = False
+
+        def __init__(self):
+            self.blocks = []
+            self._wlock = threading.Lock()
+
+        def write(self, block):
+            # per-write atomicity only — ORDER across writes is the
+            # engine's contract under test
+            with self._wlock:
+                self.blocks.append(np.array(block))
+
+    sr = 48000
+    n = sr
+    ramp = (np.arange(1, n + 1, dtype=np.float32) / n * 0.5)[:, None]
+
+    def build(drain):
+        rt = EngineRuntime(sr, 128, 16, backend="jax", bounce_drain=drain)
+        sink = CaptureSink()
+        rt.set_sink(sink)
+        clip = ClipAudioSource(rt.engine, audio=AudioData(ramp, sr))
+        rt.engine.start_transport(bpm=120)
+        cmd = ClipCommand.channel(clip.id, 0)
+        cmd.midi_note = 60
+        cmd.start_playback = True
+        rt.engine.schedule_clip_command(cmd, 0)
+        return rt, sink
+
+    rt1, sink1 = build(1)
+    rt1.step_blocks(96)
+    plain = np.concatenate(sink1.blocks, axis=0)
+
+    rt, sink = build(3)
+    stop = threading.Event()
+
+    def hammer():
+        # the levels_start_recording / set_sink pattern: demanded flushes
+        # at arbitrary points relative to the pump's pipelined flushes
+        while not stop.is_set():
+            rt._flush_drain()
+
+    t = threading.Thread(target=hammer)
+    t.start()
+    try:
+        for _ in range(96):
+            with rt._lock:
+                res = rt.engine.process_block()
+                bno = rt.engine.total_blocks
+            rt._consume(bno, res)
+    finally:
+        stop.set()
+        t.join(timeout=10)
+    rt._flush_drain()
+    raced = np.concatenate(sink.blocks, axis=0)
+    assert len(sink.blocks) == 96
+    np.testing.assert_allclose(raced, plain, atol=1e-6)
