@@ -205,3 +205,71 @@ def test_lookahead_with_bq_short_loop():
     off, _, _ = _run_script(0, script)
     assert eng.pool.n_bq_extra >= 5
     np.testing.assert_allclose(on, off, atol=1e-5)
+
+
+@pytest.mark.parametrize("seed", [7, 2024])
+def test_random_traffic_differential(seed):
+    """Randomized differential fuzz: the SAME seeded command stream through
+    a lookahead engine and a per-block engine must produce the same audio
+    and voice peaks (f32 tolerance — the horizon extrapolates positions
+    over a longer window). This hammers the preemption/catch-up machinery
+    at arbitrary phases: notes mid-horizon, BPM jumps, transport toggles,
+    strip mutations, lane freezes, stop-all."""
+    def build():
+        eng = AudioEngine(block_frames=128, num_voices=32, backend="jax",
+                          lookahead="auto")
+        clips = [ClipAudioSource(eng, audio=_tone(0.08 + 0.11 * i,
+                                                  150.0 + 90 * i))
+                 for i in range(4)]
+        eng.start_transport(bpm=120)
+        return eng, clips
+
+    def drive(eng, clips, rng, blocks):
+        outs, peaks = [], []
+        for _ in range(blocks):
+            roll = rng.random()
+            clip = clips[int(rng.integers(0, len(clips)))]
+            ch = int(rng.integers(0, 10))
+            if roll < 0.10:
+                cmd = ClipCommand.channel(clip.id, ch)
+                cmd.midi_note = int(rng.integers(40, 80))
+                cmd.start_playback = True
+                cmd.looping = bool(rng.integers(0, 2))
+                cmd.change_looping = cmd.looping
+                eng.schedule_clip_command(cmd, int(rng.integers(0, 6)))
+            elif roll < 0.14:
+                cmd = ClipCommand.channel(clip.id, ch)
+                cmd.midi_note = int(rng.integers(40, 80))
+                cmd.stop_playback = True
+                eng.schedule_clip_command(cmd, int(rng.integers(0, 4)))
+            elif roll < 0.16:
+                eng.set_bpm(float(rng.uniform(60, 180)))
+            elif roll < 0.18:
+                eng.set_strip(int(rng.integers(-1, 10)),
+                              dry=float(rng.uniform(0.2, 1)),
+                              pan=float(rng.uniform(-1, 1)))
+            elif roll < 0.19:
+                eng.lane_enabled[int(rng.integers(0, 12))] = bool(
+                    rng.integers(0, 2))
+            elif roll < 0.20 and eng.transport_running:
+                eng.stop_transport()
+            elif roll < 0.21 and not eng.transport_running:
+                eng.start_transport()
+            res = eng.process_block()
+            outs.append(np.asarray(res.outputs.master))
+            peaks.append(np.asarray(res.outputs.voice_peaks))
+        return np.concatenate(outs), np.stack(peaks)
+
+    eng_on, clips_on = build()
+    on, pk_on = drive(eng_on, clips_on, np.random.default_rng(seed), 180)
+    eng_off, clips_off = build()
+    eng_off._lookahead = 0
+    off, pk_off = drive(eng_off, clips_off, np.random.default_rng(seed), 180)
+    np.testing.assert_allclose(on, off, atol=1e-5)
+    np.testing.assert_allclose(pk_on, pk_off, atol=1e-5)
+    # both engines agree on the end state once the lookahead engine's pool
+    # mirror catches up to the emission frontier (it defers by design —
+    # update_session/events reconcile it)
+    eng_on._catch_up_pool()
+    np.testing.assert_array_equal(eng_on.pool.active, eng_off.pool.active)
+    np.testing.assert_array_equal(eng_on.pool.pos_int, eng_off.pool.pos_int)
