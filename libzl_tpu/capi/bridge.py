@@ -352,7 +352,22 @@ class EngineRuntime:
     def _flush_buf_sync(self, buf) -> None:
         plans = self._plan_drain(buf)
         if self.engine.backend == "jax":
-            cat = self._concat_drain(buf, plans)
+            # EAGER flatten+concat here, on purpose: demanded flushes carry
+            # arbitrary partial batch lengths (whatever was buffered when
+            # the sink swapped / recording toggled / the pump stopped), and
+            # each new shape signature through the jitted concat is a
+            # multi-second XLA compile (soak #3: the final demanded flush
+            # paid +11.5 s). Eager is ~40 small dispatches (~10 ms) + one
+            # sync — compile-free at any length. The jit cache stays
+            # reserved for the pipelined path's recurring steady shapes.
+            import jax.numpy as jnp
+
+            t0 = time.perf_counter()
+            parts = [r.outputs.master for _, r in buf]
+            for i in sorted(plans):
+                parts.extend(plans[i][0])
+            cat = jnp.concatenate([jnp.ravel(p) for p in parts])
+            self._phase("flush_concat", time.perf_counter() - t0)
             t0 = time.perf_counter()
             flat = np.asarray(cat)
             self._phase("flush_sync", time.perf_counter() - t0)
