@@ -149,9 +149,55 @@ class EngineRuntime:
         # lib/libzl.cpp:358-410.)
         if self.engine.backend == "jax":
             self.engine.warmup()
+            self._warm_drain_shapes()
         self._running = True
         self._pump = threading.Thread(target=self._run, daemon=True)
         self._pump.start()
+
+    def _warm_drain_shapes(self) -> None:
+        """Pre-compile the pipelined flush's jitted concat for the shape
+        signatures the drain windows will hit, so attaching a bounce sink
+        mid-performance never pays a relay-side XLA compile inside the
+        pump (seconds per new signature — soak #3's shutdown tick).
+
+        The signature set is tiny and fully determined by (drain depth K,
+        block geometry): every plan folds exactly the blocks queued since
+        the previous meter-cadence block, so simulating window after
+        window from the engine's current block number enumerates the real
+        sequence. Stops once a full K*levels_every cycle repeats."""
+        K = self.bounce_drain_blocks
+        eng = self.engine
+        if K <= 1:
+            return
+        import jax
+
+        z = eng._zero_outputs()
+        dev = {
+            name: jax.device_put(getattr(z, name))
+            for name in ("master", "lane_peaks", "master_peak",
+                         "lane_rms", "voice_peaks")
+        }
+        le = eng._levels_every
+        qlen = len(eng._peak_accum)
+        bno = eng.total_blocks
+        n_windows = max(K * le // np.gcd(K, le) // K, 1)
+        seen = set()
+        for _ in range(n_windows):
+            parts = [dev["master"]] * K
+            for _ in range(K):
+                bno += 1
+                if bno % le == 0:
+                    parts += [dev["lane_peaks"], dev["master_peak"]] * qlen
+                    parts += [dev["lane_peaks"], dev["master_peak"],
+                              dev["lane_rms"], dev["voice_peaks"]]
+                    qlen = 0
+                else:
+                    qlen += 1
+            sig = tuple(np.shape(p) for p in parts)
+            if sig in seen:
+                continue
+            seen.add(sig)
+            jax.block_until_ready(_flat_concat(tuple(parts)))
 
     def stop_pump(self) -> None:
         self._running = False
@@ -286,10 +332,20 @@ class EngineRuntime:
         remaining phase (soak #2 flush_concat 10.6 ms/flush). Shape
         signatures recur (drain depth and cadence pattern are stable), so
         the jit cache holds a handful of entries."""
+        import jax
+
         t0 = time.perf_counter()
         parts = [r.outputs.master for _, r in buf]
         for i in sorted(plans):
             parts.extend(plans[i][0])
+        # normalize numpy leaves (the engine's idle-shortcut zero outputs)
+        # to COMMITTED device arrays: a tuple mixing numpy and jax arrays
+        # keys a fresh jit cache entry per mix pattern — a mid-performance
+        # relay compile _warm_drain_shapes exists to prevent (observed:
+        # idle blocks before the first note re-compiled a warmed
+        # signature). device_put of a few 1 KB zeros per flush is noise.
+        parts = [p if not isinstance(p, np.ndarray) else jax.device_put(p)
+                 for p in parts]
         cat = _flat_concat(tuple(parts))
         self._phase("flush_concat", time.perf_counter() - t0)
         return cat

@@ -464,3 +464,66 @@ def test_demanded_flush_races_pipelined_flush():
     raced = np.concatenate(sink.blocks, axis=0)
     assert len(sink.blocks) == 96
     np.testing.assert_allclose(raced, plain, atol=1e-6)
+
+
+def test_drain_shape_warmup_precompiles_flush_concat():
+    """_warm_drain_shapes must enumerate exactly the signatures the real
+    drain windows hit: driving full pipelined flushes afterwards adds ZERO
+    new compiles to the jitted concat (a mid-performance relay compile is
+    seconds of pump stall)."""
+    import numpy as np
+
+    from libzl_tpu.capi import bridge
+    from libzl_tpu.capi.bridge import EngineRuntime
+    from libzl_tpu.engine.commands import ClipCommand
+    from libzl_tpu.io.sinks import AudioSink
+    from libzl_tpu.io.wav import AudioData
+    from libzl_tpu.models.clip import ClipAudioSource
+
+    class CaptureSink(AudioSink):
+        pacing = False
+
+        def __init__(self):
+            self.blocks = []
+
+        def write(self, block):
+            self.blocks.append(np.array(block))
+
+    sr = 48000
+    ramp = (np.arange(1, sr + 1, dtype=np.float32) / sr * 0.5)[:, None]
+    rt = EngineRuntime(sr, 128, 16, backend="jax", bounce_drain=4)
+    sink = CaptureSink()
+    rt.set_sink(sink)
+    clip = ClipAudioSource(rt.engine, audio=AudioData(ramp, sr))
+
+    rt._warm_drain_shapes()
+    assert bridge._flat_concat_jit is not None
+    warmed = bridge._flat_concat_jit._cache_size()
+    assert warmed > 0
+
+    def pump(n):
+        for _ in range(n):
+            with rt._lock:
+                res = rt.engine.process_block()
+                bno = rt.engine.total_blocks
+            rt._consume(bno, res)
+
+    # idle prefix FIRST: the idle shortcut's numpy zero outputs mix with
+    # jax render outputs inside later drain batches — the mixed tuples
+    # must not key fresh jit entries (the production pump idles before
+    # the first note; observed re-compiles without the device_put
+    # normalization in _concat_drain)
+    pump(40)
+    rt.engine.start_transport(bpm=120)
+    cmd = ClipCommand.channel(clip.id, 0)
+    cmd.midi_note = 60
+    cmd.start_playback = True
+    rt.engine.schedule_clip_command(cmd, 0)
+    # full drain/cadence cycle (lcm(K=4, levels_every) windows) through
+    # the REAL pipelined path, with live and idle blocks interleaved
+    cycles = 4 * rt.engine._levels_every
+    pump(2 * cycles)
+    assert bridge._flat_concat_jit._cache_size() == warmed, (
+        "pipelined flush hit a signature the warmup did not enumerate"
+    )
+    assert len(sink.blocks) > 0
