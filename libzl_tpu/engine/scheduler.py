@@ -77,6 +77,11 @@ class StepRing:
             raise ValueError(
                 f"schedule delay {delay} exceeds ring capacity {self._size}"
             )
+        if delay < 0:
+            # a negative delay would wrap modulo ~32767 ticks into the far
+            # future — surface the caller's arithmetic bug instead of
+            # firing the event minutes late
+            raise ValueError(f"schedule delay must be >= 0, got {delay}")
         return self._steps[(self._read + delay) % self._size]
 
     def schedule_clip_command(self, command: ClipCommand, delay: int = 0) -> bool:

@@ -25,7 +25,10 @@ SND_PCM_STREAM_CAPTURE = 1
 SND_PCM_FORMAT_FLOAT_LE = 14
 SND_PCM_ACCESS_RW_INTERLEAVED = 3
 SND_PCM_NONBLOCK = 1
-SND_RAWMIDI_NONBLOCK = 1
+# rawmidi.h: APPEND is 0x0001, NONBLOCK is 0x0002 (distinct from the PCM
+# open-mode value above) — passing 1 here would open rawmidi ports in
+# APPEND mode and make the pump's per-block read() poll block forever
+SND_RAWMIDI_NONBLOCK = 2
 
 _override = None
 _real: Optional[ctypes.CDLL] = None

@@ -167,6 +167,18 @@ def read_ogg(path: str | Path) -> AudioData:
                 raise ValueError(
                     f"corrupt OGG Vorbis stream (ov_read_float={n}): {path}"
                 )
+            # chained streams: each link can declare its own layout; the
+            # pcm[c] pointers below are only valid up to the CURRENT
+            # link's channel count — indexing with a stale count reads
+            # past the decoder's pointer array
+            li = vf_lib.ov_info(vf, bitstream.value)
+            if li and (li.contents.channels != channels
+                       or int(li.contents.rate) != rate):
+                raise ValueError(
+                    f"chained OGG changes format mid-stream "
+                    f"({rate} Hz/{channels}ch -> {int(li.contents.rate)} "
+                    f"Hz/{li.contents.channels}ch): {path}"
+                )
             frames = np.empty((n, channels), np.float32)
             for c in range(channels):
                 frames[:, c] = np.ctypeslib.as_array(pcm[c], shape=(n,))
@@ -368,10 +380,23 @@ def read_mp3(path: str | Path) -> AudioData:
             if rc == _MPG123_DONE:
                 break
             if rc == _MPG123_NEW_FORMAT:
+                new_rate = ctypes.c_long(0)
+                new_ch = ctypes.c_int(0)
                 m.mpg123_getformat(
-                    h, ctypes.byref(rate), ctypes.byref(channels),
+                    h, ctypes.byref(new_rate), ctypes.byref(new_ch),
                     ctypes.byref(encoding),
                 )
+                if out and (new_rate.value != rate.value
+                            or new_ch.value != channels.value):
+                    # PCM already decoded under the OLD layout would be
+                    # reshaped with the new one below — garbled audio.
+                    # Raise, per this function's no-silent-corruption rule.
+                    raise ValueError(
+                        f"MP3 changes format mid-stream "
+                        f"({rate.value} Hz/{channels.value}ch -> "
+                        f"{new_rate.value} Hz/{new_ch.value}ch): {path}"
+                    )
+                rate, channels = new_rate, new_ch
                 continue
             if rc != _MPG123_OK:
                 # mid-stream decoder error: raise rather than silently
@@ -420,29 +445,33 @@ def write_mp3(
     gfp = ctypes.c_void_p(lame.lame_init())
     if not gfp:
         raise ValueError("lame_init failed")
-    lame.lame_set_num_channels(gfp, channels)
-    lame.lame_set_in_samplerate(gfp, int(sample_rate))
-    lame.lame_set_brate(gfp, int(bitrate_kbps))
-    lame.lame_set_quality(gfp, 2)
-    if lame.lame_init_params(gfp) < 0:
-        raise ValueError("lame_init_params failed")
-    left = np.ascontiguousarray(x[:, 0])
-    right = np.ascontiguousarray(x[:, 1] if channels == 2 else x[:, 0])
-    mp3buf = ctypes.create_string_buffer(int(1.25 * n_frames + 7200))
-    lame.lame_encode_buffer_ieee_float.restype = ctypes.c_int
-    lame.lame_encode_buffer_ieee_float.argtypes = [
-        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int,
-        ctypes.c_void_p, ctypes.c_int,
-    ]
-    n = lame.lame_encode_buffer_ieee_float(
-        gfp, left.ctypes.data, right.ctypes.data, n_frames,
-        mp3buf, ctypes.sizeof(mp3buf),
-    )
-    if n < 0:
-        raise ValueError(f"lame_encode_buffer failed (rc={n})")
-    out = bytearray(mp3buf.raw[:n])
-    n = lame.lame_encode_flush(gfp, mp3buf, ctypes.sizeof(mp3buf))
-    if n > 0:
-        out.extend(mp3buf.raw[:n])
-    lame.lame_close(gfp)
+    try:
+        lame.lame_set_num_channels(gfp, channels)
+        lame.lame_set_in_samplerate(gfp, int(sample_rate))
+        lame.lame_set_brate(gfp, int(bitrate_kbps))
+        lame.lame_set_quality(gfp, 2)
+        if lame.lame_init_params(gfp) < 0:
+            raise ValueError("lame_init_params failed")
+        left = np.ascontiguousarray(x[:, 0])
+        right = np.ascontiguousarray(x[:, 1] if channels == 2 else x[:, 0])
+        mp3buf = ctypes.create_string_buffer(int(1.25 * n_frames + 7200))
+        lame.lame_encode_buffer_ieee_float.restype = ctypes.c_int
+        lame.lame_encode_buffer_ieee_float.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int,
+            ctypes.c_void_p, ctypes.c_int,
+        ]
+        n = lame.lame_encode_buffer_ieee_float(
+            gfp, left.ctypes.data, right.ctypes.data, n_frames,
+            mp3buf, ctypes.sizeof(mp3buf),
+        )
+        if n < 0:
+            raise ValueError(f"lame_encode_buffer failed (rc={n})")
+        out = bytearray(mp3buf.raw[:n])
+        n = lame.lame_encode_flush(gfp, mp3buf, ctypes.sizeof(mp3buf))
+        if n > 0:
+            out.extend(mp3buf.raw[:n])
+    finally:
+        # error paths must not leak the native encoder state in a
+        # long-lived engine process (same discipline as write_ogg)
+        lame.lame_close(gfp)
     Path(path).write_bytes(bytes(out))

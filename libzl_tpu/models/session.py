@@ -111,6 +111,17 @@ def load_session(engine, path: str | Path) -> dict:
         raise ValueError(
             f"session format {doc['format_version']} is newer than supported"
         )
+    # geometry guard BEFORE any mutation: every seconds-based clip
+    # parameter, the tick anchor, and the resumed position are computed
+    # against the saving engine's sample rate — restoring them into a
+    # different-rate engine silently retimes the whole session
+    saved_rate = doc.get("sample_rate")
+    if saved_rate is not None and saved_rate != engine.sample_rate:
+        raise ValueError(
+            f"session was saved at {saved_rate} Hz but this engine runs at "
+            f"{engine.sample_rate} Hz — resample the session or build the "
+            f"engine at the saved rate"
+        )
     engine.set_bpm(doc["bpm"])
     for key, values in doc["strips"].items():
         getattr(engine.strips, key)[:] = values
@@ -137,7 +148,12 @@ def load_session(engine, path: str | Path) -> dict:
                 engine, audio=AudioData(data, emb["sample_rate"])
             )
         else:
-            clip = ClipAudioSource(engine, filepath=c["filepath"])
+            # a moved/deleted sample must not abort the load with the
+            # engine half-mutated: wait_for_file restores a silent
+            # placeholder and polls (lib/SamplerSynthSound.cpp:55-58),
+            # so the rest of the session still comes back
+            clip = ClipAudioSource(engine, filepath=c["filepath"],
+                                   wait_for_file=True)
         clip.start_position_seconds = c["start_position_seconds"]
         clip.length_seconds = c["length_seconds"]
         clip.length_beats = c["length_beats"]

@@ -112,3 +112,56 @@ def test_absent_codec_raises_clearly(tmp_path, monkeypatch):
     finally:
         codecs._overrides.clear()
         codecs._libs.clear()
+
+
+@pytest.mark.skipif(
+    not (codecs.ogg_read_available() and codecs.ogg_write_available()),
+    reason="no system vorbis libraries",
+)
+def test_chained_ogg_mixed_layout_safe(tmp_path):
+    """Chained OGG whose links change channel layout: a chain-aware
+    vorbisfile reports the new layout per link and the reader raises
+    (the pcm pointer array is only valid up to the CURRENT link's channel
+    count); a build that pins the first link's layout (observed on this
+    host: bitstream stays 0 across the join) must still decode finite
+    audio under that layout. Either way: no crash, no garbage."""
+    import numpy as np
+
+    a = tmp_path / "a.ogg"
+    b = tmp_path / "b.ogg"
+    codecs.write_ogg(a, tone(seconds=0.1)[:, :1], SR)   # mono link
+    codecs.write_ogg(b, tone(seconds=0.1), SR)          # stereo link
+    for order, first_ch in (((a, b), 1), ((b, a), 2)):
+        chained = tmp_path / "chained.ogg"
+        chained.write_bytes(order[0].read_bytes() + order[1].read_bytes())
+        try:
+            out = codecs.read_ogg(chained)
+        except ValueError as e:
+            assert "mid-stream" in str(e)
+        else:
+            assert out.samples.shape[1] == first_ch
+            assert np.isfinite(out.samples).all()
+    # same-layout chains decode both links fine
+    same = tmp_path / "same.ogg"
+    same.write_bytes(a.read_bytes() + a.read_bytes())
+    out = codecs.read_ogg(same)
+    assert out.samples.shape[1] == 1
+    assert out.samples.shape[0] > int(0.15 * SR)
+
+
+@pytest.mark.skipif(
+    not (codecs.mp3_read_available() and codecs.mp3_write_available()),
+    reason="no system mp3 libraries",
+)
+def test_concatenated_mp3_format_change_raises(tmp_path):
+    """Concatenated MP3 segments with different channel counts trigger a
+    mid-stream MPG123_NEW_FORMAT; PCM decoded under the old layout must
+    not be reshaped with the new one (garbled audio) — raise instead."""
+    a = tmp_path / "a.mp3"
+    b = tmp_path / "b.mp3"
+    codecs.write_mp3(a, tone(seconds=0.2)[:, :1], SR)   # mono segment
+    codecs.write_mp3(b, tone(seconds=0.2), SR)          # stereo segment
+    chained = tmp_path / "chained.mp3"
+    chained.write_bytes(a.read_bytes() + b.read_bytes())
+    with pytest.raises(ValueError, match="mid-stream"):
+        codecs.read_mp3(chained)

@@ -142,3 +142,62 @@ def test_in_memory_clip_roundtrips_through_checkpoint(tmp_path):
     np.testing.assert_allclose(
         np.asarray(restored[0].source.samples), src, atol=1e-7
     )
+
+
+def test_load_rejects_sample_rate_mismatch(tmp_path):
+    """Every seconds-based clip parameter and the resumed tick position
+    were computed against the saving engine's rate; restoring into a
+    different-rate engine silently retimes the whole session — raise."""
+    import pytest
+
+    e1 = AudioEngine(sample_rate=SR, backend="numpy", num_voices=16)
+    e1.set_bpm(120)
+    save_session(e1, tmp_path / "rate.zlsession")
+    e2 = AudioEngine(sample_rate=44100, backend="numpy", num_voices=16)
+    with pytest.raises(ValueError, match="44100"):
+        load_session(e2, tmp_path / "rate.zlsession")
+
+
+def test_load_with_missing_sample_file_restores_placeholder(tmp_path):
+    """A checkpoint referencing a moved/deleted WAV must not abort the
+    load half-mutated: the clip comes back as a polling silent
+    placeholder (lib/SamplerSynthSound.cpp:55-58) and attaches the real
+    audio when the file reappears."""
+    import time
+
+    wav = tmp_path / "src.wav"
+    t = np.arange(SR // 2) / SR
+    body = (0.4 * np.sin(2 * np.pi * 220 * t)).astype(np.float32)
+    write_wav(wav, body, SR)
+    e1 = AudioEngine(sample_rate=SR, backend="numpy", num_voices=16)
+    ClipAudioSource(e1, filepath=str(wav))
+    e1.set_bpm(77)
+    save_session(e1, tmp_path / "missing.zlsession")
+
+    moved = tmp_path / "moved.wav"
+    wav.rename(moved)
+    e2 = AudioEngine(sample_rate=SR, backend="numpy", num_voices=16)
+    id_map = load_session(e2, tmp_path / "missing.zlsession")
+    assert e2.bpm == 77  # the rest of the session restored
+    (clip2,) = id_map.values()
+    assert clip2.pending_file
+    # the file lands again: the watcher attaches the real audio
+    moved.rename(wav)
+    deadline = time.monotonic() + 5
+    while clip2.pending_file and time.monotonic() < deadline:
+        time.sleep(0.05)
+    assert not clip2.pending_file
+    assert clip2.source.num_frames == body.shape[0]
+
+
+def test_negative_schedule_delay_raises():
+    """A negative delay would wrap modulo the 32768-tick ring into the
+    far future (the event fires minutes late) — surface the bug."""
+    import pytest
+
+    eng = AudioEngine(sample_rate=SR, backend="numpy", num_voices=16)
+    from libzl_tpu.engine.commands import ClipCommand
+
+    cmd = ClipCommand.channel(0, 0)
+    with pytest.raises(ValueError, match=">= 0"):
+        eng.schedule_clip_command(cmd, -1)
