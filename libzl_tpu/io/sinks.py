@@ -88,9 +88,19 @@ class AlsaPcmSink(AudioSink):
         self._consecutive_failures = 0
 
     def write(self, block: np.ndarray) -> None:
-        n = alsa.pcm_write(self._handle, block)
-        self.frames_written += n
-        if n == 0:
+        # a blocking writei can still return short after an xrun recovery
+        # (interrupted write): retry the tail instead of dropping it —
+        # a silent gap — while bounding the retries so a device that
+        # persistently short-writes still reaches the failure fallback
+        off = 0
+        total = block.shape[0]
+        for _ in range(4):
+            n = alsa.pcm_write(self._handle, block[off:])
+            self.frames_written += n
+            off += n
+            if off >= total or n == 0:
+                break
+        if off == 0:
             # device gone / persistent error: stop claiming to pace the
             # pump, or the render loop spins at full speed against a dead
             # write. The pump falls back to wall-clock pacing.

@@ -43,15 +43,12 @@ class FileSource(AudioSource):
 
     def __init__(self, path: str, loop: bool = True,
                  engine_rate: int = 0):
-        from .wav import read_audio
+        from .wav import read_audio, to_stereo
 
         audio = read_audio(path)
-        data = audio.samples
-        if data.ndim == 1:
-            data = data[:, None]
-        if data.shape[1] == 1:
-            data = np.repeat(data, 2, axis=1)
-        data = np.ascontiguousarray(data[:, :2], np.float32)
+        # one channel-normalization policy (io/wav.to_stereo), not a copy
+        # that can drift from it
+        data = np.ascontiguousarray(to_stereo(audio.samples), np.float32)
         # a capture file at a different rate would otherwise be consumed
         # sample-for-sample — silently pitch/speed-shifted audio
         if engine_rate and audio.sample_rate != engine_rate and len(data):
@@ -100,10 +97,14 @@ class AlsaPcmSource(AudioSource):
         self._channels = channels
 
     def read(self, frames: int) -> np.ndarray:
+        from .wav import to_stereo
+
         block = alsa.pcm_read(self._handle, frames, self._channels)
         if block.shape[0] < frames:
             block = np.pad(block, ((0, frames - block.shape[0]), (0, 0)))
-        return block[:, :2].astype(np.float32, copy=False)
+        # a mono capture device must still honor the read() contract
+        # (float32 [frames, 2]) — duplicate like every other source
+        return to_stereo(block).astype(np.float32, copy=False)
 
     def close(self) -> None:
         if self._handle is not None:

@@ -110,37 +110,69 @@ class AlsaRawMidiPort(MidiPort):
 def _split_midi_stream(raw: bytes) -> tuple[list[bytes], bytes]:
     """Split a raw byte stream into (complete messages, trailing partial).
 
+    A real byte-stream parser, because real hardware demands it:
+    - REALTIME bytes (0xF8-0xFF) may interrupt any message mid-flight
+      (MIDI 1.0 spec) and clock-sending gear does so 24 times per quarter;
+      they are emitted immediately as standalone events and excluded from
+      the message they interrupt.
+    - Known-length system commons (F1 ×2, F2 ×3, F3 ×2, F6 ×1) emit as
+      soon as their last byte arrives — including exactly at a read
+      boundary (a Song Position as a burst's final bytes must not sit in
+      the carry until the device happens to send more).
+    - SysEx includes its EOX terminator (F0 ... F7 as ONE event); a SysEx
+      interrupted by a non-realtime status is dropped (spec: a new status
+      cancels an unterminated SysEx).
     Running status is not supported — hardware we target sends full
-    messages, like JACK normalizes. A channel or system-common message cut
-    off by the read boundary is returned as the trailing partial so the
-    caller can prepend it to the next read instead of emitting a
-    truncated (crash-prone) event."""
-    out = []
-    i = 0
-    n = len(raw)
-    while i < n:
-        b = raw[i]
-        if b >= 0xF8:          # realtime: single byte
+    messages, like JACK normalizes. An incomplete message at the read
+    boundary is returned as the trailing partial (realtime bytes already
+    removed) so the caller prepends it to the next read; carries over 64
+    bytes are dropped (runaway-SysEx bound)."""
+    _COMMON_LEN = {0xF1: 2, 0xF2: 3, 0xF3: 2, 0xF6: 1}
+    out: list[bytes] = []
+    msg = bytearray()  # in-progress message (status + data so far)
+    need = 0           # data bytes still missing; -1 = SysEx (until F7)
+    for b in raw:
+        if b >= 0xF8:              # realtime: emit through, never buffered
             out.append(bytes([b]))
-            i += 1
-        elif b >= 0xF0:        # system common: variable, runs to next status
-            j = i + 1
-            while j < n and raw[j] < 0x80:
-                j += 1
-            if j == n:
-                # may continue in the next read (bounded: drop if huge)
-                return out, raw[i:j] if j - i < 64 else b""
-            out.append(raw[i:j])
-            i = j
-        elif b >= 0x80:
-            size = 2 if (b & 0xF0) in (0xC0, 0xD0) else 3
-            if i + size > n:
-                return out, raw[i:]
-            out.append(raw[i : i + size])
-            i += size
-        else:
-            i += 1  # stray data byte
-    return out, b""
+            continue
+        if b >= 0x80:              # status byte
+            if msg and need == -1 and b == 0xF7:
+                msg.append(b)      # EOX terminates the SysEx, included
+                out.append(bytes(msg))
+                msg = bytearray()
+                continue
+            # a new status cancels any incomplete message (malformed or
+            # unterminated SysEx): drop it rather than emit a fragment
+            msg = bytearray()
+            if b == 0xF0:
+                msg = bytearray([b])
+                need = -1
+            elif b >= 0xF0:
+                size = _COMMON_LEN.get(b)
+                if size is None:
+                    continue       # F4/F5 undefined, stray F7: drop
+                if size == 1:
+                    out.append(bytes([b]))
+                else:
+                    msg = bytearray([b])
+                    need = size - 1
+            else:
+                msg = bytearray([b])
+                need = 1 if (b & 0xF0) in (0xC0, 0xD0) else 2
+            continue
+        # data byte
+        if not msg:
+            continue               # stray data byte, no message open
+        msg.append(b)
+        if need == -1:
+            if len(msg) > 64:      # runaway unterminated SysEx
+                msg = bytearray()
+            continue
+        need -= 1
+        if need == 0:
+            out.append(bytes(msg))
+            msg = bytearray()
+    return out, bytes(msg) if len(msg) < 64 else b""
 
 
 class InputDeviceEntry:

@@ -52,12 +52,18 @@ class PositionsModel:
         p = self._positions.get(position_id)
         if p is None:
             return
-        old_peak = self.peak_gain()
+        # one peak scan per side of the mutation, and only when someone
+        # listens (the unconditional triple scan was the same per-call
+        # cost class set_many exists to avoid)
+        watch = self.on_peak_gain_changed is not None
+        old_peak = self.peak_gain() if watch else 0.0
         p.gain = float(gain)
         p.progress = float(progress)
         p.last_updated = self._clock()
-        if self.on_peak_gain_changed is not None and self.peak_gain() != old_peak:
-            self.on_peak_gain_changed(self.peak_gain())
+        if watch:
+            new_peak = self.peak_gain()
+            if new_peak != old_peak:
+                self.on_peak_gain_changed(new_peak)
         if self.on_first_progress_changed is not None:
             self.on_first_progress_changed(self.first_progress())
 

@@ -86,7 +86,10 @@ class WaveFormItem:
         if self._samples is None:
             z = np.zeros((self.num_buckets, 1), np.float32)
             return z, z
-        key = (self._source, round(self._start, 6), round(self._end, 6))
+        # num_buckets is a public attribute: it must participate in the
+        # key or a resolution change returns stale wrong-sized envelopes
+        key = (self._source, round(self._start, 6), round(self._end, 6),
+               self.num_buckets)
         if key in self._cache:
             self._cache.move_to_end(key)
             return self._cache[key]

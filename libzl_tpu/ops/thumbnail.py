@@ -27,6 +27,13 @@ def thumbnail_math(xp, samples, num_buckets: int):
         samples = samples[:, None]  # mono 1-D -> [T, 1]
     t_axis = samples.ndim - 2
     T = samples.shape[t_axis]
+    if T == 0:
+        # edge-pad cannot extend an empty axis; an empty window is a flat
+        # zero envelope (same rule as thumbnail_region's guard)
+        shape = list(samples.shape)
+        shape[t_axis] = num_buckets
+        z = xp.zeros(tuple(shape), np.float32)
+        return z, z
     bucket = max(T // num_buckets, 1)
     usable = bucket * num_buckets
     if T < usable:
@@ -68,6 +75,9 @@ def thumbnail_region(
     s = max(int(start_seconds * sample_rate), 0)
     e = min(int(end_seconds * sample_rate), T)
     if e <= s:
-        z = np.zeros((num_buckets, samples.shape[-1]), np.float32)
+        # samples.shape[-1] is the FRAME count for 1-D mono input — the
+        # channel count must come from the normalized-to-2D view
+        n_ch = 1 if samples.ndim == 1 else samples.shape[-1]
+        z = np.zeros((num_buckets, n_ch), np.float32)
         return z, z
     return thumbnail_math(np, samples[s:e], num_buckets)

@@ -513,3 +513,96 @@ def test_file_source_resamples_rate_mismatch(tmp_path):
     freqs = np.fft.rfftfreq(len(audio), 1 / sr_engine)
     peak_hz = freqs[int(np.argmax(spec))]
     assert abs(peak_hz - 1000.0) < 15.0, peak_hz
+
+
+def test_split_midi_stream_realtime_interleaved():
+    """Realtime bytes legally interrupt any message mid-flight (MIDI 1.0);
+    clock-sending hardware does it 24x per quarter. They must pass
+    through as standalone events without corrupting the host message."""
+    from libzl_tpu.midi.devices import _split_midi_stream
+
+    # clock inside a note-on: velocity must be 0x40, not 0xF8
+    msgs, tail = _split_midi_stream(bytes([0x90, 0x3C, 0xF8, 0x40]))
+    assert msgs == [bytes([0xF8]), bytes([0x90, 0x3C, 0x40])]
+    assert tail == b""
+    # clock inside a carried partial: the carry excludes the realtime byte
+    msgs, tail = _split_midi_stream(bytes([0x90, 0x3C, 0xF8]))
+    assert msgs == [bytes([0xF8])]
+    assert tail == bytes([0x90, 0x3C])
+    msgs2, tail2 = _split_midi_stream(tail + bytes([0x40]))
+    assert msgs2 == [bytes([0x90, 0x3C, 0x40])] and tail2 == b""
+
+
+def test_split_midi_stream_known_length_commons_flush_at_boundary():
+    """A complete Song Position / Song Select / Tune Request ending
+    exactly at the read boundary must emit now, not sit in the carry
+    until the device sends more bytes."""
+    from libzl_tpu.midi.devices import _split_midi_stream
+
+    msgs, tail = _split_midi_stream(bytes([0xF2, 0x10, 0x20]))
+    assert msgs == [bytes([0xF2, 0x10, 0x20])] and tail == b""
+    msgs, tail = _split_midi_stream(bytes([0xF3, 0x05]))
+    assert msgs == [bytes([0xF3, 0x05])] and tail == b""
+    msgs, tail = _split_midi_stream(bytes([0xF6]))
+    assert msgs == [bytes([0xF6])] and tail == b""
+    # still carries when genuinely incomplete
+    msgs, tail = _split_midi_stream(bytes([0xF2, 0x10]))
+    assert msgs == [] and tail == bytes([0xF2, 0x10])
+
+
+def test_split_midi_stream_sysex_includes_eox():
+    """F0 ... F7 is ONE event including the terminator; an interrupting
+    realtime byte passes through; a new status cancels an unterminated
+    SysEx instead of emitting a fragment."""
+    from libzl_tpu.midi.devices import _split_midi_stream
+
+    msgs, tail = _split_midi_stream(bytes([0xF0, 0x41, 0x10, 0xF7]))
+    assert msgs == [bytes([0xF0, 0x41, 0x10, 0xF7])] and tail == b""
+    msgs, tail = _split_midi_stream(
+        bytes([0xF0, 0x41, 0xF8, 0x10, 0xF7, 0x90, 0x3C, 0x40]))
+    assert msgs == [bytes([0xF8]), bytes([0xF0, 0x41, 0x10, 0xF7]),
+                    bytes([0x90, 0x3C, 0x40])]
+    # unterminated sysex aborted by a channel status: sysex dropped
+    msgs, tail = _split_midi_stream(bytes([0xF0, 0x41, 0x90, 0x3C, 0x40]))
+    assert msgs == [bytes([0x90, 0x3C, 0x40])] and tail == b""
+    # unterminated sysex at the boundary carries (bounded)
+    msgs, tail = _split_midi_stream(bytes([0xF0, 1, 2]))
+    assert msgs == [] and tail == bytes([0xF0, 1, 2])
+
+
+def test_alsa_sink_retries_partial_writes(fake_alsa):
+    """A short pcm_write (post-xrun interrupted writei) must not drop the
+    block tail as a silent gap: the sink retries the remainder."""
+    sink = make_sink("alsa:short", SR)
+    block = np.arange(256, dtype=np.float32).reshape(128, 2) / 256.0
+    chunks = []
+
+    def short_write(handle, b):
+        take = min(48, b.shape[0])
+        chunks.append(np.array(b[:take], copy=True))
+        return take
+
+    fake_alsa.py_pcm_write = short_write
+    sink.write(block)
+    delivered = np.concatenate(chunks, axis=0)
+    assert delivered.shape[0] == 128
+    np.testing.assert_array_equal(delivered, block)
+    assert sink.frames_written == 128
+    assert sink.pacing
+
+
+def test_alsa_mono_capture_duplicates_to_stereo(fake_alsa):
+    """A channels=1 capture device must still honor the AudioSource.read
+    contract (float32 [frames, 2])."""
+    from libzl_tpu.io.sources import AlsaPcmSource
+
+    fake_alsa.py_pcm_open_capture = lambda d, r, c, lu: d
+    fake_alsa.py_pcm_read = (
+        lambda h, frames, channels:
+        np.full((frames, 1), 0.25, np.float32))
+    fake_alsa.py_pcm_close = lambda h: None
+    src = AlsaPcmSource("monodev", SR, channels=1)
+    out = src.read(64)
+    assert out.shape == (64, 2)
+    assert np.allclose(out, 0.25)
+    src.close()

@@ -63,3 +63,36 @@ def test_waveform_item_cache_and_callbacks():
         item.set_start(float(s))
         item.envelope()
     assert len(item._cache) <= 5
+
+
+def test_empty_and_mono_edge_cases():
+    """Zero-length input yields a flat zero envelope (edge-pad cannot
+    extend an empty axis), and a 1-D mono empty zoom window returns
+    [buckets, 1] — not [buckets, frame_count]."""
+    import numpy as np
+
+    from libzl_tpu.ops.thumbnail import thumbnail_math, thumbnail_region
+
+    mins, maxs = thumbnail_math(np, np.zeros((0, 2), np.float32), 64)
+    assert mins.shape == (64, 2) and not mins.any() and not maxs.any()
+    mono = np.ones(48000, np.float32)
+    mins, maxs = thumbnail_region(mono, 1.0, 1.0, 48000.0, 32)
+    assert mins.shape == (32, 1)
+
+
+def test_waveform_cache_keys_on_num_buckets(tmp_path):
+    import numpy as np
+
+    from libzl_tpu.io.wav import write_wav
+    from libzl_tpu.models.waveform import WaveFormItem
+
+    p = tmp_path / "w.wav"
+    write_wav(p, np.random.default_rng(0).uniform(
+        -0.5, 0.5, (4800, 1)).astype(np.float32), 48000)
+    item = WaveFormItem()
+    item.set_source(str(p))
+    a, _ = item.envelope()
+    item.num_buckets = 128
+    b, _ = item.envelope()
+    assert a.shape[0] != b.shape[0]
+    assert b.shape[0] == 128
