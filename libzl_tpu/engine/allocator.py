@@ -71,7 +71,11 @@ class VoiceAllocator:
         slice_idx = cmd.slice if cmd.change_slice else -1
         start_sec = clip.get_start_position(slice_idx)
         stop_sec = clip.get_stop_position(slice_idx)
-        volume = cmd.volume if cmd.change_volume else 1.0
+        # the reference passes clipCommand->volume as the start velocity
+        # UNCONDITIONALLY (lib/SamplerSynth.cpp:211) — a start command
+        # without change_volume starts at the struct default 0.0 (silent),
+        # exactly as an ABI client imitating the reference structs expects
+        volume = cmd.volume
         pool.note_on(
             v,
             clip_id=cmd.clip_id,
@@ -120,5 +124,8 @@ class VoiceAllocator:
                 sr = pool.source_rate[v]
                 pool.istart[v] = int(clip.get_start_position(cmd.slice) * sr)
                 pool.stop[v] = int(clip.get_stop_position(cmd.slice) * sr)
-        if cmd.start_playback:
-            pool.restart_playback(v)
+        # no start_playback case here: handle() routes every start-flagged
+        # command to _start (claim an idle voice), exactly like the
+        # reference's handleCommand — its setCurrentCommand restart path
+        # (lib/SamplerSynthVoice.cpp:87-92) is likewise only reached with
+        # a freshly claimed voice, never a live one

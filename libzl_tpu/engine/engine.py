@@ -378,7 +378,13 @@ class AudioEngine:
 
     def reload_clip_sound(self, clip) -> None:
         """playbackFileChanged analog (lib/SamplerSynthSound.cpp:68)."""
+        # pool state is about to change: catch the mirror up / discard any
+        # speculative horizon first (same discipline as command hooks)
+        self._mark_event()
         clip.slot = self.bank.replace(clip.slot.slot, clip.playback_audio)
+        # live voices switch to the new render at the next block, like the
+        # reference's per-block buffer re-read (SamplerSynthVoice.cpp:189-191)
+        self.pool.rebase_clip(clip.id, clip.slot.base, clip.slot.length)
 
     def unregister_clip(self, clip) -> None:
         if clip.id in self.clips:
@@ -431,6 +437,11 @@ class AudioEngine:
         (lib/SyncTimer.cpp:816-832)."""
         cmd = ClipCommand.channel(clip.id, midi_channel)
         cmd.midi_note = 60
+        cmd.change_volume = True
+        cmd.volume = 1.0
+        # restart the loop rather than layering a second one
+        # (lib/SyncTimer.cpp:825-827: stopPlayback AND startPlayback)
+        cmd.stop_playback = True
         cmd.start_playback = True
         cmd.looping = True
         cmd.change_looping = True

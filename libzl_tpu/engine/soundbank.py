@@ -83,9 +83,9 @@ class SoundBank:
     def slot(self, slot_id: int) -> SoundSlot:
         return self._slots[slot_id]
 
-    def load(self, audio: AudioData) -> SoundSlot:
-        """Add a decoded sound; returns its slot."""
-        samples = to_stereo(np.asarray(audio.samples, dtype=np.float32))
+    def _append_region(self, samples: np.ndarray) -> tuple[int, int]:
+        """Append a fresh region (guard tail zeroed); returns (base, padded).
+        Shared by load and replace so the guard-fill rule cannot drift."""
         length = samples.shape[0]
         padded = length + _GUARD_FRAMES
         if self._used + padded > self.capacity_frames - self._tail_guard:
@@ -94,6 +94,13 @@ class SoundBank:
         self._data[:, base : base + length] = samples.T
         self._data[:, base + length : base + padded] = 0.0
         self._used += padded
+        return base, padded
+
+    def load(self, audio: AudioData) -> SoundSlot:
+        """Add a decoded sound; returns its slot."""
+        samples = to_stereo(np.asarray(audio.samples, dtype=np.float32))
+        length = samples.shape[0]
+        base, padded = self._append_region(samples)
         if self._free:
             slot_id = self._free.pop()
         else:
@@ -115,19 +122,22 @@ class SoundBank:
         playbackFileChanged, lib/SamplerSynthSound.cpp:68). Reuses the region
         when the new sound fits, else appends a new region."""
         old = self._slots[slot_id]
+        if old is None:
+            # replacing an unloaded slot would resurrect an id still on
+            # the free list — a later load() would then hand the same id
+            # to a different sound. Surface the lifecycle bug.
+            raise ValueError(
+                f"replace() on unloaded slot {slot_id}; use load() for a "
+                f"new sound"
+            )
         samples = to_stereo(np.asarray(audio.samples, dtype=np.float32))
         length = samples.shape[0]
-        if old is not None and length + _GUARD_FRAMES <= old.padded_length:
+        if length + _GUARD_FRAMES <= old.padded_length:
             base, padded = old.base, old.padded_length
             self._data[:, base : base + length] = samples.T
             self._data[:, base + length : base + padded] = 0.0
         else:
-            padded = length + _GUARD_FRAMES
-            if self._used + padded > self.capacity_frames - self._tail_guard:
-                self._grow(self._used + padded + self._tail_guard)
-            base = self._used
-            self._data[:, base : base + length] = samples.T
-            self._used += padded
+            base, padded = self._append_region(samples)
         s = SoundSlot(
             slot=slot_id,
             base=base,
@@ -140,7 +150,11 @@ class SoundBank:
         return s
 
     def unload(self, slot_id: int) -> None:
-        """Release a slot id (region is not compacted; ids are recycled)."""
+        """Release a slot id (region is not compacted; ids are recycled).
+        Idempotent: a double unload must not push the id onto the free
+        list twice (two later load()s would then share one slot)."""
+        if self._slots[slot_id] is None:
+            return
         self._slots[slot_id] = None  # type: ignore[assignment]
         self._free.append(slot_id)
         self.version += 1

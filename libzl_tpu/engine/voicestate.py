@@ -218,11 +218,21 @@ class VoicePool:
         self.stage[voice] = adsr_ops.STAGE_IDLE
         self.env[voice] = 0.0
 
-    def restart_playback(self, voice: int) -> None:
-        """startPlayback on a live voice = restart from the slice start
-        (lib/SamplerSynthVoice.cpp:87-92)."""
-        self.pos_int[voice] = self.istart[voice]
-        self.pos_frac[voice] = 0.0
+    def rebase_clip(self, clip_id: int, base: int, length: int) -> None:
+        """Re-point live voices of `clip_id` at a swapped playback render.
+
+        The reference's voices re-read the (reloaded) buffer and its
+        geometry every block (lib/SamplerSynthVoice.cpp:189-191), so a
+        re-render landing mid-note switches live playback to the new
+        audio at the next block. Positions and stop frames carry over
+        unchanged: they are playback-file sample offsets, and the
+        playback sample rate is invariant across re-renders (a voice past
+        the new end plays reference-correct silence until its positional
+        wrap/stop — the documented unclamped-stop rule)."""
+        m = self.active & (self.clip_id == clip_id)
+        if m.any():
+            self.base[m] = base
+            self.length[m] = length
 
     # ------------------------------------------------------- program building
 

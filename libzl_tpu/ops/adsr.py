@@ -189,7 +189,15 @@ def make_rates(attack: float, decay: float, sustain: float, release: float,
     a_rate = 1.0 / (attack * source_rate) if attack > 0 else 0.0
     d_rate = (1.0 - sustain) / (decay * source_rate) if decay > 0 else 0.0
     inv_rel = 1.0 / (release * source_rate) if release > 0 else 0.0
-    rel_log2 = float(np.log2(np.float32(1.0) - np.float32(inv_rel))) if 0 < inv_rel < 1 else 0.0
+    if 0 < inv_rel < 1:
+        rel_log2 = float(np.log2(np.float32(1.0) - np.float32(inv_rel)))
+    elif inv_rel >= 1:
+        # juce's env *= (1 - inv_rel) goes <= 0 on the first release frame
+        # (sub-frame release times): the exponential form must cut, not
+        # hold — exp2(-200) underflows f32 to exactly 0 after one step
+        rel_log2 = -200.0
+    else:
+        rel_log2 = 0.0
     return dict(
         a_rate=np.float32(a_rate),
         d_rate=np.float32(d_rate),

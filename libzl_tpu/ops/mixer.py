@@ -53,8 +53,12 @@ def apply_strips(xp, audio, params: StripParams):
     l_scale = xp.minimum(one - pan, one) * gate
     r_scale = xp.minimum(one + pan, one) * gate
     scale = xp.stack([l_scale, r_scale], axis=-1)  # [K, 1, 2]
+    # hoist the shared product: bit-identical to audio*scale*amount (same
+    # left-associative f32 order) but the numpy mirror pays the [K, B, 2]
+    # multiply once instead of once per send (XLA CSEs it on device)
+    scaled = audio * scale
 
     def send(amount):
-        return (audio * scale * amount[:, None, None]).astype(f32)
+        return (scaled * amount[:, None, None]).astype(f32)
 
     return send(params.dry), send(params.wet1), send(params.wet2)

@@ -76,8 +76,17 @@ def samples_to_ticks(bpm: float, samples: float, sample_rate: float) -> float:
 
 def schedule_ahead_ticks(bpm: float, latency_seconds: float) -> int:
     """Ticks of schedule-ahead needed to cover `latency_seconds` of output
-    latency, plus one guard tick (lib/SyncTimer.cpp:711-715)."""
-    return int(nanoseconds_to_ticks(clamp_bpm(bpm), latency_seconds * 1e9)) + 1
+    latency, plus one guard tick (lib/SyncTimer.cpp:711-715).
+
+    Integer arithmetic on purpose: the reference's nanosecondsToSubbeatCount
+    divides by the FLOOR-truncated per-tick nanosecond interval (quint64
+    division, lib/SyncTimer.cpp:184-186), which yields one tick MORE than
+    exact float math whenever the interval doesn't divide the minute
+    evenly — schedule-ahead must err long, not short."""
+    interval_ns = int(
+        NANOSECONDS_PER_MINUTE // (int(clamp_bpm(bpm)) * BEAT_SUBDIVISIONS)
+    )
+    return int(int(latency_seconds * 1e9) // max(interval_ns, 1)) + 1
 
 
 def next_bar_delay(cumulative_tick: int) -> int:

@@ -197,3 +197,27 @@ def test_numpy_jax_bit_exact():
     exp_rows = prog.rel_mode == 1
     np.testing.assert_array_equal(env_np[~exp_rows], env_jax[~exp_rows])
     np.testing.assert_allclose(env_np[exp_rows], env_jax[exp_rows], rtol=1e-6)
+
+
+def test_subframe_release_cuts_immediately():
+    """release*sr <= 1 makes juce's env *= (1 - 1/(R*sr)) go <= 0 on the
+    first release frame — the closed-form exponential must cut to 0, not
+    hold a constant envelope (rel_log2 was 0 for inv_rel >= 1)."""
+    sr = 48000.0
+    for release in (0.5 / sr, 1.0 / sr):
+        params = (0.0, 0.1, 1.0, release)
+        rates = adsr.make_rates(*params, sr)
+        assert rates["inv_rel"] >= 1.0
+        sim = JuceAdsrSim(*params, sr)
+        sim.note_on()
+        expected = []
+        for _ in range(8):
+            sim.note_off()
+            expected.append(sim.next_sample())
+        prog = make_prog(
+            adsr.STAGE_SUSTAIN, 1.0, rates, release_frame=0,
+            mode=adsr.RELEASE_MODE_EXPONENTIAL,
+        )
+        got = adsr.envelope_block(np, prog, 8)[0]
+        np.testing.assert_allclose(got, np.array(expected, np.float32),
+                                   atol=1e-6)

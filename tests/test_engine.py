@@ -483,3 +483,63 @@ def test_play_honors_clip_looping_flag():
     eng.process_block()
     act = np.flatnonzero(eng.pool.active)
     assert any(bool(eng.pool.looping[v]) for v in act)
+
+
+def test_rerender_rebases_live_voices_midnote():
+    """A playback re-render landing mid-note switches LIVE voices to the
+    new audio at the next block, like the reference's per-block buffer
+    re-read (lib/SamplerSynthVoice.cpp:189-191) — they must not keep
+    playing the old region until the note ends."""
+    from libzl_tpu.io.wav import AudioData
+
+    engine = make_engine()
+    clip = make_clip(engine)
+    clip.play(loop=True, midi_channel=0)
+    engine.start_transport(bpm=120)
+    loud = render_seconds(engine, 0.1)
+    assert np.abs(loud).max() > 0.05
+    assert engine.pool.active.sum() == 1
+    # the re-render lands (playbackFileChanged): silence of the same length
+    clip._finish_playback_update(
+        np.zeros_like(np.asarray(clip.playback_audio.samples))
+    )
+    assert engine.pool.active.sum() == 1  # note survives the swap
+    after = render_seconds(engine, 0.1)
+    assert np.abs(after).max() == 0.0, "live voice still playing old region"
+
+
+def test_start_without_change_volume_is_silent_parity():
+    """The reference passes clipCommand->volume as the start velocity
+    unconditionally (lib/SamplerSynth.cpp:211); the struct default is 0.0,
+    so a start command without change_volume starts silent."""
+    from libzl_tpu.engine.commands import ClipCommand
+
+    engine = make_engine()
+    clip = make_clip(engine)
+    engine.start_transport(bpm=120)
+    cmd = ClipCommand.channel(clip.id, 0)
+    cmd.midi_note = 60
+    cmd.start_playback = True
+    engine.schedule_clip_command(cmd, 0)
+    out = render_seconds(engine, 0.05)
+    assert engine.pool.active.sum() == 1  # voice claimed, just silent
+    assert np.abs(out).max() == 0.0
+
+
+def test_soundbank_lifecycle_invariants():
+    """unload is idempotent (no double free-list entries) and replace on
+    an unloaded slot raises instead of resurrecting a freed id."""
+    import pytest
+
+    from libzl_tpu.engine.soundbank import SoundBank
+    from libzl_tpu.io.wav import AudioData
+
+    bank = SoundBank(capacity_frames=1 << 16)
+    a = bank.load(AudioData(np.ones((100, 1), np.float32), 48000))
+    bank.unload(a.slot)
+    bank.unload(a.slot)  # idempotent: must not push the id twice
+    with pytest.raises(ValueError, match="unloaded"):
+        bank.replace(a.slot, AudioData(np.ones((50, 1), np.float32), 48000))
+    b = bank.load(AudioData(np.ones((10, 1), np.float32), 48000))
+    c = bank.load(AudioData(np.ones((20, 1), np.float32), 48000))
+    assert b.slot != c.slot, "recycled id handed out twice"

@@ -105,3 +105,15 @@ class TestBlockClock:
         assert clock.bpm == 200
         clock.set_bpm(1)
         assert clock.bpm == 50
+
+
+def test_schedule_ahead_uses_floor_truncated_interval():
+    """nanosecondsToSubbeatCount divides by the FLOOR-truncated per-tick
+    interval (quint64 math, lib/SyncTimer.cpp:184-186): at 140 bpm the
+    interval is 4464285 ns, so 89285700 ns of latency covers 20 ticks
+    (+1 guard = 21) — exact float math would say 19+1."""
+    from libzl_tpu.timebase import schedule_ahead_ticks
+
+    assert schedule_ahead_ticks(140, 0.0892857) == 21
+    # exact divisors unchanged: 125 bpm -> 5 ms/tick
+    assert schedule_ahead_ticks(125, 0.010) == 3
