@@ -1186,7 +1186,11 @@ class AudioEngine:
                     budget_blocks=(self._lookahead
                                    if self._h_built_this_block else 1),
                 )
-                self.dsp_load.observe(busy)
+                self.dsp_load.observe(
+                    busy,
+                    budget_blocks=(self._lookahead
+                                   if self._h_built_this_block else 1),
+                )
                 return BlockResult(outputs=out, midi_out=midi_out,
                                    tick_count=tick_count)
 

@@ -22,16 +22,26 @@ from ..constants import RECORDER_BIT_DEPTH, RECORDER_FIFO_SAMPLES
 _COMPRESSED_SUFFIXES = (".flac", ".ogg", ".mp3")
 
 
-def timestamped_filename(prefix: str, suffix: str = ".wav") -> str:
+def timestamped_filename(prefix: str, suffix: str = ".wav",
+                         stamp: "str | None" = None) -> str:
     """Reference naming rule: the prefix is used verbatim when it already
-    ends in .wav, otherwise a timestamp is appended
-    (lib/AudioLevels.cpp:539-547). Extended beyond the reference: a prefix
-    ending in .flac/.ogg/.mp3 is also used verbatim and selects that
-    recording format (see DiskRecorder)."""
+    ends in .wav, otherwise "-" + a timestamp is appended — QString
+    "%1-%2.wav" (lib/AudioLevels.cpp:539-556). `stamp` lets one take share
+    a single timestamp across all its recorders, as the reference does
+    (every writer of a take gets the same %2) — re-sampling per recorder
+    would split a take's files across a second boundary. Extended beyond
+    the reference: a prefix ending in .flac/.ogg/.mp3 is also used
+    verbatim and selects that recording format (see DiskRecorder)."""
     if prefix.endswith((".wav",) + _COMPRESSED_SUFFIXES):
         return prefix
-    stamp = time.strftime("%Y%m%d-%H%M") + f"{time.time() % 60:06.3f}"
-    return f"{prefix}{stamp}{suffix}"
+    if stamp is None:
+        stamp = recording_timestamp()
+    return f"{prefix}-{stamp}{suffix}"
+
+
+def recording_timestamp() -> str:
+    """One take-level timestamp (share across a take's recorders)."""
+    return time.strftime("%Y%m%d-%H%M") + f"{time.time() % 60:06.3f}"
 
 
 class DiskRecorder:
@@ -98,6 +108,10 @@ class DiskRecorder:
         self.frames_written = 0
         self.dropped_blocks = 0
         self.failed = False
+        self._frames_at_last_full = -1
+        # session token: a zombie writer that outlived its join timeout
+        # must not mutate the REPLACEMENT session's shared flags
+        self._session = getattr(self, "_session", 0) + 1
         self._thread = threading.Thread(target=self._run, daemon=True)
         self._thread.start()
 
@@ -109,15 +123,32 @@ class DiskRecorder:
     PUSH_TIMEOUT_S = 2.0
 
     def push(self, block: np.ndarray) -> None:
-        """Append [frames, channels] float32 audio. Bounded wait: a healthy
-        writer back-pressures the producer; a dead/stalled one causes a
-        counted drop after PUSH_TIMEOUT_S rather than a permanent freeze
-        (push may run under the engine lock on the pump thread)."""
-        if self._recording and self._queue is not None:
-            try:
-                self._queue.put(np.asarray(block), timeout=self.PUSH_TIMEOUT_S)
-            except queue.Full:
-                self.dropped_blocks += 1
+        """Append [frames, channels] float32 audio.
+
+        Fast path is non-blocking. On a full queue, wait (bounded) ONLY if
+        the writer made progress since the last full event — that's
+        healthy back-pressure for faster-than-realtime producers (offline
+        bounces). A wedged writer (stuck inside writeframes on a dead
+        mount, queue full, zero progress) gets counted drops immediately:
+        push may run under the engine lock on the pump thread, and a
+        2 s wait PER BLOCK there is a de-facto permanent freeze — the
+        bounded wait must bound the sequence, not just one call."""
+        if not (self._recording and self._queue is not None):
+            return
+        block = np.asarray(block)
+        try:
+            self._queue.put_nowait(block)
+            return
+        except queue.Full:
+            pass
+        if self.frames_written == self._frames_at_last_full:
+            self.dropped_blocks += 1
+            return
+        self._frames_at_last_full = self.frames_written
+        try:
+            self._queue.put(block, timeout=self.PUSH_TIMEOUT_S)
+        except queue.Full:
+            self.dropped_blocks += 1
 
     def stop(self) -> None:
         if not self._recording:
@@ -144,13 +175,21 @@ class DiskRecorder:
         wav = self._wave
         wav_path = self._wav_path
         convert_to = self._convert_to
+        sess = self._session
+        failed = False
         try:
             while True:
                 block = q.get()
                 if block is None:
                     break
                 clipped = np.clip(block, -1.0, 1.0)
-                ints = np.round(clipped * scale)
+                if width >= 3:
+                    # f32 spacing is 1.0 at magnitude 2^23: scaling in f32
+                    # costs 1 LSB on ~17% of 24-bit samples (write_wav's
+                    # 32-bit path documents the same rule)
+                    ints = np.round(clipped.astype(np.float64) * scale)
+                else:
+                    ints = np.round(clipped * scale)
                 if width == 2:
                     raw = ints.astype("<i2").tobytes()
                 elif width == 3:
@@ -163,12 +202,17 @@ class DiskRecorder:
                 else:
                     raw = ints.astype("<i4").tobytes()
                 wav.writeframes(raw)
-                self.frames_written += block.shape[0]
+                if self._session == sess:
+                    self.frames_written += block.shape[0]
         except Exception:
             # disk full / target deleted: mark failed and keep draining so
-            # producers never see a permanently-full queue
-            self.failed = True
-            self._recording = False
+            # producers never see a permanently-full queue. Shared flags
+            # belong to whichever session is CURRENT — a zombie from a
+            # wedged previous session must not kill its replacement.
+            failed = True
+            if self._session == sess:
+                self.failed = True
+                self._recording = False
             while True:
                 try:
                     if q.get(timeout=5.0) is None:
@@ -179,10 +223,12 @@ class DiskRecorder:
             try:
                 wav.close()
             except Exception:
-                self.failed = True
+                failed = True
+                if self._session == sess:
+                    self.failed = True
             if self._wave is wav:
                 self._wave = None
-            if convert_to is not None and not self.failed:
+            if convert_to is not None and not failed:
                 self._transcode(wav_path, convert_to)
 
     def _transcode(self, wav_path, target) -> None:

@@ -75,7 +75,10 @@ def read_wav(path: str | Path) -> AudioData:
             framerate = w.getframerate()
             raw = w.readframes(w.getnframes())
         return AudioData(_decode_pcm(raw, sampwidth, n_channels), framerate)
-    except wave.Error:
+    except (wave.Error, EOFError):
+        # stdlib wave raises EOFError (not wave.Error) for files truncated
+        # mid-chunk — the RIFF fallback still decodes partial data or
+        # raises a clear missing-chunk error
         return _read_wav_riff(path)
 
 
@@ -268,7 +271,11 @@ def write_wav(
         raw = ints.tobytes()
         sampwidth = 2
     elif bit_depth == 24:
-        ints = np.round(clipped * float((1 << 23) - 1)).astype(np.int32)
+        # f64 like the 32-bit path: f32 spacing is 1.0 at magnitude 2^23,
+        # so scaling in f32 costs 1 LSB on ~17% of samples
+        ints = np.round(
+            clipped.astype(np.float64) * float((1 << 23) - 1)
+        ).astype(np.int32)
         b = np.empty((ints.size, 3), dtype=np.uint8)
         flat = ints.reshape(-1)
         b[:, 0] = flat & 0xFF

@@ -104,9 +104,14 @@ class MidiRouter:
         # filterMidiOut but never consults it outside a debug print
         # (lib/MidiRouter.cpp:242,989,1012) — stored here for the same
         # observable behavior.
-        self.filter_midi_out = bool(
-            int(os.environ.get("ZYNTHIAN_MIDI_FILTER_OUTPUT", "0") or 0)
-        )
+        try:
+            self.filter_midi_out = bool(
+                int(os.environ.get("ZYNTHIAN_MIDI_FILTER_OUTPUT", "0") or 0)
+            )
+        except ValueError:
+            # QString::toInt yields 0 for non-numeric values — a stray
+            # "true" in the environment must not abort engine construction
+            self.filter_midi_out = False
         ports = os.environ.get(
             "ZYNTHIAN_MIDI_PORTS",
             "DISABLED_IN=\\nENABLED_OUT=ttymidi:MIDI_out\\nENABLED_FB=",

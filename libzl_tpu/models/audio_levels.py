@@ -23,6 +23,7 @@ import numpy as np
 
 from ..constants import (
     METER_DBFS_FLOOR,
+    NUM_SAMPLER_CHANNELS,
     PEAK_HOLD_DECAY,
     PEAK_INT_DECAY_PER_TICK,
     PEAK_INT_SCALE,
@@ -168,11 +169,39 @@ class AudioLevels:
         self.ports_prefix = prefix
 
     def add_record_port(self, port_name: str, channel: int) -> None:
-        """lib/AudioLevels.cpp:462-481: (port, 0|1) pairs feed the stereo
-        ports recorder."""
+        """lib/AudioLevels.cpp:462-481: (port, channel) pairs feed the
+        ports recorder (one recorded channel per pair, like the
+        reference's recordPorts.count()-channel writer).
+
+        Validation happens HERE, on the API thread: a malformed name must
+        raise to the caller, never inside the pump's per-block feed (100
+        consecutive feed failures would kill audio entirely — the
+        reference merely fails to connect an unknown JACK port)."""
+        self._validate_port_name(port_name)
         pair = (port_name, int(channel))
         if pair not in self.record_ports:
             self.record_ports.append(pair)
+
+    @staticmethod
+    def _validate_port_name(port_name: str) -> None:
+        if port_name in ("master", "capture") or port_name.startswith(
+            ("system:playback", "system:capture")
+        ):
+            return
+        if port_name.startswith("lane:"):
+            lane = int(port_name.split(":")[1])
+            if not 0 <= lane < NUM_SAMPLER_CHANNELS:
+                raise ValueError(f"lane out of range 0..11: {port_name}")
+            return
+        if port_name.startswith("strip:"):
+            _, idx, which = port_name.split(":")
+            if which not in ("dry", "wet1", "wet2"):
+                raise ValueError(f"unknown strip send: {port_name}")
+            if not 0 <= int(idx) <= 10:
+                raise ValueError(f"strip out of range 0..10: {port_name}")
+            return
+        # unknown names fall back to the master tap (reference: a failed
+        # port connect records silence/last state, not a crash)
 
     def remove_record_port(self, port_name: str, channel: int) -> None:
         pair = (port_name, int(channel))
@@ -203,21 +232,30 @@ class AudioLevels:
             self._channel_prefixes[channel] = prefix
 
     def start_recording(self) -> None:
-        """lib/AudioLevels.cpp:514-560."""
+        """lib/AudioLevels.cpp:514-560. Every recorder of the take shares
+        ONE timestamp (the reference's single `timestamp` local), so a
+        multi-track take's files group together across second boundaries."""
+        from ..engine.recorder import recording_timestamp
+
         sr = self.engine.sample_rate
+        stamp = recording_timestamp()
         if self.record_global_playback:
             self._global_recorder.start(
-                timestamped_filename(self.global_playback_prefix), sr
+                timestamped_filename(self.global_playback_prefix,
+                                     stamp=stamp), sr
             )
         if self.should_record_ports and self.record_ports:
             self._ports_recorder.start(
-                timestamped_filename(self.ports_prefix), sr
+                timestamped_filename(self.ports_prefix, stamp=stamp), sr,
+                channels=len(self.record_ports),
             )
         for c in self.channels_to_record:
             prefix = self._channel_prefixes[c] or (
-                f"{self.ports_prefix}channel{c + 1}-"
+                f"{self.ports_prefix}channel{c + 1}"
             )
-            self._channel_recorders[c].start(timestamped_filename(prefix), sr)
+            self._channel_recorders[c].start(
+                timestamped_filename(prefix, stamp=stamp), sr
+            )
 
     def stop_recording(self) -> None:
         self._global_recorder.stop()
@@ -226,27 +264,37 @@ class AudioLevels:
             r.stop()
 
     def _resolve_port(self, outputs, port_name: str, channel: int) -> np.ndarray:
-        """Map a record-port name to one mono stream [B]."""
+        """Map a record-port name to one mono stream [B].
+
+        TOLERANT on purpose: this runs on the pump's per-block feed, where
+        any exception drops the block and 100 in a row kill the pump — an
+        unresolvable name records silence instead (the reference's failed
+        jack_connect records a silent port)."""
         master = np.asarray(outputs.master)
-        if port_name == "master" or port_name.startswith("system:playback"):
+        try:
+            if (port_name == "master"
+                    or port_name.startswith("system:playback")):
+                return master[:, channel % 2]
+            if (port_name == "capture"
+                    or port_name.startswith("system:capture")):
+                cap = getattr(self, "_last_capture", None)
+                if cap is None or cap.shape[0] != master.shape[0]:
+                    return np.zeros(master.shape[0], np.float32)
+                return cap[:, channel % min(cap.shape[1], 2)]
+            if port_name.startswith("lane:"):
+                lane = int(port_name.split(":")[1])
+                return np.asarray(outputs.lane_mix)[lane][:, channel % 2]
+            if port_name.startswith("strip:"):
+                _, idx, which = port_name.split(":")
+                arr = {
+                    "dry": outputs.strip_dry,
+                    "wet1": outputs.strip_wet1,
+                    "wet2": outputs.strip_wet2,
+                }[which]
+                return np.asarray(arr)[int(idx)][:, channel % 2]
             return master[:, channel % 2]
-        if port_name == "capture" or port_name.startswith("system:capture"):
-            cap = getattr(self, "_last_capture", None)
-            if cap is None or cap.shape[0] != master.shape[0]:
-                return np.zeros(master.shape[0], np.float32)
-            return cap[:, channel % min(cap.shape[1], 2)]
-        if port_name.startswith("lane:"):
-            lane = int(port_name.split(":")[1])
-            return np.asarray(outputs.lane_mix)[lane][:, channel % 2]
-        if port_name.startswith("strip:"):
-            _, idx, which = port_name.split(":")
-            arr = {
-                "dry": outputs.strip_dry,
-                "wet1": outputs.strip_wet1,
-                "wet2": outputs.strip_wet2,
-            }[which]
-            return np.asarray(arr)[int(idx)][:, channel % 2]
-        return master[:, channel % 2]
+        except Exception:
+            return np.zeros(master.shape[0], np.float32)
 
     def only_global_recording(self) -> bool:
         """True when the global-playback recorder is the ONLY active
@@ -272,13 +320,11 @@ class AudioLevels:
         if self._global_recorder.is_recording:
             self._global_recorder.push(np.asarray(outputs.master))
         if self._ports_recorder.is_recording and self.record_ports:
-            left = self._resolve_port(outputs, *self.record_ports[0])
-            right = (
-                self._resolve_port(outputs, *self.record_ports[1])
-                if len(self.record_ports) > 1
-                else left
-            )
-            self._ports_recorder.push(np.stack([left, right], axis=1))
+            # one recorded channel PER PORT, like the reference's
+            # recordPorts.count()-channel writer (lib/AudioLevels.cpp:548)
+            self._ports_recorder.push(np.stack(
+                [self._resolve_port(outputs, *p)
+                 for p in self.record_ports], axis=1))
         lane_mix = None
         for c in self.channels_to_record:
             rec = self._channel_recorders[c]

@@ -44,10 +44,13 @@ class BlockProfiler:
 
     def summary(self) -> dict[str, dict[str, float]]:
         out = {}
-        for name, values in self._samples.items():
+        for name, values in list(self._samples.items()):
             if not values:
                 continue
-            a = np.asarray(values) * 1e3
+            # deque.copy() is one C-level op under the GIL; iterating the
+            # live deque (np.asarray) races the pump thread's appends
+            # ("deque mutated during iteration")
+            a = np.asarray(values.copy()) * 1e3
             out[name] = {
                 "p50_ms": float(np.percentile(a, 50)),
                 "p90_ms": float(np.percentile(a, 90)),
@@ -93,8 +96,12 @@ class DspLoad:
         self.smoothing = smoothing
         self.load = 0.0
 
-    def observe(self, busy_seconds: float) -> float:
-        instantaneous = busy_seconds / self.period
+    def observe(self, busy_seconds: float, budget_blocks: int = 1) -> float:
+        """`budget_blocks`: blocks of audio this observation produced — a
+        lookahead horizon-build block legitimately spends ~H periods and
+        must not spike the smoothed load above 1.0 on a healthy engine
+        (same scaling SloCounter.observe applies)."""
+        instantaneous = busy_seconds / (self.period * max(budget_blocks, 1))
         self.load = self.smoothing * self.load + (1 - self.smoothing) * instantaneous
         return self.load
 

@@ -202,3 +202,96 @@ def test_quiet_steady_signal_reads_true_peak():
     assert engine.levels.playback_a > -200.0, "meter pinned at the floor"
     assert abs(engine.levels.playback_a - want_db) < 3.0, (
         engine.levels.playback_a, want_db)
+
+
+def test_multiport_recording_one_channel_per_port(tmp_path):
+    """The reference's ports writer records recordPorts.count() channels —
+    one per (port, channel) pair (lib/AudioLevels.cpp:548); more than two
+    ports must not be silently dropped."""
+    engine, clip = make_session()
+    prefix = str(tmp_path / "multi.wav")
+    lv = engine.levels
+    lv.set_should_record_ports(True)
+    lv.set_record_ports_filename_prefix(prefix)
+    for p in (("lane:2", 0), ("lane:2", 1), ("master", 0), ("capture", 0)):
+        lv.add_record_port(*p)
+    clip.play(loop=True, midi_channel=0)
+    lv.start_recording()
+    run_blocks(engine, 20)
+    lv.stop_recording()
+    back = read_wav(prefix)
+    assert back.samples.shape == (20 * 128, 4)
+    assert np.abs(back.samples[:, 0]).max() > 0.05   # lane tap
+    assert np.abs(back.samples[:, 2]).max() > 0.05   # master tap
+    assert np.abs(back.samples[:, 3]).max() == 0.0   # no capture source
+
+
+def test_bad_record_port_raises_at_add_not_in_pump():
+    """Malformed port names raise to the API caller; the pump's per-block
+    feed records silence for anything unresolvable instead of dying (100
+    consecutive feed failures would kill audio)."""
+    import pytest
+
+    engine, clip = make_session()
+    lv = engine.levels
+    for bad in ("lane:12", "lane:x", "strip:0:wet3", "strip:11:dry"):
+        with pytest.raises(ValueError):
+            lv.add_record_port(bad, 0)
+    # tolerant feed: even a name that slipped in (old session state) only
+    # records silence
+    lv.record_ports.append(("lane:99", 0))
+    lv.set_should_record_ports(True)
+    lv.set_record_ports_filename_prefix("/tmp/tolerant_ports.wav")
+    lv.start_recording()
+    run_blocks(engine, 10)
+    lv.stop_recording()
+    assert read_wav("/tmp/tolerant_ports.wav").num_frames == 10 * 128
+
+
+def test_take_shares_one_timestamp(tmp_path, monkeypatch):
+    """All recorders of one take get the SAME '-<stamp>' suffix (the
+    reference's single QString timestamp) so files group together."""
+    engine, clip = make_session()
+    lv = engine.levels
+    lv.set_record_global_playback(True)
+    lv.set_global_playback_filename_prefix(str(tmp_path / "glob"))
+    lv.set_channels_to_record([0, 3])
+    lv.set_record_ports_filename_prefix(str(tmp_path) + "/")
+    clip.play(loop=True, midi_channel=0)
+    lv.start_recording()
+    run_blocks(engine, 10)
+    lv.stop_recording()
+    stamps = set()
+    for f in tmp_path.glob("*.wav"):
+        name = f.name[:-4]
+        stamps.add(name.rsplit("-", 2)[-2] + "-" + name.rsplit("-", 2)[-1])
+    assert len(stamps) == 1, f"take split across stamps: {stamps}"
+
+
+def test_wedged_writer_drops_fast_instead_of_blocking():
+    """With a full queue and a writer making no progress, push must drop
+    immediately after the first bounded wait — not wait PUSH_TIMEOUT_S per
+    block under the engine lock (a de-facto freeze)."""
+    import time as _time
+
+    from libzl_tpu.engine.recorder import DiskRecorder
+
+    rec = DiskRecorder()
+    rec._recording = True
+    rec.frames_written = 0
+    rec.dropped_blocks = 0
+    rec._frames_at_last_full = -1
+    import queue as _q
+
+    rec._queue = _q.Queue(maxsize=1)
+    rec._queue.put_nowait(np.zeros((128, 2), np.float32))  # full, no writer
+    rec.PUSH_TIMEOUT_S = 0.2
+    t0 = _time.perf_counter()
+    rec.push(np.zeros((128, 2), np.float32))   # first full event: may wait
+    first = _time.perf_counter() - t0
+    t0 = _time.perf_counter()
+    for _ in range(10):
+        rec.push(np.zeros((128, 2), np.float32))
+    rest = _time.perf_counter() - t0
+    assert rec.dropped_blocks == 11
+    assert first <= 1.0 and rest < 0.1, (first, rest)
