@@ -95,6 +95,23 @@ def render_block_math(
     return finish_block(xp, lane_mix, strips, voice_peaks)
 
 
+def _pad_voice_peaks(outs, pad_voices_to: int, v_in: int):
+    """Pad voice_peaks [v_in] -> [pad_voices_to] inside the jit (bucketed
+    prefix dispatch; shared by every jitted wrapper so the padding rule
+    cannot drift). Accepts one RenderOutputs or a tuple of them."""
+    import jax.numpy as jnp
+
+    if pad_voices_to <= v_in:
+        return outs
+    pad = pad_voices_to - v_in
+    if isinstance(outs, RenderOutputs):  # NamedTuple: check BEFORE tuple
+        return outs._replace(voice_peaks=jnp.pad(outs.voice_peaks, (0, pad)))
+    return tuple(
+        o._replace(voice_peaks=jnp.pad(o.voice_peaks, (0, pad)))
+        for o in outs
+    )
+
+
 @functools.partial(
     __import__("jax").jit,
     static_argnames=("block_frames", "quirk_gain", "fetch",
@@ -127,11 +144,7 @@ def render_block_packed(
         jnp, sound_data, prog, strips, block_frames, quirk_gain=quirk_gain,
         fetch=fetch, max_pitch_ratio=max_pitch_ratio,
     )
-    if pad_voices_to > prog_ints.shape[0]:
-        out = out._replace(voice_peaks=jnp.pad(
-            out.voice_peaks, (0, pad_voices_to - prog_ints.shape[0])
-        ))
-    return out
+    return _pad_voice_peaks(out, pad_voices_to, prog_ints.shape[0])
 
 
 def render_horizon_math(
@@ -202,13 +215,7 @@ def render_horizon_fused(
         jnp, sound_data, prog, strips, window_frames, slices,
         quirk_gain=quirk_gain, fetch=fetch, max_pitch_ratio=max_pitch_ratio,
     )
-    if pad_voices_to > prog_fused.shape[0]:
-        pad = pad_voices_to - prog_fused.shape[0]
-        outs = tuple(
-            o._replace(voice_peaks=jnp.pad(o.voice_peaks, (0, pad)))
-            for o in outs
-        )
-    return outs
+    return _pad_voice_peaks(outs, pad_voices_to, prog_fused.shape[0])
 
 
 @functools.partial(
@@ -240,8 +247,4 @@ def render_block_fused(
         jnp, sound_data, prog, strips, block_frames, quirk_gain=quirk_gain,
         fetch=fetch, max_pitch_ratio=max_pitch_ratio,
     )
-    if pad_voices_to > prog_fused.shape[0]:
-        out = out._replace(voice_peaks=jnp.pad(
-            out.voice_peaks, (0, pad_voices_to - prog_fused.shape[0])
-        ))
-    return out
+    return _pad_voice_peaks(out, pad_voices_to, prog_fused.shape[0])

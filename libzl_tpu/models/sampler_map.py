@@ -51,6 +51,11 @@ class SamplerNoteMapper:
             ch = midi_channel(data)
             if ch < 0 or router.outputs[ch].destination != Destination.SAMPLER:
                 continue
+            if len(data) < 2:
+                # a truncated status byte (VirtualMidiPort.feed accepts raw
+                # bytes) must not crash the block loop — same guard class
+                # as the router's len(data) > 1 checks
+                continue
             note, velocity = data[1], data[2] if len(data) > 2 else 0
             for clip in self._assignments.get(ch, []):
                 if not (clip.keyzone_start <= note <= clip.keyzone_end):

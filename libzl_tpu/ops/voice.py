@@ -12,10 +12,14 @@ closed-form evaluation over a [V voices, B frames] grid:
   start position). The kernel evaluates `pos(k) = seg_pos + (k - seg_start) *
   rate` — no sequential dependence, fully parallel over [V, B].
 - Positions are int32 whole + f32 fractional parts. The fractional advance
-  `j * rate_frac` stays below B < 2^7, so f32 keeps ~2^-17 absolute precision;
-  the host re-anchors segment bases in float64 every block, so error cannot
-  accumulate (deviation vs the reference's double accumulator is bounded at
-  ~1e-5 samples per block).
+  `j * rate_frac` spans at most one render WINDOW before the host re-anchors
+  segment bases in float64, so error cannot accumulate across windows. At
+  the live geometry (window = one 128-frame block) the bound vs the
+  reference's double accumulator is ~1e-5 samples; lookahead horizons and
+  superblocks span window_frames = H*B frames per anchor, scaling the
+  in-window f32 term ~(H*B/128)-fold (still ~1e-3 samples at the maximum
+  2048-frame window — pinned by the lookahead differential fuzz at
+  atol=1e-5 on audio).
 - Linear interpolation + ADSR + gain/volume follow the reference expression
   (lib/SamplerSynthVoice.cpp:197-216). NOTE the reference multiplies the gain
   chain into only the *second* interpolation tap (missing parentheses at
@@ -259,16 +263,20 @@ def empty_program(num_voices: int, block_frames: int,
     )
 
 
+def _frame_iota(xp, n: int):
+    """[1, n] int32 frame indices (numpy arange | jax broadcasted_iota)."""
+    if xp is np:
+        return np.arange(n, dtype=np.int32)[None, :]
+    import jax
+
+    return jax.lax.broadcasted_iota(np.int32, (1, n), 1)
+
+
 def positions_block(xp, prog: VoiceProgram, block_frames: int):
     """Per-frame sample positions. Returns (pos_int [V,B] i32, alpha [V,B] f32,
     seg_j [V,B] i32)."""
     f32 = np.float32
-    if xp is np:
-        k = np.arange(block_frames, dtype=np.int32)[None, :]
-    else:
-        import jax
-
-        k = jax.lax.broadcasted_iota(np.int32, (1, block_frames), 1)
+    k = _frame_iota(xp, block_frames)
     # segment index: count of segments whose start <= k, minus one
     seg_started = (prog.seg_start[:, :, None] <= k[:, None, :]).astype(np.int32)
     seg_idx = xp.maximum(seg_started.sum(axis=1) - 1, 0)  # [V, B]
@@ -328,12 +336,7 @@ def render_voices(
     """
     f32 = np.float32
     B = block_frames
-    if xp is np:
-        k = np.arange(B, dtype=np.int32)[None, :]
-    else:
-        import jax
-
-        k = jax.lax.broadcasted_iota(np.int32, (1, B), 1)
+    k = _frame_iota(xp, B)
 
     pos_int, alpha, seg_idx = positions_block(xp, prog, B)
     env = adsr_ops.envelope_block(
