@@ -123,6 +123,14 @@ class EngineRuntime:
         self._phase_s: dict = {}
         self._phase_n: dict = {}
 
+    def run_locked(self, fn):
+        """Run `fn()` under the engine lock — the public surface for
+        external callers (CLI, embedding hosts) that must mutate engine
+        state while the pump runs. Keeps the lock-ordering discipline
+        (_flush_lock before _lock, never after) internal to this class."""
+        with self._lock:
+            return fn()
+
     def _phase(self, name: str, dt: float) -> None:
         self._phase_s[name] = self._phase_s.get(name, 0.0) + dt
         self._phase_n[name] = self._phase_n.get(name, 0) + 1

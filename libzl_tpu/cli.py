@@ -233,25 +233,25 @@ def cmd_play(args) -> int:
         return 2
     runtime.set_sink(sink)
     engine = runtime.engine
-    with runtime._lock:
-        clip = ClipAudioSource(engine, audio=audio)
-        clip.set_pan(args.pan)
-        if args.volume is not None:
-            clip.set_volume(args.volume)
-        engine.start_transport(bpm=args.bpm)
-        if args.note == 60:
-            clip.play(loop=args.loop, midi_channel=args.channel)
-        else:
-            # --note: pitch-track like the render subcommand
-            from .engine.commands import ClipCommand
+    # no lock needed here: the pump thread doesn't exist until start_pump
+    clip = ClipAudioSource(engine, audio=audio)
+    clip.set_pan(args.pan)
+    if args.volume is not None:
+        clip.set_volume(args.volume)
+    engine.start_transport(bpm=args.bpm)
+    if args.note == 60:
+        clip.play(loop=args.loop, midi_channel=args.channel)
+    else:
+        # --note: pitch-track like the render subcommand
+        from .engine.commands import ClipCommand
 
-            cmd = ClipCommand.channel(clip.id, args.channel)
-            cmd.midi_note = args.note
-            cmd.change_volume = True
-            cmd.volume = 1.0
-            cmd.looping = args.loop
-            cmd.start_playback = True
-            engine.schedule_clip_command(cmd, 0)
+        cmd = ClipCommand.channel(clip.id, args.channel)
+        cmd.midi_note = args.note
+        cmd.change_volume = True
+        cmd.volume = 1.0
+        cmd.looping = args.loop
+        cmd.start_playback = True
+        engine.schedule_clip_command(cmd, 0)
     seconds = args.seconds or (
         clip.get_duration() if not args.loop else 0.0
     )
@@ -267,8 +267,7 @@ def cmd_play(args) -> int:
     except KeyboardInterrupt:
         pass
     finally:
-        with runtime._lock:
-            clip.stop(-3)
+        runtime.run_locked(lambda: clip.stop(-3))
         time.sleep(2 * args.block_frames / sample_rate)
         runtime.stop_pump()
         runtime.set_sink(None)

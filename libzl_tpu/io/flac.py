@@ -75,16 +75,34 @@ def read_flac(path: str | Path) -> AudioData:
                          ctypes.byref(channels), ctypes.byref(bits),
                          ctypes.byref(total)) != 0:
         raise ValueError(f"not a decodable FLAC file: {path}")
+    # cap the allocation guess against the COMPRESSED size: total_samples
+    # is an untrusted 36-bit header field, and a corrupt value of 2^36-1
+    # would np.empty ~550 GB before any decoding. FLAC compresses 16-bit
+    # PCM at best ~8:1 in practice; 16 bytes of PCM per compressed byte is
+    # a generous ceiling, and the doubling retry below recovers if a
+    # legitimate stream ever exceeds it (treated like total==0).
+    alloc_limit = max(len(blob) * 16 // max(channels.value, 1), 65536)
     cap = int(total.value) if total.value > 0 else max(
         len(blob) * 4 // max(channels.value, 1), 65536
     )
+    header_overclaims = cap > alloc_limit
+    if header_overclaims:
+        cap = alloc_limit
     while True:
         out = np.empty((cap, channels.value), np.float32)
         n = lib.zl_flac_decode(
             blob, len(blob),
             out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), cap,
         )
-        if n == -11 and total.value == 0:  # capacity guess too small
+        if n == -11 and (total.value == 0 or header_overclaims):
+            # capacity guess too small — grow, but bounded: hyper-
+            # compressed silence is legitimate, a runaway corrupt stream
+            # is not
+            if cap >= 1 << 30:
+                raise ValueError(
+                    f"FLAC stream exceeds the 2^30-sample decode ceiling "
+                    f"({total.value} declared): {path}"
+                )
             cap *= 2
             continue
         if n < 0:
@@ -324,6 +342,13 @@ def write_flac(
         # RFC 9639: STREAMINFO min/max blocksize are 16-bit, >= 16; out of
         # range silently wrapped in the header and broke external decoders
         raise ValueError(f"block_size must be within 16..65535: {block_size}")
+    if not 1 <= int(sample_rate) < (1 << 20):
+        # same wrap class: STREAMINFO's rate field is 20-bit — an
+        # out-of-range rate silently truncates (1500000 -> 451424 Hz) and
+        # 0 produces a stream our own reader rejects
+        raise ValueError(
+            f"sample_rate must be within 1..{(1 << 20) - 1}: {sample_rate}"
+        )
     x = np.asarray(samples, np.float32)
     if x.ndim == 1:
         x = x[:, None]

@@ -201,8 +201,18 @@ void stopClips(int size, ClipAudioSource **clips) {
   }
   Gil gil;
   PyObject *ids = PyList_New(size);
+  if (ids == nullptr) {  // allocation failure must not crash the host
+    report_python_error("stopClips");
+    return;
+  }
   for (int i = 0; i < size; ++i) {
-    PyList_SetItem(ids, i, PyLong_FromLong(clip_id(clips[i])));
+    PyObject *v = PyLong_FromLong(clip_id(clips[i]));
+    if (v == nullptr) {  // a NULL element would crash the bridge iteration
+      report_python_error("stopClips");
+      Py_DECREF(ids);
+      return;
+    }
+    PyList_SetItem(ids, i, v);
   }
   PyObject *fn = PyObject_GetAttrString(g_bridge, "stop_clips");
   if (fn != nullptr) {
@@ -265,6 +275,13 @@ const char *ClipAudioSource_getFileName(ClipAudioSource *c) {
   if (r == nullptr) return "";
   Gil gil;
   const char *s = PyUnicode_AsUTF8(r);
+  if (s == nullptr) {
+    // non-UTF-8 filesystem name (surrogateescape): the conversion raised —
+    // clear it, or every later PyErr_Occurred() check in as_double/as_long
+    // silently returns its fallback and CPython runs with a pending
+    // exception (forbidden)
+    PyErr_Clear();
+  }
   g_filename_storage = s ? s : "";
   Py_DECREF(r);
   return g_filename_storage.c_str();

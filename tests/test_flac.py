@@ -157,3 +157,36 @@ def test_recorder_flac_target(tmp_path):
     # transcode preserves exactly those samples
     expected = np.round(np.clip(ref, -1.0, 1.0) * 32767.0).astype(np.int32)
     np.testing.assert_array_equal(as_pcm(a.samples), expected)
+
+
+def test_corrupt_total_samples_header_bounded_alloc(tmp_path):
+    """A corrupt 36-bit STREAMINFO total_samples must not drive a
+    multi-hundred-GB allocation: the reader bounds its guess against the
+    compressed size and reports a clean truncation error."""
+    import pytest
+
+    p = tmp_path / "ok.flac"
+    sig = (0.25 * np.sin(2 * np.pi * 440 * np.arange(2000) / 48000)
+           ).astype(np.float32)
+    flac.write_flac(p, sig, 48000)
+    blob = bytearray(p.read_bytes())
+    # STREAMINFO total_samples: last 36 bits of the 34-byte block starting
+    # at offset 8 (4 "fLaC" + 4 block header); bytes 8+13..8+17, low 4 bits
+    # of byte 21 plus bytes 22-25 hold <4 bits rate tail><36 bits total>
+    blob[8 + 13] |= 0x0F
+    for i in range(14, 18):
+        blob[8 + i] = 0xFF
+    bad = tmp_path / "bad.flac"
+    bad.write_bytes(bytes(blob))
+    with pytest.raises(ValueError):
+        flac.read_flac(bad)
+
+
+def test_write_flac_rejects_out_of_range_sample_rate(tmp_path):
+    import pytest
+
+    sig = np.zeros(256, np.float32)
+    for rate in (0, 1 << 20, 1_500_000):
+        with pytest.raises(ValueError, match="sample_rate"):
+            flac.write_flac(tmp_path / "r.flac", sig, rate)
+    flac.write_flac(tmp_path / "ok.flac", sig, (1 << 20) - 1)  # max legal
