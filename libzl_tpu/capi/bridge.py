@@ -115,6 +115,9 @@ class EngineRuntime:
         # last per-block exception seen by the pump (see _run's guard)
         self.pump_error: Optional[BaseException] = None
         self._timer_callbacks: list = []
+        from collections import deque
+
+        self._cb_ticks = deque()  # ticks awaiting out-of-lock callback fan
         self.engine.timer_callbacks.append(self._fan_timer_callbacks)
         self._lock = threading.RLock()
         # cumulative pump phase timing (seconds) + event counts — the
@@ -169,10 +172,14 @@ class EngineRuntime:
         pump (seconds per new signature — soak #3's shutdown tick).
 
         The signature set is tiny and fully determined by (drain depth K,
-        block geometry): every plan folds exactly the blocks queued since
-        the previous meter-cadence block, so simulating window after
-        window from the engine's current block number enumerates the real
-        sequence. Stops once a full K*levels_every cycle repeats."""
+        meter cadence): a window's parts are its K masters followed by one
+        session-array group per cadence block it contains, and every plan
+        folds exactly levels_every-1 queued peak pairs (the queue drains
+        at every cadence block in BOTH drain and per-block modes, so its
+        length at any plan is invariant). The signature therefore depends
+        only on the window's PLAN COUNT — enumerate that over every
+        window-start residue, since draining can begin at any block number
+        (whenever a bounce sink attaches), not just the boot phase."""
         K = self.bounce_drain_blocks
         eng = self.engine
         if K <= 1:
@@ -186,25 +193,13 @@ class EngineRuntime:
                          "lane_rms", "voice_peaks")
         }
         le = eng._levels_every
-        qlen = len(eng._peak_accum)
-        bno = eng.total_blocks
-        n_windows = max(K * le // np.gcd(K, le) // K, 1)
-        seen = set()
-        for _ in range(n_windows):
-            parts = [dev["master"]] * K
-            for _ in range(K):
-                bno += 1
-                if bno % le == 0:
-                    parts += [dev["lane_peaks"], dev["master_peak"]] * qlen
-                    parts += [dev["lane_peaks"], dev["master_peak"],
-                              dev["lane_rms"], dev["voice_peaks"]]
-                    qlen = 0
-                else:
-                    qlen += 1
-            sig = tuple(np.shape(p) for p in parts)
-            if sig in seen:
-                continue
-            seen.add(sig)
+        nq = max(le - 1, 0)
+        plan = ([dev["lane_peaks"], dev["master_peak"]] * nq
+                + [dev["lane_peaks"], dev["master_peak"],
+                   dev["lane_rms"], dev["voice_peaks"]])
+        counts = {(s + K) // le - s // le for s in range(le)}
+        for p in sorted(counts):
+            parts = [dev["master"]] * K + plan * p
             jax.block_until_ready(_flat_concat(tuple(parts)))
 
     def stop_pump(self) -> None:
@@ -482,6 +477,7 @@ class EngineRuntime:
                 res = self.engine.process_block()
                 block_no = self.engine.total_blocks
             self._consume(block_no, res)
+            self._fire_timer_callbacks()
         self._flush_drain()
 
     def _run(self) -> None:
@@ -533,6 +529,7 @@ class EngineRuntime:
                 self._phase("render", time.perf_counter() - t0)
                 while len(inflight) > depth:
                     consume(*inflight.popleft())
+                self._fire_timer_callbacks()  # outside self._lock
                 consecutive_errors = 0
             except Exception as e:  # noqa: BLE001 — the guard IS the point
                 self.pump_error = e
@@ -569,6 +566,10 @@ class EngineRuntime:
             except Exception:
                 pass
         try:
+            self._fire_timer_callbacks()
+        except Exception:
+            pass
+        try:
             self._flush_drain()
         except Exception:
             pass
@@ -580,8 +581,20 @@ class EngineRuntime:
         self._pump = None
 
     def _fan_timer_callbacks(self, tick: int) -> None:
-        for cb in list(self._timer_callbacks):
-            cb(tick)
+        """Engine-side hook: fires INSIDE process_block, i.e. under
+        self._lock on the pump thread. C timer callbacks may re-enter the
+        API — including flushing calls (punch-in recording, sink swaps)
+        whose _flush_lock must never be taken after self._lock — so the
+        actual client callbacks are deferred to _fire_timer_callbacks,
+        which the pump/step_blocks run OUTSIDE the lock (the reference
+        emits these via queued connections off its RT thread too)."""
+        self._cb_ticks.append(int(tick))
+
+    def _fire_timer_callbacks(self) -> None:
+        while self._cb_ticks:
+            tick = self._cb_ticks.popleft()
+            for cb in list(self._timer_callbacks):
+                cb(tick)
 
 
 _runtime: Optional[EngineRuntime] = None
@@ -667,6 +680,14 @@ def shutdown_engine() -> None:
         _runtime.set_sink(None)
         _runtime.set_source(None)
         _runtime = None
+        # the clip registry is process-global: stale entries would resolve
+        # old ids to clips bound to the DEAD engine after a re-init
+        # (commands scheduled into a dead StepRing, engine+bank kept alive)
+        from ..models import clip as clip_mod
+
+        for c in list(clip_mod._registry.values()):
+            c.pending_file = False  # cancel file watchers
+        clip_mod._registry.clear()
 
 
 def reload_zynthian_configuration() -> None:
@@ -773,15 +794,25 @@ def clip_set_pan(clip_id: int, pan: float) -> None:
 
 
 def clip_set_speed_ratio(clip_id: int, ratio: float) -> None:
-    _clip(clip_id).set_speed_ratio(ratio)
+    # DEFERRED + under the runtime lock: the re-render runs on the worker
+    # and swaps at a block boundary inside process_block (the reference's
+    # background needsRender/playbackFileChanged path) — a synchronous
+    # STFT on the API thread would race the pump's pool mutations
+    rt = _rt()
+    with rt._lock:
+        _clip(clip_id).set_speed_ratio(ratio, defer=True)
 
 
 def clip_set_pitch(clip_id: int, semitones: float) -> None:
-    _clip(clip_id).set_pitch(semitones)
+    rt = _rt()
+    with rt._lock:
+        _clip(clip_id).set_pitch(semitones, defer=True)
 
 
 def clip_set_gain(clip_id: int, db: float) -> None:
-    _clip(clip_id).set_gain(db)
+    rt = _rt()
+    with rt._lock:
+        _clip(clip_id).set_gain(db, defer=True)
 
 
 def clip_set_volume(clip_id: int, vol: float) -> None:
@@ -789,7 +820,9 @@ def clip_set_volume(clip_id: int, vol: float) -> None:
 
 
 def clip_set_loop_crossfade(clip_id: int, seconds: float) -> None:
-    _clip(clip_id).set_loop_crossfade(seconds)
+    rt = _rt()
+    with rt._lock:
+        _clip(clip_id).set_loop_crossfade(seconds, defer=True)
 
 
 def clip_set_slices(clip_id: int, count: int) -> None:
@@ -945,17 +978,22 @@ def levels_set_global_playback_filename_prefix(prefix: str) -> None:
 def levels_start_recording() -> None:
     rt = _rt()
     # blocks drained BEFORE the toggle belong to the pre-record stream:
-    # flush them now so the recorder starts exactly at the toggle boundary
+    # flush them now so the recorder starts at the toggle boundary. The
+    # toggle itself runs under the engine lock so it cannot interleave a
+    # mid-render block; residual attribution fuzz is the blocks the pump
+    # renders between flush-return and lock acquisition (<= pipeline
+    # depth — the reference's Qt-thread toggle has the same +-1-cycle
+    # fuzz against its JACK callbacks).
     rt._flush_drain()
-    rt.engine.levels.start_recording()
+    rt.run_locked(rt.engine.levels.start_recording)
 
 
 def levels_stop_recording() -> None:
     rt = _rt()
     # drained blocks rendered while recording must reach the recorder
-    # before it closes
+    # before it closes (same boundary discipline as start)
     rt._flush_drain()
-    rt.engine.levels.stop_recording()
+    rt.run_locked(rt.engine.levels.stop_recording)
 
 
 def levels_set_record_ports_filename_prefix(prefix: str) -> None:

@@ -625,7 +625,10 @@ class AudioEngine:
         if clip is not None:
             if cmd.change_pitch:
                 clip.set_pitch(cmd.pitch_change, defer=True)
-            if cmd.change_speed:
+            if cmd.change_speed and cmd.speed_ratio > 0:
+                # a scheduled bad ratio is ignored (set_speed_ratio raises
+                # for direct callers; a mid-tick-walk raise would abort the
+                # block with the clock half-advanced)
                 clip.set_speed_ratio(cmd.speed_ratio, defer=True)
             if cmd.change_gain_db:
                 clip.set_gain(cmd.gain_db, defer=True)

@@ -112,7 +112,7 @@ def _ensure_render_worker() -> None:
 # written) keep polling — the retry loop, not an error.
 FILE_POLL_SECONDS = 0.1
 _watch_lock = None
-_watch_list: list = []  # [(clip, generation)]
+_watch_list: list = []  # clips with pending_file set
 _watch_thread = None
 
 
@@ -127,9 +127,13 @@ def _file_watcher() -> None:
         if not entries:
             continue
         done = []
-        for clip, gen in entries:
-            if gen != clip._render_generation:
-                done.append((clip, gen))  # superseded / destroyed
+        for clip in entries:
+            # keyed on pending_file, NOT the render generation: parameter
+            # changes (gain/pitch before the file lands — a normal UI
+            # sequence) bump the generation and must not cancel the poll;
+            # destroy() clears pending_file
+            if not clip.pending_file:
+                done.append(clip)  # attached or destroyed
                 continue
             path = clip.filepath
             if not path or not _os.path.exists(path):
@@ -138,8 +142,8 @@ def _file_watcher() -> None:
                 audio = read_audio(path)
             except Exception:
                 continue  # partial write: keep polling
-            clip._attach_loaded_audio(audio, gen)
-            done.append((clip, gen))
+            clip._attach_loaded_audio(audio)
+            done.append(clip)
         if done:
             with _watch_lock:
                 for e in done:
@@ -147,14 +151,14 @@ def _file_watcher() -> None:
                         _watch_list.remove(e)
 
 
-def _watch_file(clip: "ClipAudioSource", gen: int) -> None:
+def _watch_file(clip: "ClipAudioSource") -> None:
     global _watch_lock, _watch_thread
     import threading as _t
 
     if _watch_lock is None:
         _watch_lock = _t.Lock()
     with _watch_lock:
-        _watch_list.append((clip, gen))
+        _watch_list.append(clip)
     if _watch_thread is None or not _watch_thread.is_alive():
         _watch_thread = _t.Thread(target=_file_watcher, daemon=True)
         _watch_thread.start()
@@ -252,15 +256,18 @@ class ClipAudioSource:
             engine.register_clip(self)
         self.set_slices(DEFAULT_SLICE_COUNT)
         if pending_file:
-            _watch_file(self, self._render_generation)
+            _watch_file(self)
 
-    def _attach_loaded_audio(self, audio: AudioData, gen: int) -> None:
+    def _attach_loaded_audio(self, audio: AudioData) -> None:
         """File-watcher completion: the pending file exists and decoded.
         Update the source + timing fields, then hand the playback render to
         the deferred worker so the swap lands at a block boundary (the
         playbackFileChanged path, lib/ClipAudioSource.cpp:404-413)."""
-        if gen != self._render_generation:
-            return  # destroyed or superseded while polling
+        if not self.pending_file:
+            return  # destroyed (or already attached) while polling
+        # the deferred render below runs with the clip's CURRENT
+        # parameters, so gain/pitch/speed set while the file was pending
+        # apply to the first real render
         self.source = audio
         self.start_position_seconds = 0.0
         self.length_seconds = audio.duration_seconds
@@ -278,6 +285,7 @@ class ClipAudioSource:
 
     def destroy(self) -> None:
         self._render_generation += 1  # drop any in-flight deferred render
+        self.pending_file = False     # cancel the file watcher
         try:
             if self.engine is not None:
                 self.stop(-3)
@@ -376,6 +384,11 @@ class ClipAudioSource:
     # ---------------------------------------------------------- stretch/pitch
 
     def set_speed_ratio(self, ratio: float, defer: bool = False) -> None:
+        if not ratio > 0:
+            # a negative/zero ratio would collapse the playback render to
+            # ~1 frame (stretch factor 1/ratio) and destroy the clip's
+            # audio with no error — refuse like an out-of-range header
+            raise ValueError(f"speed ratio must be > 0: {ratio}")
         if ratio != self.speed_ratio:
             self.speed_ratio = float(ratio)
             self._update_playback(defer=defer)
@@ -390,7 +403,7 @@ class ClipAudioSource:
             self.gain_db = float(db)
             self._update_playback(defer=defer)
 
-    def set_loop_crossfade(self, seconds: float) -> None:
+    def set_loop_crossfade(self, seconds: float, defer: bool = False) -> None:
         """Loop crossfade baked into the playback render (beyond the
         reference, whose loops hard-reset; ops/resample.bake_loop_crossfade).
 
@@ -404,7 +417,7 @@ class ClipAudioSource:
         matters."""
         if seconds != self.loop_crossfade_seconds:
             self.loop_crossfade_seconds = max(float(seconds), 0.0)
-            self._update_playback()
+            self._update_playback(defer=defer)
 
     # ----------------------------------------------------------------- mix
 

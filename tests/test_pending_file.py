@@ -101,11 +101,35 @@ def test_destroy_while_pending_stops_watching(tmp_path):
     path = tmp_path / "never.wav"
     clip = ClipAudioSource(engine, str(path), wait_for_file=True)
     clip.destroy()
-    # the generation bump makes the watcher drop the entry on its next tick
+    # clearing pending_file makes the watcher drop the entry next tick
     assert _wait_until(
-        lambda: all(c is not clip for c, _ in clip_mod._watch_list)
+        lambda: all(c is not clip for c in clip_mod._watch_list)
     )
     # late file appearance must not resurrect the destroyed clip
+    # (destroy cleared pending_file, so the watcher ignores it)
     write_wav(str(path), _tone(0.1), SR)
     time.sleep(0.3)
+    assert not clip.pending_file
+    # still the silent placeholder, not the late file's tone
+    assert not clip.source.samples.any()
+
+
+def test_parameter_change_while_pending_keeps_watching(tmp_path):
+    """Setting gain/pitch before the awaited file lands (a normal UI
+    sequence) bumps the render generation — that must NOT cancel the
+    poll; the first real render applies the current parameters."""
+    import numpy as np
+
+    from libzl_tpu.io.wav import write_wav
+
+    engine = AudioEngine(block_frames=128, num_voices=8, backend="numpy")
+    path = tmp_path / "late.wav"
+    clip = ClipAudioSource(engine, str(path), wait_for_file=True)
+    clip.set_gain(-6.0)           # generation bump while pending
+    clip.set_pitch(2.0, defer=True)
     assert clip.pending_file
+    body = (0.4 * np.sin(2 * np.pi * 220 * np.arange(4800) / 48000)
+            ).astype(np.float32)
+    write_wav(path, body, 48000)
+    assert _wait_until(lambda: not clip.pending_file)
+    assert clip.source.num_frames == 4800
