@@ -26,6 +26,13 @@ MINUTES = float(os.environ.get("SOAK_MINUTES", "10"))
 
 
 def main():
+    # `kill -USR1 <pid>` dumps all thread stacks to stderr — the only way
+    # to tell a relay D2H hang from a lock deadlock on this image (no
+    # gdb/py-spy; observed: a mid-soak freeze with flush_sync in flight)
+    import faulthandler
+    import signal
+
+    faulthandler.register(signal.SIGUSR1, all_threads=True)
     os.environ.setdefault("LIBZL_TPU_BACKEND", "jax")
     os.environ.setdefault("LIBZL_TPU_VOICES", "1024")
     os.environ.setdefault("LIBZL_TPU_WARMUP", "1")
