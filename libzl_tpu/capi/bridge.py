@@ -619,7 +619,7 @@ def init_engine(sample_rate: int = 48000, block_frames: int = 128,
     LIBZL_TPU_BOUNCE_DRAIN=<K> (non-pacing sinks: one device->host sync
     per K blocks — the bounce amortization),
     LIBZL_TPU_LOOKAHEAD=<H> (speculative horizon depth; jax single-chip
-    only — "auto" scales 8 down so H*block <= 4096 frames),
+    only — "auto" fills a 2048-frame window: min(16, 2048/block) blocks),
     LIBZL_TPU_SINK=alsa[:dev]|file:path|null,
     LIBZL_TPU_SOURCE=alsa[:dev]|file:path|null,
     LIBZL_TPU_WARMUP=1 (pre-compile every voice-bucket render shape before
