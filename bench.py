@@ -269,5 +269,34 @@ def main() -> int:
     return 0
 
 
+def _run_with_retries(attempts: int = 3) -> int:
+    """Re-exec the measurement in fresh child processes, retrying on
+    failure. The harness's TPU relay intermittently refuses backend init
+    ("Unable to initialize backend 'axon': UNAVAILABLE", observed
+    2026-08-18 after a 35-min hang) and jax caches a failed backend for
+    the process lifetime — a retry must be a NEW process. Only the
+    successful child prints to stdout (the one JSON line the driver
+    reads); failures go to stderr. A deterministic bug still fails all
+    attempts and exits nonzero."""
+    import os
+    import subprocess
+
+    env = dict(os.environ, _LIBZL_BENCH_CHILD="1")
+    for attempt in range(attempts):
+        if attempt:
+            delay = 60 * attempt
+            print(f"bench attempt {attempt} failed; retrying in {delay}s "
+                  "(relay outages are transient)", file=sys.stderr)
+            time.sleep(delay)
+        ret = subprocess.run([sys.executable, __file__], env=env).returncode
+        if ret == 0:
+            return 0
+    return 1
+
+
 if __name__ == "__main__":
-    sys.exit(main())
+    import os
+
+    if os.environ.get("_LIBZL_BENCH_CHILD"):
+        sys.exit(main())
+    sys.exit(_run_with_retries())
