@@ -269,7 +269,7 @@ def main() -> int:
     return 0
 
 
-def _run_with_retries(attempts: int = 3) -> int:
+def _run_with_retries(attempts: int = 4) -> int:
     """Re-exec the measurement in fresh child processes, retrying on
     failure. The harness's TPU relay intermittently refuses backend init
     ("Unable to initialize backend 'axon': UNAVAILABLE", observed
@@ -288,7 +288,15 @@ def _run_with_retries(attempts: int = 3) -> int:
             print(f"bench attempt {attempt} failed; retrying in {delay}s "
                   "(relay outages are transient)", file=sys.stderr)
             time.sleep(delay)
-        ret = subprocess.run([sys.executable, __file__], env=env).returncode
+        try:
+            # Generous per-attempt cap: slow-family fences alone run up to
+            # ~21 min (NOTES_TPU_ENV.md), so only a true wedge hits this.
+            ret = subprocess.run([sys.executable, __file__], env=env,
+                                 timeout=3600).returncode
+        except subprocess.TimeoutExpired:
+            print("bench attempt timed out after 3600s (relay wedge); "
+                  "child killed", file=sys.stderr)
+            continue
         if ret == 0:
             return 0
     return 1
