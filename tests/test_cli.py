@@ -165,3 +165,67 @@ def test_trace_subcommand(tmp_path, capsys):
     assert rc == 0
     files = [p for p in out.rglob("*") if p.is_file()]
     assert files, "no profiler trace files written"
+
+
+def test_play_file_sink(tmp_path, capsys):
+    """`cli play` — the first command a user runs: pump + sink end-to-end
+    (the reference is audible via system:playback_1/2,
+    lib/SamplerSynth.cpp:101-102; here a FileSink)."""
+    src = tmp_path / "in.wav"
+    out = tmp_path / "live.wav"
+    make_tone(src, seconds=0.3)
+    rc = main(["play", str(src), "--sink", f"file:{out}",
+               "--backend", "numpy", "--seconds", "0.3"])
+    assert rc == 0
+    assert "played" in capsys.readouterr().out
+    a = read_wav(out)
+    assert a.duration_seconds >= 0.3
+    assert np.abs(np.asarray(a.samples)).max() > 0.05  # audible
+
+
+def test_play_note_pitch_tracks(tmp_path):
+    """--note pitch-tracks: an octave up halves the rendered duration's
+    audible content (pitchRatio = 2^((note-root)/12),
+    lib/SamplerSynthVoice.cpp:115-116)."""
+    src = tmp_path / "in.wav"
+    out = tmp_path / "note.wav"
+    make_tone(src, seconds=0.4)
+    rc = main(["play", str(src), "--sink", f"file:{out}", "--note", "72",
+               "--backend", "numpy", "--seconds", "0.4", "--quiet"])
+    assert rc == 0
+    a = read_wav(out)
+    s = np.abs(np.asarray(a.samples)).max(axis=1)
+    sr = a.sample_rate
+    # at 2x pitch the 0.4 s source is silent after ~0.2 s
+    assert s[: int(0.15 * sr)].max() > 0.05
+    assert s[int(0.3 * sr):].max() < 1e-4
+
+
+def test_play_bad_sink_exits_2(tmp_path, capsys):
+    src = tmp_path / "in.wav"
+    make_tone(src, seconds=0.1)
+    rc = main(["play", str(src), "--sink", "file:"])
+    assert rc == 2
+    assert "cannot open sink" in capsys.readouterr().err
+
+
+def test_render_all_clip_options(tmp_path):
+    """Every render-time clip flag flows through (the argparse->clip
+    branches: length/pitch/speed/gain/start/crossfade/volume/pan)."""
+    src = tmp_path / "in.wav"
+    out = tmp_path / "out.wav"
+    make_tone(src, seconds=0.5)
+    rc = main(["render", str(src), str(out), "--seconds", "0.5",
+               "--backend", "numpy", "--length-beats", "1",
+               "--pitch", "2", "--speed", "1.1", "--gain", "-3",
+               "--start", "0.05", "--crossfade", "0.01",
+               "--volume", "-6", "--pan", "0.5",
+               "--attack", "0.01", "--release", "0.05"])
+    assert rc == 0
+    a = read_wav(out)
+    assert np.abs(np.asarray(a.samples)).max() > 0.01
+    # clip pan rides the reference's documented M/S formula
+    # (lib/ClipAudioSource.h:210-222): left = 0.5*(1+pan)*m + s, so a
+    # POSITIVE pan boosts the left channel — a reference quirk preserved
+    s = np.asarray(a.samples)
+    assert np.abs(s[:, 0]).sum() > np.abs(s[:, 1]).sum()
