@@ -543,3 +543,157 @@ def test_soundbank_lifecycle_invariants():
     b = bank.load(AudioData(np.ones((10, 1), np.float32), 48000))
     c = bank.load(AudioData(np.ones((20, 1), np.float32), 48000))
     assert b.slot != c.slot, "recycled id handed out twice"
+
+
+# ---- coverage-driven API edges (tools/cov.py round 3) ----------------------
+
+
+def test_constructor_validation_errors():
+    """Misconfigurations fail at construction, never mid-render."""
+    with pytest.raises(ValueError, match="bank_dtype"):
+        AudioEngine(sample_rate=SR, backend="numpy", num_voices=8,
+                    bank_dtype="int8")
+    with pytest.raises(ValueError, match="ratio_ladder"):
+        AudioEngine(sample_rate=SR, backend="numpy", num_voices=8,
+                    ratio_ladder="fine")
+    with pytest.raises(ValueError, match="chunk"):
+        AudioEngine(sample_rate=SR, backend="jax", num_voices=8,
+                    block_frames=128, fetch="windows:c96")
+    with pytest.raises(ValueError, match="lookahead"):
+        AudioEngine(sample_rate=SR, backend="numpy", num_voices=8,
+                    lookahead=4)
+    with pytest.raises(RuntimeError, match="native host core"):
+        from libzl_tpu.engine import hostcore as hc
+
+        avail = hc.available
+        hc.available = lambda: False
+        try:
+            AudioEngine(sample_rate=SR, backend="numpy", num_voices=8,
+                        host_core="native")
+        finally:
+            hc.available = avail
+
+
+def test_mesh_validation_errors():
+    import jax
+    from jax.sharding import Mesh
+
+    devs = np.array(jax.devices("cpu")[:2])
+    mesh = Mesh(devs, ("voices",))
+    with pytest.raises(ValueError, match="mesh sharding requires"):
+        AudioEngine(sample_rate=SR, backend="numpy", num_voices=8, mesh=mesh)
+    with pytest.raises(ValueError, match="divide evenly"):
+        AudioEngine(sample_rate=SR, backend="jax", num_voices=9, mesh=mesh)
+
+
+def test_send_note_immediately_and_schedule_midi():
+    """sendNoteImmediately lands in the CURRENT block (zero delay,
+    lib/SyncTimer.cpp:1096-1105); raw schedule_midi flows to midi_out."""
+    engine = make_engine(num_voices=8)
+    engine.start_transport(bpm=120)
+    engine.send_note_immediately(64, 5, set_on=True, velocity=100)
+    engine.schedule_midi(bytes([0xB0, 7, 99]), delay=0)
+    res = engine.process_block()
+    sent = [d for _, d in res.midi_out]
+    assert bytes([0x95, 64, 100]) in sent
+    assert bytes([0xB0, 7, 99]) in sent
+
+
+def test_queue_clip_to_stop_waits_for_bar():
+    """queueClipToStop: while the transport runs, the stop quantizes to the
+    next bar like the start path (lib/SyncTimer.cpp 'queueClipToStop')."""
+    engine = make_engine()
+    clip = make_clip(engine, seconds=2.0)
+    engine.start_transport(bpm=120)
+    engine.queue_clip_to_start(clip)
+    # roll to the bar so the clip starts
+    blocks_per_bar = int(2.0 * SR) // engine.block_frames  # 1 bar @120 = 2 s
+    for _ in range(blocks_per_bar + 2):
+        engine.process_block()
+    assert engine.pool.active.sum() == 1
+    engine.queue_clip_to_stop(clip)
+    engine.process_block()
+    assert engine.pool.active.sum() == 1  # still playing until the next bar
+    # the stop lands at the bar, then the 50 ms default release tail rings
+    for _ in range(blocks_per_bar + 30):
+        engine.process_block()
+    assert engine.pool.active.sum() == 0
+
+
+def test_stop_all_clips_and_strip_index_bounds():
+    """stopClips C API analog (lib/libzl.cpp:441-449); strip_index guards
+    the -1..9 convention (lib/libzl.cpp:476-575)."""
+    engine = make_engine()
+    c1, c2 = make_clip(engine), make_clip(engine, freq=330.0)
+    c1.play(loop=True)
+    c2.play(loop=True)
+    engine.process_block()
+    assert engine.pool.active.sum() == 2
+    engine.stop_all_clips()
+    render_seconds(engine, 0.3)  # 50 ms default release tail, then silence
+    assert engine.pool.active.sum() == 0
+    assert engine.strip_index(-1) == 0 and engine.strip_index(9) == 10
+    with pytest.raises(ValueError, match="passthrough channel"):
+        engine.strip_index(10)
+
+
+def test_schedule_ahead_tracks_latency():
+    """scheduleAheadAmount analog (lib/SyncTimer.cpp:711-715): more output
+    latency means more ticks of lead."""
+    engine = make_engine()
+    engine.start_transport(bpm=120)
+    base = engine.schedule_ahead_amount()
+    engine.output_latency_blocks = 8
+    assert engine.schedule_ahead_amount() > base
+
+
+def test_timer_command_playback_callbacks_and_register_cas():
+    """START/STOP_PLAYBACK fan out to callbacks and drive the transport;
+    REGISTER_CAS/UNREGISTER_CAS register clips through the scheduler
+    (lib/TimerCommand.h:13-28 operations)."""
+    engine = make_engine()
+    events = []
+    engine.start_playback_callbacks.append(lambda: events.append("start"))
+    engine.stop_playback_callbacks.append(lambda: events.append("stop"))
+
+    engine.schedule_timer_command(
+        TimerCommand(operation=Operation.START_PLAYBACK), 0)
+    engine.process_block()
+    assert events == ["start"] and engine.transport_running
+
+    # a clip created detached registers via the scheduled command
+    t = np.arange(SR // 4) / SR
+    audio = AudioData(
+        (0.3 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)[:, None], SR)
+    clip = ClipAudioSource(engine, audio=audio, register=False) \
+        if "register" in ClipAudioSource.__init__.__code__.co_varnames \
+        else None
+    if clip is not None:
+        assert clip.id not in engine.clips
+        engine.schedule_timer_command(
+            TimerCommand(operation=Operation.REGISTER_CAS,
+                         data_parameter=clip), 0)
+        engine.process_block()
+        assert clip.id in engine.clips
+        engine.schedule_timer_command(
+            TimerCommand(operation=Operation.UNREGISTER_CAS,
+                         data_parameter=clip), 0)
+        engine.process_block()
+        assert clip.id not in engine.clips
+
+    engine.schedule_timer_command(
+        TimerCommand(operation=Operation.STOP_PLAYBACK), 0)
+    engine.process_block()
+    assert events[-1] == "stop" and not engine.transport_running
+
+
+def test_passthrough_command_out_of_range_ignored():
+    """A scheduled passthrough command with a bad channel is ignored (the
+    reference's switches bounds-check) — the tick walk must not abort."""
+    engine = make_engine()
+    engine.start_transport(bpm=120)
+    cmd = TimerCommand(operation=Operation.PASSTHROUGH_CLIENT,
+                       parameter=99, parameter2=0, parameter3=50)
+    engine.schedule_timer_command(cmd, 0)
+    engine.process_block()  # no exception, strips untouched
+    assert float(engine.strips.dry[1]) == 1.0
