@@ -1,0 +1,255 @@
+"""In-process drive of the C-bridge module functions (capi/bridge.py).
+
+tests/test_capi.py exercises this surface through the real C shim in a
+subprocess — which proves the ABI, but leaves the Python glue invisible to
+in-process tooling and lets a signature drift surface only as a subprocess
+failure. This file drives the same module-level entry points directly:
+clip property plumbing, ctypes callback marshalling, timer and levels
+groups, and the error paths a C client can hit.
+
+Reference behaviors under test carry their own citations in bridge.py;
+this file asserts the glue reaches the engine objects.
+"""
+
+import ctypes
+import os
+
+import numpy as np
+import pytest
+
+from libzl_tpu.io.wav import read_wav, write_wav
+
+SR = 48000
+
+
+@pytest.fixture
+def rt(tmp_path):
+    os.environ.update(
+        LIBZL_TPU_BACKEND="numpy",
+        LIBZL_TPU_VOICES="32",
+        LIBZL_TPU_NO_PUMP="1",
+    )
+    from libzl_tpu.capi import bridge
+
+    bridge.init_engine()
+    yield bridge._rt()
+    bridge.shutdown_engine()
+    for k in ("LIBZL_TPU_BACKEND", "LIBZL_TPU_VOICES", "LIBZL_TPU_NO_PUMP"):
+        os.environ.pop(k, None)
+
+
+def _make_clip(bridge, tmp_path, seconds=0.5, name="clip.wav"):
+    t = np.arange(int(SR * seconds)) / SR
+    path = tmp_path / name
+    write_wav(path, (0.4 * np.sin(2 * np.pi * 220 * t)).astype(np.float32), SR)
+    return bridge.clip_new(str(path))
+
+
+def test_rt_before_init_raises():
+    from libzl_tpu.capi import bridge
+
+    assert bridge._runtime is None
+    with pytest.raises(RuntimeError):
+        bridge._rt()
+
+
+def test_clip_property_plumbing(rt, tmp_path):
+    from libzl_tpu.capi import bridge
+
+    cid = _make_clip(bridge, tmp_path)
+    clip = bridge.clip_by_id(cid)
+
+    assert bridge.clip_get_duration(cid) == pytest.approx(0.5, abs=1e-3)
+    assert bridge.clip_get_filename(cid) == "clip.wav"
+
+    bridge.clip_set_start_position(cid, 0.1)
+    assert clip.get_start_position() == pytest.approx(0.1)
+    bridge.clip_set_length(cid, 0.5, 120)  # half a beat at 120 BPM = 0.25 s
+    assert clip.get_stop_position() == pytest.approx(0.35)
+
+    bridge.clip_set_pan(cid, 0.5)
+    assert clip.pan == pytest.approx(0.5)
+    bridge.clip_set_volume(cid, -6.0)
+    assert clip.get_volume_db() == pytest.approx(-6.0)
+
+    bridge.clip_set_slices(cid, 4)
+    assert clip.slices == 4
+    bridge.clip_set_keyzone_start(cid, 40)
+    bridge.clip_set_keyzone_end(cid, 80)
+    bridge.clip_set_root_note(cid, 64)
+    assert bridge.clip_keyzone_start(cid) == 40
+    assert bridge.clip_keyzone_end(cid) == 80
+    assert bridge.clip_root_note(cid) == 64
+
+    bridge.clip_set_adsr_attack(cid, 0.01)
+    bridge.clip_set_adsr_decay(cid, 0.02)
+    bridge.clip_set_adsr_sustain(cid, 0.6)
+    bridge.clip_set_adsr_release(cid, 0.09)
+    assert bridge.clip_adsr_attack(cid) == pytest.approx(0.01)
+    assert bridge.clip_adsr_decay(cid) == pytest.approx(0.02)
+    assert bridge.clip_adsr_sustain(cid) == pytest.approx(0.6)
+    assert bridge.clip_adsr_release(cid) == pytest.approx(0.09)
+
+
+def test_clip_deferred_render_setters(rt, tmp_path):
+    """speed/pitch/gain/crossfade route to the deferred offline re-render
+    and land at a block boundary (the needsRender analog)."""
+    from libzl_tpu.capi import bridge
+
+    cid = _make_clip(bridge, tmp_path)
+    clip = bridge.clip_by_id(cid)
+    before = clip.playback_audio.num_frames
+
+    bridge.clip_set_speed_ratio(cid, 2.0)
+    bridge.clip_set_pitch(cid, 3.0)
+    bridge.clip_set_gain(cid, -3.0)
+    bridge.clip_set_loop_crossfade(cid, 0.01)
+    # the render worker swaps the buffer in at a block boundary; poll on
+    # the wall clock (step_blocks outruns the worker thread on tiny pools)
+    import time
+
+    deadline = time.monotonic() + 30.0
+    while time.monotonic() < deadline:
+        rt.step_blocks(1)
+        if clip.playback_audio.num_frames != before:
+            break
+        time.sleep(0.005)
+    assert clip.speed_ratio == pytest.approx(2.0)
+    assert clip.pitch_change == pytest.approx(3.0)
+    assert clip.gain_db == pytest.approx(-3.0)
+    # speed 2.0 halves the duration (WSOLA durations are exact)
+    assert clip.playback_audio.num_frames == pytest.approx(before / 2, rel=0.05)
+
+
+def test_clip_callbacks_via_ctypes_pointers(rt, tmp_path):
+    """The C shim hands raw function pointers; the bridge must marshal
+    float args through ctypes without keeping the only reference."""
+    from libzl_tpu.capi import bridge
+
+    cid = _make_clip(bridge, tmp_path, seconds=1.0)
+    progress, levels = [], []
+    prog_cb = bridge._PROGRESS_CB(lambda v: progress.append(v))
+    lvl_cb = bridge._LEVEL_CB(lambda v: levels.append(v))
+    bridge.clip_set_progress_callback(
+        cid, ctypes.cast(prog_cb, ctypes.c_void_p).value)
+    bridge.clip_set_audio_level_callback(
+        cid, ctypes.cast(lvl_cb, ctypes.c_void_p).value)
+
+    bridge.timer_start(120)
+    bridge.clip_play(cid, True, 2)
+    every = rt.engine._levels_every
+    rt.step_blocks(4 * every)
+    clip = bridge.clip_by_id(cid)
+    clip.sync_progress(now=1e9)
+    clip.sync_audio_level(now=1e9)
+    bridge.clip_stop(cid, 2)
+    # the progress callback reports SECONDS into the clip
+    # (lib/ClipAudioSource.cpp:232: progress * getDuration())
+    assert progress and 0.0 <= progress[-1] <= clip.get_duration()
+    # the level callback reports dB (lib/ClipAudioSource.cpp:88-113): a
+    # playing clip sits above the -200 floor
+    assert levels and -200.0 < levels[-1] < 6.0
+
+
+def test_timer_group(rt, tmp_path):
+    from libzl_tpu.capi import bridge
+    from libzl_tpu.constants import BEAT_SUBDIVISIONS, TICKS_PER_BAR
+
+    assert bridge.timer_get_multiplier() == BEAT_SUBDIVISIONS
+
+    ticks = []
+    timer_cb = bridge._TIMER_CB(lambda t: ticks.append(t))
+    ptr = ctypes.cast(timer_cb, ctypes.c_void_p).value
+    bridge.timer_register_callback(ptr)
+
+    bridge.timer_start(120)
+    assert rt.engine.transport_running
+    assert rt.engine.bpm == pytest.approx(120.0)
+    bridge.timer_set_bpm(150.0)
+    assert rt.engine.bpm == pytest.approx(150.0)
+
+    # ~ one bar at 150 BPM: 384 ticks * (60/150/96) s/tick = 1.6 s
+    rt.step_blocks(int(1.7 * SR / rt.engine.block_frames))
+    assert ticks, "timer callback never fired"
+    assert all(0 <= t < TICKS_PER_BAR for t in ticks)
+
+    fired = len(ticks)
+    bridge.timer_deregister_callback(ptr)
+    rt.step_blocks(8)
+    assert len(ticks) == fired, "callback fired after deregistration"
+
+    cid = _make_clip(bridge, tmp_path)
+    bridge.timer_queue_clip_to_start(cid, 2)   # next-bar quantize
+    bridge.timer_queue_clip_to_stop(cid, 2)
+    bridge.timer_stop()
+    assert not rt.engine.transport_running
+
+
+def test_levels_port_recording_group(rt, tmp_path):
+    from libzl_tpu.capi import bridge
+
+    cid = _make_clip(bridge, tmp_path)
+    bridge.levels_set_record_ports_filename_prefix(
+        str(tmp_path / "ports.wav"))
+    bridge.levels_add_record_port("master", 0)
+    bridge.levels_add_record_port("master", 1)
+    bridge.levels_set_should_record_ports(True)
+    assert not bridge.levels_is_recording()
+    bridge.levels_start_recording()
+    assert bridge.levels_is_recording()
+
+    bridge.timer_start(120)
+    bridge.clip_play(cid, True, 2)
+    rt.step_blocks(40)
+    bridge.levels_stop_recording()
+    assert not bridge.levels_is_recording()
+    rec = read_wav(tmp_path / "ports.wav")
+    assert rec.num_frames > 0 and np.abs(rec.samples).max() > 0.01
+
+    # removing/clearing ports takes effect for the next recording
+    bridge.levels_remove_record_port("master", 0)
+    bridge.levels_clear_record_ports()
+    bridge.levels_set_should_record_ports(False)
+
+
+def test_passthrough_and_misc(rt, tmp_path):
+    from libzl_tpu.capi import bridge
+
+    for key, value in (("dry", 0.7), ("wet1", 0.3), ("wet2", 0.2),
+                       ("pan", -0.5), ("muted", 1.0)):
+        bridge.passthrough_set(3, key, value)
+        assert bridge.passthrough_get(3, key) == pytest.approx(value)
+    # channel -1 = global strip
+    bridge.passthrough_set(-1, "dry", 0.9)
+    assert bridge.passthrough_get(-1, "dry") == pytest.approx(0.9)
+    with pytest.raises(KeyError):
+        bridge.passthrough_set(3, "nonsense", 1.0)
+
+    # dBFromVolume: unity -> 0 dB, 0 -> -inf floor (fader law)
+    assert bridge.db_from_volume(1.0) == pytest.approx(0.0)
+    assert bridge.db_from_volume(0.0) <= -100.0
+
+    # stop_clips tolerates unknown ids (the reference iterates a C array)
+    cid = _make_clip(bridge, tmp_path)
+    bridge.clip_play(cid, True, 2)
+    bridge.stop_clips([cid, 999999])
+
+    with pytest.raises(KeyError):
+        bridge._clip(424242)
+
+    bridge.clip_destroy(cid)
+    assert bridge.clip_by_id(cid) is None
+
+
+def test_reload_configuration_env(rt, monkeypatch):
+    from libzl_tpu.capi import bridge
+    from libzl_tpu.midi.router import Destination
+
+    monkeypatch.setenv("ZYNTHIAN_MIDI_FILTER_OUTPUT", "1")
+    bridge.reload_zynthian_configuration()
+    router = rt.engine.router
+    assert router.filter_midi_out
+    # channel destinations survive a reload (reference re-reads env only)
+    router.set_channel_destination(0, Destination.SAMPLER)
+    bridge.reload_zynthian_configuration()
+    assert router.outputs[0].destination == Destination.SAMPLER
