@@ -295,3 +295,68 @@ def test_wedged_writer_drops_fast_instead_of_blocking():
     rest = _time.perf_counter() - t0
     assert rec.dropped_blocks == 11
     assert first <= 1.0 and rest < 0.1, (first, rest)
+
+
+def test_strip_port_tap_recording(tmp_path):
+    """strip:<idx>:<dry|wet1|wet2> record ports tap the passthrough sends
+    (the FXPassthrough-ChannelN wet ports a reference user records)."""
+    engine, clip = make_session()
+    engine.set_strip(0, wet1=0.8, dry=0.5)
+    engine.levels.set_record_ports_filename_prefix(
+        str(tmp_path / "strip.wav"))
+    # strip index 1 = channel 0 (index 0 is the global strip)
+    engine.levels.add_record_port("strip:1:wet1", 0)
+    engine.levels.add_record_port("strip:1:wet1", 1)
+    engine.levels.set_should_record_ports(True)
+    engine.levels.start_recording()
+    clip.play(loop=True, midi_channel=0)
+    engine.start_transport(bpm=120)
+    run_blocks(engine, 40)
+    engine.levels.stop_recording()
+    rec = read_wav(tmp_path / "strip.wav")
+    assert rec.num_frames > 0 and np.abs(rec.samples).max() > 0.01
+
+
+def test_strip_port_validation_and_unknown_fallback(tmp_path):
+    engine, _ = make_session()
+    with pytest.raises(ValueError, match="strip out of range"):
+        engine.levels.add_record_port("strip:11:wet1", 0)
+    # unknown names are accepted and resolve to the master tap in the pump
+    # (the reference's failed jack_connect records silence, not a crash)
+    engine.levels.add_record_port("no-such-port", 0)
+    res = engine.process_block()
+    mono = engine.levels._resolve_port(res.outputs, "no-such-port", 0)
+    assert mono.shape == (engine.block_frames,)
+    # a malformed strip spec inside the pump feed degrades to silence
+    bad = engine.levels._resolve_port(res.outputs, "strip:nope:wet9", 0)
+    assert not bad.any()
+
+
+def test_record_port_list_editing():
+    engine, _ = make_session()
+    lv = engine.levels
+    lv.add_record_port("master", 0)
+    lv.remove_record_port("master", 0)
+    lv.remove_record_port("master", 0)      # absent: no-op, like jack_disconnect
+    assert lv.record_ports == []
+    lv.add_record_port("master", 1)
+    lv.clear_record_ports()
+    assert lv.record_ports == []
+    # channel list setters clamp to the 10 tracks
+    lv.set_channels_to_record([0, 5, 99, -1])
+    assert lv.channels_to_record == [0, 5]
+    lv.set_channel_to_record(3, True)
+    lv.set_channel_to_record(42, True)      # out of range: ignored
+    assert 3 in lv.channels_to_record and 42 not in lv.channels_to_record
+    lv.set_channel_to_record(3, False)
+    assert 3 not in lv.channels_to_record
+
+
+def test_mono_capture_ingest():
+    """A mono AudioSource block meters on both capture channels."""
+    engine, _ = make_session()
+    mono = np.full(engine.block_frames, 0.25, np.float32)
+    engine.levels.ingest_capture(mono)
+    engine.levels.analyze()
+    assert engine.levels.capture_a > -200.0
+    assert engine.levels.capture_b > -200.0

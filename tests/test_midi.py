@@ -293,3 +293,28 @@ def test_redundant_transport_stop_is_ignored():
         if not engine.transport_running:
             break
     assert not engine.transport_running
+
+
+def test_message_helper_edges():
+    """messages.py branch coverage: system-byte status, vel-0 note-off
+    equivalence, CC detection, with_channel passthrough for non-channel
+    messages (lib/MidiRouter.cpp:523-526 arithmetic only applies to
+    channel-voice messages)."""
+    # status(): channel-voice masks the low nibble; system bytes pass whole
+    assert mm.status(bytes([0x93, 60, 100])) == mm.NOTE_ON
+    assert mm.status(bytes([0xFA])) == 0xFA
+    assert mm.status(b"") == 0
+
+    # vel-0 note-on IS a note-off (running-status convention)
+    assert mm.is_note_off(bytes([0x80, 60, 0]))
+    assert mm.is_note_off(bytes([0x90, 60, 0]))
+    assert not mm.is_note_off(bytes([0x90, 60, 1]))
+    assert not mm.is_note_off(b"")
+
+    assert mm.is_cc(bytes([0xB5, 85, 127]))
+    assert not mm.is_cc(bytes([0x90, 60, 100]))
+
+    # retarget keeps status + payload; non-channel messages pass unchanged
+    assert mm.with_channel(bytes([0x90, 60, 100]), 5) == bytes([0x95, 60, 100])
+    assert mm.with_channel(bytes([0xFA]), 5) == bytes([0xFA])
+    assert mm.with_channel(b"", 3) == b""
