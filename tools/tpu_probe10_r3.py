@@ -59,8 +59,10 @@ def main():
         row = {}
 
         eng = bench.build_session(1024, num_voices=v)
-        active = int(eng.pool.active.sum())
         ms = _measure(eng, 1024, 40)
+        # read AFTER warmup: voices claim on the block that consumes their
+        # start command, so a pre-block read sees an idle pool
+        active = int(eng.pool.active.sum())
         best = min(ms)
         rt_super = 1024 / bench.SAMPLE_RATE / (best * 1e-3)
         row["super"] = dict(
