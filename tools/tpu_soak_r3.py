@@ -23,6 +23,11 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 MINUTES = float(os.environ.get("SOAK_MINUTES", "10"))
+# seconds between clip retriggers. The default (5 s) is the realistic mix
+# of clean and dirty blocks; SOAK_EVENT_SECONDS=0.1 is the event-storm
+# regime where nearly every lookahead horizon is preempted — sustained
+# per-block-path stress instead of the amortized fast path.
+EVENT_SECONDS = float(os.environ.get("SOAK_EVENT_SECONDS", "5.0"))
 
 
 def main():
@@ -85,10 +90,10 @@ def main():
     deadline = time.monotonic() + MINUTES * 60.0
     last_report = 0.0
     while time.monotonic() < deadline:
-        time.sleep(5.0)
-        # light live traffic: retrigger a random clip every few seconds
+        time.sleep(EVENT_SECONDS)
+        # live traffic: retrigger a random clip every EVENT_SECONDS
         # (events preempt the lookahead horizon — the realistic mix of
-        # clean and dirty blocks)
+        # clean and dirty blocks at the default; a storm at 0.1 s)
         h = handles[int(rng.integers(0, len(handles)))]
         zl.ClipAudioSource_play(h, True)
         now = time.monotonic()
