@@ -118,7 +118,16 @@ class AudioEngine:
                     and block_frames % 128 == 0 and shard_voices % 8 == 0):
                 import jax
 
-                if jax.default_backend() == "tpu":
+                # under an explicit mesh the MESH's devices decide, not the
+                # process default backend: a CPU mesh in a process whose
+                # default backend is the TPU relay (dryrun_multichip after
+                # entry(), mixed test harnesses) must still resolve to
+                # gather — Pallas only interprets on CPU
+                if mesh is not None:
+                    platform = next(iter(mesh.devices.flat)).platform
+                else:
+                    platform = jax.default_backend()
+                if platform == "tpu":
                     fetch = "windows"
         self.fetch = fetch
         if bank_dtype not in ("float32", "int16"):

@@ -15,6 +15,27 @@ def test_dryrun_multichip_8():
     ge.dryrun_multichip(8)
 
 
+def test_fetch_auto_resolves_from_mesh_devices(monkeypatch):
+    """fetch="auto" under an explicit mesh must consult the MESH's device
+    platform, not jax.default_backend(): a CPU mesh in a process whose
+    default backend is a TPU (dryrun after entry(), mixed harnesses) must
+    resolve to gather — Pallas only interprets on CPU."""
+    import jax
+
+    from libzl_tpu.engine.engine import AudioEngine
+    from libzl_tpu.parallel.sharding import make_mesh
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    engine = AudioEngine(
+        sample_rate=48000,
+        block_frames=128,
+        num_voices=64,
+        backend="jax",
+        mesh=make_mesh(8),
+    )
+    assert engine.fetch == "gather"
+
+
 def test_sharded_matches_single_device():
     import jax
 
