@@ -28,22 +28,33 @@ def bench_mod():
     return mod
 
 
+_RESULT = ('{"metric": "realtime_factor", "value": 4.2, '
+           '"unit": "x_realtime", "vs_baseline": 44.8}')
+
+
 class _FakeRun:
     """Scripted subprocess.run replacement: pops one outcome per call.
 
-    An outcome is an int returncode or the TimeoutExpired class.
+    An outcome is an int returncode, a (returncode, stdout) pair, or the
+    TimeoutExpired class. Plain int returncode 0 implies a result line on
+    stdout (a healthy child).
     """
 
     def __init__(self, outcomes):
         self.outcomes = list(outcomes)
         self.calls = []
 
-    def __call__(self, argv, env=None, timeout=None):
-        self.calls.append(dict(argv=argv, env=env, timeout=timeout))
+    def __call__(self, argv, env=None, timeout=None, stdout=None, text=None):
+        self.calls.append(dict(argv=argv, env=env, timeout=timeout,
+                               stdout=stdout, text=text))
         outcome = self.outcomes.pop(0)
         if outcome is subprocess.TimeoutExpired:
             raise subprocess.TimeoutExpired(argv, timeout)
-        return types.SimpleNamespace(returncode=outcome)
+        if isinstance(outcome, tuple):
+            ret, out = outcome
+        else:
+            ret, out = outcome, (_RESULT + "\n" if outcome == 0 else "")
+        return types.SimpleNamespace(returncode=ret, stdout=out)
 
 
 def _patch(monkeypatch, bench_mod, outcomes):
@@ -54,12 +65,37 @@ def _patch(monkeypatch, bench_mod, outcomes):
     return fake
 
 
-def test_success_first_try(monkeypatch, bench_mod):
+def test_success_first_try(monkeypatch, bench_mod, capsys):
     fake = _patch(monkeypatch, bench_mod, [0])
     assert bench_mod._run_with_retries() == 0
     assert len(fake.calls) == 1
     # the child is marked so it runs the measurement instead of recursing
     assert fake.calls[0]["env"]["_LIBZL_BENCH_CHILD"] == "1"
+    # child stdout is captured, and the result line forwarded exactly once
+    assert fake.calls[0]["stdout"] is subprocess.PIPE
+    assert capsys.readouterr().out == _RESULT + "\n"
+
+
+def test_teardown_crash_after_result_is_accepted(monkeypatch, bench_mod,
+                                                 capsys):
+    """A child that prints its result line and then exits nonzero (relay
+    threads dying at interpreter teardown) is accepted: one JSON line out,
+    no retry."""
+    fake = _patch(monkeypatch, bench_mod, [(1, _RESULT + "\n")])
+    assert bench_mod._run_with_retries() == 0
+    assert len(fake.calls) == 1
+    assert capsys.readouterr().out == _RESULT + "\n"
+
+
+def test_failed_child_stdout_never_reaches_stdout(monkeypatch, bench_mod,
+                                                  capsys):
+    """Partial/garbage stdout from a failed attempt must not pollute the
+    driver's one-JSON-line channel."""
+    fake = _patch(monkeypatch, bench_mod,
+                  [(1, "half-printed garbage"), 0])
+    assert bench_mod._run_with_retries() == 0
+    assert len(fake.calls) == 2
+    assert capsys.readouterr().out == _RESULT + "\n"
 
 
 def test_retries_transient_failure(monkeypatch, bench_mod):
