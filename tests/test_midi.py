@@ -318,3 +318,96 @@ def test_message_helper_edges():
     assert mm.with_channel(bytes([0x90, 60, 100]), 5) == bytes([0x95, 60, 100])
     assert mm.with_channel(bytes([0xFA]), 5) == bytes([0xFA])
     assert mm.with_channel(b"", 3) == b""
+
+
+def test_env_config_malformed_values(monkeypatch):
+    """reloadConfiguration parse edges (lib/MidiRouter.cpp:984-1009):
+    QString::toInt yields 0 for non-numeric filter values, and options
+    without exactly one '=' are skipped without clearing prior policy."""
+    monkeypatch.setenv("ZYNTHIAN_MIDI_FILTER_OUTPUT", "true")
+    monkeypatch.setenv(
+        "ZYNTHIAN_MIDI_PORTS",
+        "garbage-no-equals\\nA=B=C\\nENABLED_OUT=hw-out\\nENABLED_FB=",
+    )
+    r = MidiRouter()
+    assert r.filter_midi_out is False
+    # the well-formed option still applied
+    hw = VirtualMidiPort("hw-out")
+    other = VirtualMidiPort("hw-other")
+    r.registry.add_output(hw)
+    r.registry.add_output(other)
+    assert hw.enabled and not other.enabled
+
+
+def test_set_zynthian_channels_keeps_destination():
+    """setZynthianChannels (lib/MidiRouter.h:77) replaces only the fan-out
+    list; the channel's destination is untouched."""
+    r = MidiRouter()
+    r.set_channel_destination(2, Destination.ZYNTHIAN, zynthian_channels=[2])
+    r.set_zynthian_channels(2, [7, 9])
+    assert r.outputs[2].destination == Destination.ZYNTHIAN
+    assert r.outputs[2].zynthian_channels[:3] == [7, 9, -1]
+    r.begin_block()
+    r.route_internal([(0, mm.note_on(60, 100, ch=2))])
+    fanned = sorted(mm.channel(d) for _, d in r.zynthian_out)
+    assert fanned == [7, 9]
+
+
+def test_note_listeners_fire_per_terminal():
+    """noteChanged listener analog (lib/MidiRouter.cpp:100-130): internal
+    ZYNTHIAN notes emit on the passthrough and internal sources; empty
+    events are skipped before the watchdog counts them."""
+    r = MidiRouter()
+    seen = []
+    r.note_listeners.append(lambda src, off, data: seen.append((src, off, data)))
+    r.begin_block()
+    on = mm.note_on(60, 100, ch=0)
+    r.route_internal([(3, b""), (3, on)])
+    assert r.in_count == 1 and r.accounted_count == 1
+    assert ("passthrough", 3, on) in seen and ("internal", 3, on) in seen
+
+
+def test_internal_system_and_sysex_routing():
+    """Non-channel internal events (lib/MidiRouter.cpp:443-452): sysex is
+    swallowed-but-accounted; system bytes go external; realtime bytes the
+    transport already consumed (0xF8/0xFA/...) are NOT fed back to the
+    passthrough, but song-position-ish bytes are."""
+    r = MidiRouter()
+    r.begin_block()
+    sysex = bytes([0xF0, 0x7E, 0xF7])
+    clock = bytes([0xF8])
+    song_select = bytes([0xF3, 4])
+    r.route_internal([(0, sysex), (1, clock), (2, song_select)])
+    assert r.in_count == 3 and r.accounted_count == 3
+    assert (0, sysex) not in r.external_out
+    assert (1, clock) in r.external_out
+    assert (2, song_select) in r.external_out
+    pass_data = [d for _, d in r.passthrough_out]
+    assert clock not in pass_data and song_select in pass_data
+
+
+def test_hardware_external_destination_remap():
+    """Hardware input on an EXTERNAL-destination channel (the routing
+    switch, lib/MidiRouter.cpp:530-566): the note retargets to
+    current_channel by stickiness, then remaps to the channel's
+    external_channel on the external sink; listeners see passthrough,
+    external and hardware sources."""
+    r = MidiRouter()
+    r.current_channel = 4
+    r.set_channel_destination(4, Destination.EXTERNAL, external_channel=11)
+    port = VirtualMidiPort("input-pads")
+    disabled = VirtualMidiPort("input-off")
+    r.registry.add_input(port)
+    dis_entry = r.registry.add_input(disabled)
+    dis_entry.port.enabled = False
+    seen = []
+    r.note_listeners.append(lambda src, off, data: seen.append(src))
+    r.begin_block()
+    port.feed(mm.note_on(62, 90, ch=0))
+    disabled.feed(mm.note_on(63, 90, ch=0))  # must never route
+    r.route_hardware()
+    assert (0, mm.note_on(62, 90, ch=11)) in r.external_out
+    assert (0, mm.note_on(62, 90, ch=4)) in r.passthrough_out
+    assert {"passthrough", "external", "hardware"} <= set(seen)
+    # the disabled port's event was not drained into the fabric
+    assert r.in_count == 1 and r.accounted_count == 1
