@@ -661,25 +661,25 @@ def test_timer_command_playback_callbacks_and_register_cas():
     engine.process_block()
     assert events == ["start"] and engine.transport_running
 
-    # a clip created detached registers via the scheduled command
+    # a clip created detached (engine=None) registers via the scheduled
+    # command — the RegisterCAS path (lib/TimerCommand.h:26)
     t = np.arange(SR // 4) / SR
     audio = AudioData(
         (0.3 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)[:, None], SR)
-    clip = ClipAudioSource(engine, audio=audio, register=False) \
-        if "register" in ClipAudioSource.__init__.__code__.co_varnames \
-        else None
-    if clip is not None:
-        assert clip.id not in engine.clips
-        engine.schedule_timer_command(
-            TimerCommand(operation=Operation.REGISTER_CAS,
-                         data_parameter=clip), 0)
-        engine.process_block()
-        assert clip.id in engine.clips
-        engine.schedule_timer_command(
-            TimerCommand(operation=Operation.UNREGISTER_CAS,
-                         data_parameter=clip), 0)
-        engine.process_block()
-        assert clip.id not in engine.clips
+    clip = ClipAudioSource(None, audio=audio)
+    assert clip.id not in engine.clips and clip.slot is None
+    engine.schedule_timer_command(
+        TimerCommand(operation=Operation.REGISTER_CAS,
+                     data_parameter=clip), 0)
+    # a delay-0 command lands on the NEXT tick boundary and a 128-frame
+    # block advances only ~0.5 tick at 120 BPM — walk far enough to fire
+    render_seconds(engine, 0.05)
+    assert clip.id in engine.clips and clip.slot is not None
+    engine.schedule_timer_command(
+        TimerCommand(operation=Operation.UNREGISTER_CAS,
+                     data_parameter=clip), 0)
+    render_seconds(engine, 0.05)
+    assert clip.id not in engine.clips and clip.slot is None
 
     engine.schedule_timer_command(
         TimerCommand(operation=Operation.STOP_PLAYBACK), 0)
@@ -697,3 +697,93 @@ def test_passthrough_command_out_of_range_ignored():
     engine.schedule_timer_command(cmd, 0)
     engine.process_block()  # no exception, strips untouched
     assert float(engine.strips.dry[1]) == 1.0
+
+
+def test_timer_command_observer_and_embedded_clip_command():
+    """Every scheduled TimerCommand fans to timer_command_callbacks
+    (lib/SyncTimer.cpp:563 `Q_EMIT timerCommand`), and a
+    ClipCommandOperation carries its ClipCommand payload into the sampler
+    (lib/TimerCommand.h:18); clip_command_sent_callbacks is the
+    clipCommandSent analog (lib/SyncTimer.cpp:415-419)."""
+    engine = make_engine()
+    clip = make_clip(engine)
+    ops_seen = []
+    engine.timer_command_callbacks.append(lambda c: ops_seen.append(c.operation))
+    sent = []
+    engine.clip_command_sent_callbacks.append(lambda c: sent.append(c))
+    engine.start_transport(bpm=120)
+
+    inner = ClipCommand.channel(clip.id, 0)
+    inner.midi_note = 60
+    inner.looping = True
+    inner.start_playback = True
+    engine.schedule_timer_command(
+        TimerCommand(operation=Operation.CLIP_COMMAND, data_parameter=inner),
+        0,
+    )
+    render_seconds(engine, 0.05)  # walk past the next tick boundary
+    assert Operation.CLIP_COMMAND in ops_seen
+    assert inner in sent
+    assert engine.pool.active.any()
+
+
+def test_windows_fetch_misconfig_fails_at_construction():
+    """Explicit fetch="windows" with impossible geometry raises at
+    construction, not mid-render (the kernel's chunk/grid/group
+    divisibility rules, ops/fetch_pallas.py)."""
+    with pytest.raises(ValueError, match="chunk"):
+        AudioEngine(sample_rate=SR, block_frames=96, num_voices=32,
+                    backend="jax", fetch="windows:c128")
+    with pytest.raises(ValueError, match="grid"):
+        AudioEngine(sample_rate=SR, block_frames=256, num_voices=32,
+                    backend="jax", fetch="windows:grid,c64")
+    with pytest.raises(ValueError, match="group"):
+        AudioEngine(sample_rate=SR, block_frames=128, num_voices=48,
+                    backend="jax", fetch="windows:g32")
+
+
+def test_lookahead_one_block_collapses_to_plain_path():
+    """A 1-block horizon IS the plain per-block path: auto at
+    block_frames=2048 resolves to H=1 and collapses to 0, and an explicit
+    lookahead=1 does the same (docs/API.md LIBZL_TPU_LOOKAHEAD)."""
+    e_auto = AudioEngine(sample_rate=SR, block_frames=2048, num_voices=16,
+                         backend="jax", lookahead="auto")
+    assert e_auto._lookahead == 0
+    e_one = make_engine(lookahead=1)
+    assert e_one._lookahead == 0
+
+
+def test_python_host_core_renders_identically():
+    """The numpy voice machine (host_core="python") is the reference
+    implementation the native core must mirror; the engine's legacy
+    program-build path must produce the same audio as the native-host
+    path on the same session (CLAUDE.md golden rule)."""
+    outs = {}
+    for hc in ("native", "python"):
+        engine = make_engine(host_core=hc, num_voices=16)
+        assert engine.use_native_host == (hc == "native")
+        clip = make_clip(engine)
+        engine.start_transport(bpm=120)
+        clip.play(loop=True, midi_channel=0)
+        blocks = [engine.process_block().outputs.master for _ in range(4)]
+        outs[hc] = np.concatenate(blocks, axis=0)
+    np.testing.assert_array_equal(outs["native"], outs["python"])
+    assert np.abs(outs["python"]).max() > 0
+
+
+def test_python_host_core_jax_backend_matches_numpy():
+    """The jax dispatch through the legacy (non-native-host) program build:
+    same session, numpy vs jax backends, equal audio."""
+    outs = {}
+    for backend in ("numpy", "jax"):
+        engine = AudioEngine(sample_rate=SR, block_frames=128,
+                             num_voices=16, backend=backend,
+                             host_core="python")
+        clip = make_clip(engine)
+        engine.start_transport(bpm=120)
+        clip.play(loop=True, midi_channel=0)
+        blocks = [np.asarray(engine.process_block().outputs.master)
+                  for _ in range(3)]
+        outs[backend] = np.concatenate(blocks, axis=0)
+    np.testing.assert_allclose(outs["jax"], outs["numpy"],
+                               rtol=1e-6, atol=1e-7)
