@@ -253,3 +253,113 @@ def test_reload_configuration_env(rt, monkeypatch):
     router.set_channel_destination(0, Destination.SAMPLER)
     bridge.reload_zynthian_configuration()
     assert router.outputs[0].destination == Destination.SAMPLER
+
+
+def test_init_engine_env_knobs(tmp_path):
+    """init_engine reads the full LIBZL_TPU_* env surface (docs/API.md):
+    pipeline depth, bounce drain, explicit lookahead, rate and block."""
+    from libzl_tpu.capi import bridge
+
+    assert bridge._runtime is None
+    os.environ.update(
+        LIBZL_TPU_BACKEND="numpy",
+        LIBZL_TPU_VOICES="32",
+        LIBZL_TPU_NO_PUMP="1",
+        LIBZL_TPU_RATE="44100",
+        LIBZL_TPU_BLOCK="256",
+        LIBZL_TPU_PIPELINE="3",
+        LIBZL_TPU_BOUNCE_DRAIN="4",
+        LIBZL_TPU_LOOKAHEAD="0",
+    )
+    try:
+        bridge.init_engine()
+        rt = bridge._rt()
+        assert rt.engine.sample_rate == 44100
+        assert rt.engine.block_frames == 256
+        assert rt.pipeline_depth == 3
+        assert rt.bounce_drain_blocks == 4
+        assert rt.engine._lookahead == 0
+    finally:
+        bridge.shutdown_engine()
+        for k in ("LIBZL_TPU_BACKEND", "LIBZL_TPU_VOICES",
+                  "LIBZL_TPU_NO_PUMP", "LIBZL_TPU_RATE", "LIBZL_TPU_BLOCK",
+                  "LIBZL_TPU_PIPELINE", "LIBZL_TPU_BOUNCE_DRAIN",
+                  "LIBZL_TPU_LOOKAHEAD"):
+            os.environ.pop(k, None)
+
+
+def test_init_engine_bad_source_spec_does_not_publish(tmp_path):
+    """A bad LIBZL_TPU_SOURCE must abort init WITHOUT publishing the
+    singleton or leaking the already-attached sink (bridge.init_engine's
+    cleanup path)."""
+    from libzl_tpu.capi import bridge
+
+    assert bridge._runtime is None
+    os.environ.update(
+        LIBZL_TPU_BACKEND="numpy",
+        LIBZL_TPU_VOICES="32",
+        LIBZL_TPU_NO_PUMP="1",
+        LIBZL_TPU_SINK="null",
+        LIBZL_TPU_SOURCE="bogus-kind",
+    )
+    try:
+        with pytest.raises(ValueError, match="source spec"):
+            bridge.init_engine()
+        assert bridge._runtime is None
+        # a good retry still works
+        os.environ.pop("LIBZL_TPU_SOURCE")
+        bridge.init_engine()
+        assert bridge._rt() is not None
+    finally:
+        bridge.shutdown_engine()
+        for k in ("LIBZL_TPU_BACKEND", "LIBZL_TPU_VOICES",
+                  "LIBZL_TPU_NO_PUMP", "LIBZL_TPU_SINK",
+                  "LIBZL_TPU_SOURCE"):
+            os.environ.pop(k, None)
+
+
+def test_pump_survives_failing_sink():
+    """The pump's per-block error guard (bridge._run): a sink that raises
+    must record pump_error and keep the pump alive (the reference's JACK
+    callback never dies to a client error), and a later healthy sink
+    resumes delivery."""
+    import time
+
+    from libzl_tpu.capi.bridge import EngineRuntime
+    from libzl_tpu.io.sinks import AudioSink
+
+    class BoomSink(AudioSink):
+        def __init__(self):
+            self.calls = 0
+
+        def write(self, block):
+            self.calls += 1
+            raise RuntimeError("boom")
+
+    class CountSink(AudioSink):
+        def __init__(self):
+            self.blocks = 0
+
+        def write(self, block):
+            self.blocks += 1
+
+    rt = EngineRuntime(backend="numpy", num_voices=16)
+    boom = BoomSink()
+    rt.set_sink(boom)
+    rt.start_pump()
+    try:
+        deadline = time.monotonic() + 5.0
+        while boom.calls == 0 and time.monotonic() < deadline:
+            time.sleep(0.01)
+        assert boom.calls > 0
+        assert isinstance(rt.pump_error, RuntimeError)
+        assert rt._running  # still alive after the failure
+        good = CountSink()
+        rt.set_sink(good)
+        deadline = time.monotonic() + 5.0
+        while good.blocks == 0 and time.monotonic() < deadline:
+            time.sleep(0.01)
+        assert good.blocks > 0
+    finally:
+        rt.stop_pump()
+        rt.set_sink(None)
