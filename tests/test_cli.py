@@ -229,3 +229,46 @@ def test_render_all_clip_options(tmp_path):
     # POSITIVE pan boosts the left channel — a reference quirk preserved
     s = np.asarray(a.samples)
     assert np.abs(s[:, 0]).sum() > np.abs(s[:, 1]).sum()
+
+
+def test_convert_ogg_mp3_and_unsupported(tmp_path, capsys):
+    """convert's output dispatch: lossy suffixes encode through the codec
+    layer; an unknown suffix is a clean message + exit 2."""
+    import pytest
+
+    from libzl_tpu.io import codecs
+
+    src = tmp_path / "in.wav"
+    make_tone(src, seconds=0.3)
+    avail = {"ogg": codecs.ogg_write_available,
+             "mp3": codecs.mp3_write_available}
+    for suffix in ("ogg", "mp3"):
+        if not avail[suffix]():
+            continue
+        out = tmp_path / f"out.{suffix}"
+        rc = main(["convert", str(src), str(out)])
+        assert rc == 0, suffix
+        assert out.stat().st_size > 0
+        assert "->" in capsys.readouterr().out  # non-quiet summary line
+
+    rc = main(["convert", str(src), str(tmp_path / "out.xyz")])
+    assert rc == 2
+    assert "unsupported output format" in capsys.readouterr().err
+
+
+def test_env_and_render_jax_backend(tmp_path, capsys):
+    """The jax-backend CLI paths on the forced-CPU test mesh: env prints
+    the device line; render concatenates on device and fetches once."""
+    rc = main(["env", "--backend", "jax"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "jax backend:" in out and "fetch resolution" in out
+
+    src = tmp_path / "in.wav"
+    out_wav = tmp_path / "out.wav"
+    make_tone(src, seconds=0.2)
+    rc = main(["render", str(src), str(out_wav), "--seconds", "0.25",
+               "--backend", "jax"])
+    assert rc == 0
+    a = read_wav(out_wav)
+    assert np.abs(a.samples).max() > 0.05
