@@ -118,3 +118,27 @@ def test_watchdog_wired_into_engine():
     assert wd.mismatches > 0
     assert wd.lost > 0
     assert engine.stats()["watchdog_lost"] == wd.lost
+
+
+def test_summary_skips_empty_series():
+    p = BlockProfiler()
+    p.record("busy", 0.001)
+    with p.span("never"):  # context adds one sample to "never"
+        pass
+    p._samples["empty"]  # touch: defaultdict creates an empty deque
+    s = p.summary()
+    assert "busy" in s and "never" in s and "empty" not in s
+
+
+def test_device_trace_context(tmp_path):
+    """utils.profiling.device_trace wraps jax.profiler start/stop and
+    leaves a trace directory behind (works on the CPU backend too)."""
+    import jax
+    import jax.numpy as jnp
+
+    from libzl_tpu.utils.profiling import device_trace
+
+    out = tmp_path / "trace"
+    with device_trace(str(out)):
+        jax.block_until_ready(jnp.ones(8) * 2)
+    assert out.exists() and any(out.rglob("*"))
