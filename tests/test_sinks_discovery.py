@@ -606,3 +606,28 @@ def test_alsa_mono_capture_duplicates_to_stereo(fake_alsa):
     assert out.shape == (64, 2)
     assert np.allclose(out, 0.25)
     src.close()
+
+
+def test_alsa_source_short_and_mono_reads(fake_alsa):
+    """AlsaPcmSource.read() contract: a short hardware read pads with
+    silence instead of blocking, a mono capture device duplicates to
+    stereo, and close() is idempotent."""
+    from libzl_tpu.io.sources import make_source
+
+    def read_cap(handle, frames, channels):
+        # 50 mono frames regardless of the request
+        return np.full((50, 1), 0.25, np.float32)
+
+    fake_alsa.py_pcm_open_capture = lambda d, r, c, l: d
+    fake_alsa.py_pcm_read = read_cap
+    closes = []
+    fake_alsa.py_pcm_close = closes.append
+
+    src = make_source("alsa:monodev", SR)
+    out = src.read(128)
+    assert out.shape == (128, 2) and out.dtype == np.float32
+    assert np.allclose(out[:50, 0], 0.25) and np.allclose(out[:50, 1], 0.25)
+    assert np.abs(out[50:]).max() == 0.0  # padded, not stale memory
+    src.close()
+    src.close()  # second close is a no-op
+    assert closes == ["monodev"]
