@@ -165,3 +165,73 @@ def test_concatenated_mp3_format_change_raises(tmp_path):
     chained.write_bytes(a.read_bytes() + b.read_bytes())
     with pytest.raises(ValueError, match="mid-stream"):
         codecs.read_mp3(chained)
+
+
+class _FakeVorbisfile:
+    """Callable-attribute fake driven through set_codec_lib_for_testing:
+    read_ogg assigns .restype/.argtypes, so every entry point must be a
+    plain function object (instance attributes), not bound methods."""
+
+    def __init__(self, info=(2, 48000), reads=()):
+        self.cleared = 0
+        queue = list(reads)
+
+        def ov_fopen(path, vf):
+            return 0
+
+        def ov_info(vf, link):
+            if info is None:
+                return None
+            import types
+
+            ch, rate = info
+            return types.SimpleNamespace(
+                contents=types.SimpleNamespace(channels=ch, rate=rate)
+            )
+
+        def ov_read_float(vf, pcm, n, bitstream):
+            return queue.pop(0) if queue else 0
+
+        def ov_clear(vf):
+            self.cleared += 1
+            return 0
+
+        self.ov_fopen = ov_fopen
+        self.ov_info = ov_info
+        self.ov_read_float = ov_read_float
+        self.ov_clear = ov_clear
+
+
+def _with_fake_vf(fake, path):
+    codecs.set_codec_lib_for_testing("vorbisfile", fake)
+    try:
+        return codecs.read_ogg(path)
+    finally:
+        codecs._overrides.clear()
+        codecs._libs.clear()
+
+
+def test_ogg_corrupt_stream_raises_not_spins(tmp_path):
+    """A persistent negative ov_read_float (OV_EBADLINK etc.) must raise,
+    never loop forever; an OV_HOLE gap is skipped per vorbisfile
+    guidance. ov_clear still runs on the error path."""
+    p = tmp_path / "x.ogg"
+    p.write_bytes(b"OggS")
+    fake = _FakeVorbisfile(reads=[-3, -129])
+    with pytest.raises(ValueError, match="corrupt OGG Vorbis stream"):
+        _with_fake_vf(fake, p)
+    assert fake.cleared == 1
+
+
+def test_ogg_info_failure_raises(tmp_path):
+    p = tmp_path / "x.ogg"
+    p.write_bytes(b"OggS")
+    with pytest.raises(ValueError, match="ov_info failed"):
+        _with_fake_vf(_FakeVorbisfile(info=None), p)
+
+
+def test_ogg_bad_stream_params_raise(tmp_path):
+    p = tmp_path / "x.ogg"
+    p.write_bytes(b"OggS")
+    with pytest.raises(ValueError, match="bad OGG stream params"):
+        _with_fake_vf(_FakeVorbisfile(info=(0, 48000)), p)
