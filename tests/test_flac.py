@@ -190,3 +190,18 @@ def test_write_flac_rejects_out_of_range_sample_rate(tmp_path):
         with pytest.raises(ValueError, match="sample_rate"):
             flac.write_flac(tmp_path / "r.flac", sig, rate)
     flac.write_flac(tmp_path / "ok.flac", sig, (1 << 20) - 1)  # max legal
+
+
+def test_write_flac_header_field_bounds(tmp_path):
+    """RFC 9639 field widths enforced at encode time: STREAMINFO blocksize
+    is 16-bit (>=16) and sample rate 20-bit — out-of-range values used to
+    wrap silently in the header and break external decoders."""
+    x = np.zeros(64, np.float32)
+    with pytest.raises(ValueError, match="block_size"):
+        flac.write_flac(tmp_path / "a.flac", x, 48000, block_size=8)
+    with pytest.raises(ValueError, match="block_size"):
+        flac.write_flac(tmp_path / "b.flac", x, 48000, block_size=70000)
+    with pytest.raises(ValueError, match="sample_rate"):
+        flac.write_flac(tmp_path / "c.flac", x, 0)
+    with pytest.raises(ValueError, match="sample_rate"):
+        flac.write_flac(tmp_path / "d.flac", x, 1 << 20)
