@@ -191,3 +191,41 @@ def test_stretch_preserves_amplitude():
         mid = y[sr // 2 : -sr // 2, 0]
         rms = float(np.sqrt((mid**2).mean()))
         assert abs(rms - in_rms) < 0.03 * in_rms, (s, rms, in_rms)
+
+
+def test_resample_and_stretch_edge_shapes():
+    """Edge contracts: ratio-1/stretch-1 are exact float32 passthroughs,
+    1-D input keeps its rank, and sub-fft-size input still stretches to
+    the rounded target length."""
+    x = tone(seconds=0.1)
+    assert linear_resample(x, 1.0) is not x or True
+    np.testing.assert_array_equal(linear_resample(x, 1.0), x)
+    mono = x[:, 0]
+    out1d = linear_resample(mono, 2.0)
+    assert out1d.ndim == 1 and out1d.shape[0] == round(len(mono) / 2)
+    np.testing.assert_array_equal(time_stretch(x, 1.0), x)
+    short = tone(seconds=0.01)  # 480 frames < fft_size 2048
+    stretched = time_stretch(short, 2.0)
+    assert stretched.shape[0] == round(short.shape[0] * 2.0)
+    assert np.isfinite(stretched).all()
+
+
+def test_time_stretch_non_divisible_hop():
+    """A synthesis hop that does not divide the FFT size exercises the
+    scatter-add overlap fallback; output length and pitch still hold."""
+    x = tone(seconds=0.4)
+    out = time_stretch(x, 1.5, fft_size=1500, hop=490)
+    assert out.shape[0] == round(x.shape[0] * 1.5)
+    assert abs(dominant_freq(out) - 440.0) < 6.0
+
+
+def test_unknown_stretch_backend_fails_loud():
+    from libzl_tpu.ops.resample import resolve_stretch_backend
+
+    with pytest.raises(ValueError, match="unknown stretch backend"):
+        resolve_stretch_backend("soundtouch")
+
+
+def test_pitch_shift_zero_semitones_identity():
+    x = tone(seconds=0.1)
+    np.testing.assert_array_equal(pitch_shift(x, 0.0), x)
