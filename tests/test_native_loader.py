@@ -75,3 +75,31 @@ def test_lazy_top_level_api():
     assert callable(libzl_tpu.make_mesh)
     with pytest.raises(AttributeError, match="no attribute"):
         libzl_tpu.not_a_real_name
+
+
+def test_load_is_cached_per_stem(native_dir, monkeypatch):
+    """A second load_native for the same stem returns the cached handle
+    without re-invoking the build (the loader's whole-process contract)."""
+    _write_lib(native_dir, "tlib3", 1)
+    first = _native.load_native("tlib3", "tlib3_abi", 1)
+    assert first is not None
+    monkeypatch.setattr(
+        _native, "_build",
+        lambda *a, **k: pytest.fail("cache miss: _build re-invoked"))
+    assert _native.load_native("tlib3", "tlib3_abi", 1) is first
+
+
+def test_unloadable_so_degrades_to_none(native_dir, monkeypatch):
+    """A built artifact dlopen cannot load (truncated/garbage .so) must
+    degrade to None, not raise — same contract as a failed compile."""
+    bogus = native_dir / "garbage.so"
+    bogus.write_text("not an ELF")
+    monkeypatch.setattr(_native, "_build", lambda *a, **k: bogus)
+    assert _native.load_native("garbage", "garbage_abi", 1) is None
+
+
+def test_missing_abi_symbol_degrades_to_none(native_dir):
+    """A library that builds but lacks the ABI probe symbol is rejected
+    (getattr on the CDLL raises AttributeError)."""
+    _write_lib(native_dir, "tlib4", 1)  # exports tlib4_abi only
+    assert _native.load_native("tlib4", "other_abi", 1) is None

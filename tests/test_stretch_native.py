@@ -142,3 +142,34 @@ def test_render_playback_wsola_backend(monkeypatch):
     assert y.shape[0] == int(round(x.shape[0] / 0.8))
     core = y[SR // 4 : -SR // 4, 0]
     assert abs(zc_freq(core) - 330.0) < 4.0
+
+
+def test_load_is_cached():
+    lib = sn.load()
+    assert lib is not None and sn.load() is lib
+
+
+def test_load_degrades_when_loader_fails(monkeypatch):
+    import libzl_tpu._native as native_mod
+
+    monkeypatch.setattr(sn, "_lib", None)
+    monkeypatch.setattr(native_mod, "load_native", lambda *a, **k: None)
+    assert sn.load() is None
+    assert sn.available() is False
+
+
+def test_process_shortfall_fails_loud(monkeypatch):
+    """zl_stretch_process returning fewer frames than promised is a native
+    bug (or ABI drift) — the binding must raise, never hand back an
+    uninitialized tail."""
+
+    class ShortLib:
+        def zl_stretch_out_len(self, n_in, stretch):
+            return int(n_in * stretch)
+
+        def zl_stretch_process(self, *a):
+            return 7  # fewer than n_out
+
+    monkeypatch.setattr(sn, "_lib", ShortLib())
+    with pytest.raises(RuntimeError, match="zl_stretch_process failed"):
+        sn.time_stretch_wsola(tone(seconds=0.05), 2.0, SR)
