@@ -3,6 +3,7 @@
 import xml.etree.ElementTree as ET
 
 import numpy as np
+import pytest
 
 from libzl_tpu.cli import main
 from libzl_tpu.io.wav import read_wav, write_wav
@@ -272,3 +273,99 @@ def test_env_and_render_jax_backend(tmp_path, capsys):
     assert rc == 0
     a = read_wav(out_wav)
     assert np.abs(a.samples).max() > 0.05
+
+
+def test_cli_value_error_in_process(tmp_path, capsys):
+    """The generic handler: a ValueError from a command prints a clean
+    message and exits 2 (the subprocess bad-wav test can't show up in
+    in-process coverage)."""
+    bad = tmp_path / "bad.wav"
+    bad.write_bytes(b"RIFF....WAVEjunk")
+    assert main(["info", str(bad)]) == 2
+    err = capsys.readouterr().err
+    assert "error:" in err and "Traceback" not in err
+
+
+def test_cli_unexpected_error_propagates(tmp_path, monkeypatch):
+    """Non-input errors (bugs) must NOT be swallowed into exit 2 — the
+    traceback is the debugging surface."""
+    import libzl_tpu.cli as cli_mod
+
+    def boom(args):
+        raise RuntimeError("engine bug")
+
+    monkeypatch.setattr(cli_mod, "cmd_info", boom)
+    src = tmp_path / "in.wav"
+    make_tone(src, seconds=0.05)
+    with pytest.raises(RuntimeError, match="engine bug"):
+        main(["info", str(src)])
+
+
+def test_play_volume_flag(tmp_path):
+    src = tmp_path / "in.wav"
+    loud = tmp_path / "loud.wav"
+    quiet = tmp_path / "quiet.wav"
+    make_tone(src, seconds=0.2)
+    assert main(["play", str(src), "--sink", f"file:{loud}",
+                 "--backend", "numpy", "--seconds", "0.2", "--quiet"]) == 0
+    assert main(["play", str(src), "--sink", f"file:{quiet}",
+                 "--backend", "numpy", "--seconds", "0.2", "--quiet",
+                 "--volume", "-24"]) == 0
+    pl = np.abs(np.asarray(read_wav(loud).samples)).max()
+    pq = np.abs(np.asarray(read_wav(quiet).samples)).max()
+    # the fader law is not linear-dB; the flag flowing through is the point
+    assert 0 < pq < pl * 0.5
+
+
+def test_play_loop_until_interrupt(tmp_path, monkeypatch):
+    """--loop with no --seconds plays until Ctrl-C; the interrupt lands a
+    clean stop + flush, exit 0."""
+    import time as real_time
+
+    import libzl_tpu.cli as cli_mod
+
+    class _InterruptingTime:
+        """time shim for the CLI module only: the first idle-loop sleep
+        raises KeyboardInterrupt (once — later sleeps must behave, the
+        stop/flush path sleeps too)."""
+
+        def __init__(self):
+            self.fired = False
+
+        def __getattr__(self, name):
+            return getattr(real_time, name)
+
+        def sleep(self, seconds):
+            if not self.fired:
+                self.fired = True
+                real_time.sleep(min(seconds, 0.3))
+                raise KeyboardInterrupt
+            real_time.sleep(seconds)
+
+    src = tmp_path / "in.wav"
+    out = tmp_path / "live.wav"
+    make_tone(src, seconds=0.2)
+    monkeypatch.setattr(cli_mod, "time", _InterruptingTime())
+    rc = main(["play", str(src), "--sink", f"file:{out}",
+               "--backend", "numpy", "--loop", "--quiet"])
+    assert rc == 0
+    assert read_wav(out).num_frames > 0
+
+
+def test_env_windows_kernel_report(monkeypatch, capsys):
+    """The env command's windows-kernel + roofline report (normally a
+    TPU-only branch) — forced by pinning the engine's resolved fetch."""
+    import libzl_tpu.engine.engine as engine_mod
+
+    real_engine = engine_mod.AudioEngine
+
+    class ForcedWindows(real_engine):
+        def __init__(self, *a, **k):
+            super().__init__(*a, **k)
+            self.fetch = "windows:highest,grid"
+
+    monkeypatch.setattr(engine_mod, "AudioEngine", ForcedWindows)
+    assert main(["env", "--backend", "numpy"]) == 0
+    out = capsys.readouterr().out
+    assert "windows kernel: precision=highest variant=grid" in out
+    assert "fetch roofline" in out and "skinny-dot" in out

@@ -205,3 +205,98 @@ def test_write_flac_header_field_bounds(tmp_path):
         flac.write_flac(tmp_path / "c.flac", x, 0)
     with pytest.raises(ValueError, match="sample_rate"):
         flac.write_flac(tmp_path / "d.flac", x, 1 << 20)
+
+
+def test_read_flac_without_native_decoder(tmp_path, monkeypatch):
+    p = tmp_path / "x.flac"
+    p.write_bytes(b"fLaC")
+    monkeypatch.setattr(flac, "load", lambda: None)
+    with pytest.raises(ValueError, match="not supported on this host"):
+        flac.read_flac(p)
+
+
+def test_coded_number_out_of_range():
+    with pytest.raises(ValueError, match="coded number out of range"):
+        flac._utf8_number(1 << 36)
+
+
+def test_write_flac_rejects_three_channels(tmp_path):
+    x = np.zeros((256, 3), np.float32)
+    with pytest.raises(ValueError, match="at most 2 channels"):
+        flac.write_flac(tmp_path / "x.flac", x, SR)
+
+
+@pytest.mark.parametrize("frames", [1, 2])
+def test_tiny_blocks_roundtrip(tmp_path, frames):
+    """1- and 2-frame signals take the order-0 residual path (too short
+    for the fixed predictor) and must still roundtrip bit-exactly."""
+    x = (np.arange(1, frames + 1, dtype=np.float32) * 0.123)[:, None]
+    roundtrip(tmp_path, x)
+
+
+def test_partition_order_resets_on_odd_tail(tmp_path):
+    """A tail block whose length is not divisible by 2^partition_order (or
+    leaves partitions shorter than the predictor order) must fall back to
+    one partition — and still roundtrip."""
+    x = material(seconds=(4096 + 100) / SR)
+    assert x.shape[0] == 4096 + 100
+    roundtrip(tmp_path, x, partition_order=3)
+
+
+def test_decode_grows_capacity_when_header_declares_nothing(tmp_path):
+    """total_samples=0 is legal (streamed FLAC): the reader's capacity
+    guess from the compressed size must grow-and-retry until the
+    hyper-compressed stream fits."""
+    p = tmp_path / "t.flac"
+    n = 400_000  # constant silence compresses to ~a few hundred bytes
+    flac.write_flac(p, np.zeros(n, np.float32), SR)
+    blob = bytearray(p.read_bytes())
+    # STREAMINFO total_samples: low 4 bits of byte 8+13, bytes 8+14..17
+    blob[8 + 13] &= 0xF0
+    for i in range(14, 18):
+        blob[8 + i] = 0
+    q = tmp_path / "nolen.flac"
+    q.write_bytes(bytes(blob))
+    a = flac.read_flac(q)
+    assert a.samples.shape == (n, 1)
+    assert not a.samples.any()
+
+
+class _BitReader:
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+
+    def read(self, bits: int) -> int:
+        v = 0
+        for _ in range(bits):
+            byte = self.data[self.pos // 8]
+            v = (v << 1) | ((byte >> (7 - self.pos % 8)) & 1)
+            self.pos += 1
+        return v
+
+
+def test_verbatim_escape_subframe():
+    """Residuals past the Rice-representable ceiling must fall back to a
+    VERBATIM subframe (RFC 9639 §9.2.4) — with wasted bits still factored
+    out. Unreachable through the 16-bit write_flac front end, so driven at
+    the subframe level and verified bit-for-bit."""
+    bps = 32
+    # odd magnitudes x2: exactly one wasted bit, and the order-2 residual
+    # still exceeds the 2^28 escape ceiling after the wasted shift
+    a = (1 << 29) + 1
+    sig = np.array([0, a, -a, a, 0, -a], np.int64) * 2
+    bw = flac._BitWriter()
+    flac._write_subframe(bw, sig.copy(), bps)
+    bw.align()
+    br = _BitReader(bw.bytes())
+    assert br.read(1) == 0          # padding bit
+    assert br.read(6) == 1          # subframe type: VERBATIM
+    assert br.read(1) == 1          # wasted-bits flag
+    assert br.read(1) == 1          # unary(wasted-1) for wasted=1: "1"
+    eff = bps - 1
+    for want in (sig >> 1).tolist():
+        got = br.read(eff)
+        if got >= 1 << (eff - 1):
+            got -= 1 << eff         # two's complement
+        assert got == want
