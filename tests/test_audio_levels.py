@@ -360,3 +360,28 @@ def test_mono_capture_ingest():
     engine.levels.analyze()
     assert engine.levels.capture_a > -200.0
     assert engine.levels.capture_b > -200.0
+
+
+def test_recorder_mp3_target_and_restart(tmp_path):
+    """A .mp3 record target transcodes post-roll via lame; starting a new
+    session while recording stops the old one cleanly (file_path follows
+    the active session)."""
+    from libzl_tpu.engine.recorder import DiskRecorder
+    from libzl_tpu.io import codecs
+
+    if not (codecs.mp3_read_available() and codecs.mp3_write_available()):
+        pytest.skip("no system mp3 libraries")
+    rec = DiskRecorder()
+    first = tmp_path / "a.mp3"
+    second = tmp_path / "b.mp3"
+    rec.start(first, SR)
+    assert rec.file_path == first
+    rec.push(np.full((4096, 2), 0.25, np.float32))
+    rec.start(second, SR)        # implicit stop of the first session
+    assert rec.file_path == second
+    rec.push(np.full((4096, 2), 0.25, np.float32))
+    rec.stop()
+    assert first.exists() and second.exists()
+    assert not rec.failed
+    a = codecs.read_mp3(second)
+    assert a.sample_rate == SR and a.samples.shape[0] > 0

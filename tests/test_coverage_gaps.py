@@ -355,3 +355,39 @@ def test_recorder_transcode_failure_keeps_sidecar_wav(tmp_path, monkeypatch):
     assert sidecar.exists()
     a = read_audio(sidecar)
     assert a.samples.shape[0] == block.shape[0]
+
+
+def test_channel_lane_mapping_bounds():
+    """The channel convention (-2 uneffected-global, -1 effected-global,
+    0-9 channels; reference ClipCommand.h:44-72) and its inverse must
+    reject out-of-range values loudly."""
+    from libzl_tpu.constants import channel_to_lane, lane_to_channel
+
+    assert channel_to_lane(-2) == 0
+    assert channel_to_lane(9) == 11
+    with pytest.raises(ValueError, match="sampler channel out of range"):
+        channel_to_lane(10)
+    with pytest.raises(ValueError, match="sampler channel out of range"):
+        channel_to_lane(-3)
+    assert lane_to_channel(0) == -2
+    assert lane_to_channel(11) == 9
+    with pytest.raises(ValueError, match="sampler lane out of range"):
+        lane_to_channel(12)
+    with pytest.raises(ValueError, match="sampler lane out of range"):
+        lane_to_channel(-1)
+
+
+def test_transport_position_and_empty_event():
+    """TransportManager.position() exposes BBT for external observers
+    (the timebase-master callback analog, lib/TransportManager.cpp:120-137)
+    and empty MIDI payloads are skipped."""
+    from libzl_tpu.engine.engine import AudioEngine
+
+    engine = AudioEngine(backend="numpy", num_voices=8)
+    engine.start_transport(bpm=120)
+    engine.process_block()
+    bbt = engine.transport.position()
+    assert bbt.bar >= 0 and bbt.beat >= 0
+    # an empty payload must not crash or change transport state
+    engine.transport.handle_passthrough([(0, b"")])
+    assert engine.transport_running

@@ -162,3 +162,25 @@ def test_native_speedup():
     t_c = (time.perf_counter() - t0) / 20
     print(f"numpy {t_np*1e3:.3f} ms vs native {t_c*1e3:.3f} ms")
     assert t_c < t_np
+
+
+def test_load_degrades_when_native_loader_fails(monkeypatch):
+    import libzl_tpu._native as native_mod
+
+    monkeypatch.setattr(hostcore, "_lib", None)
+    monkeypatch.setattr(native_mod, "load_native", lambda *a, **k: None)
+    assert hostcore.load() is None
+    assert hostcore.available() is False
+
+
+def test_non_contiguous_pool_array_fails_loud():
+    """The native core reads pool arrays through raw pointers; a strided
+    view would be silently misread — refuse instead."""
+    pool = VoicePool(8, 128, 48000.0)
+    pool.pos_int = pool.pos_int[::-1]  # non-contiguous view
+    with pytest.raises(RuntimeError, match="must be contiguous"):
+        hostcore.voice_update(
+            pool, block_start_sample=0.0, tick_anchor_sample=0.0,
+            tick_anchor=0, samples_per_tick=250.0,
+            lane_enabled=np.ones(12, np.int32),
+        )

@@ -631,3 +631,16 @@ def test_alsa_source_short_and_mono_reads(fake_alsa):
     src.close()
     src.close()  # second close is a no-op
     assert closes == ["monodev"]
+
+
+def test_make_source_null_and_missing_path():
+    from libzl_tpu.io.sources import NullSource, make_source
+
+    src = make_source("null", SR)
+    assert isinstance(src, NullSource)
+    out = src.read(64)
+    assert out.shape == (64, 2) and out.dtype == np.float32
+    assert not out.any()
+    src.close()
+    with pytest.raises(ValueError, match="file source needs a path"):
+        make_source("file:", SR)

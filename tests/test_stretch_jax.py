@@ -155,3 +155,19 @@ def test_deferred_rerender_uses_jax_backend(monkeypatch):
     # half speed -> double duration
     assert clip.playback_audio.samples.shape[0] == pytest.approx(
         2 * sr * 2, abs=4)
+
+
+def test_jax_short_input_and_non_divisible_hop():
+    """Mirror of the numpy edge contracts: a sub-fft-size input still
+    stretches to the rounded target length, and a synthesis hop that does
+    not divide the FFT size takes the scatter-add overlap fallback (the
+    exact-wrap phase table needs fft % hop == 0) with pitch intact."""
+    short = tone(440.0, 0.01)  # 480 frames < fft_size 2048
+    out = time_stretch_jax(short, 2.0)
+    assert out.shape[0] == round(short.shape[0] * 2.0)
+    assert np.isfinite(out).all()
+
+    x = tone(440.0, 0.4)
+    out = time_stretch_jax(x, 1.5, fft_size=1500, hop=490)
+    assert out.shape[0] == round(x.shape[0] * 1.5)
+    assert abs(dominant_freq(out) - 440.0) < 6.0
