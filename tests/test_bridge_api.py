@@ -363,3 +363,96 @@ def test_pump_survives_failing_sink():
     finally:
         rt.stop_pump()
         rt.set_sink(None)
+
+
+def test_phase_stats_formatting(rt):
+    rt._phase("render", 0.0021)
+    rt._phase("render", 0.0009)
+    rt._phase("sink", 0.0005)
+    stats = rt.phase_stats()
+    assert stats["render_ms"] == 3.0 and stats["render_n"] == 2
+    assert stats["sink_ms"] == 0.5 and stats["sink_n"] == 1
+    for k in stats:
+        assert k.endswith("_ms") or k.endswith("_n")
+
+
+def test_step_blocks_refused_while_pump_runs():
+    import time
+
+    from libzl_tpu.capi.bridge import EngineRuntime
+
+    rt = EngineRuntime(backend="numpy", num_voices=16)
+    rt.start_pump()
+    try:
+        with pytest.raises(RuntimeError, match="requires the pump"):
+            rt.step_blocks(1)
+    finally:
+        rt.stop_pump()
+
+
+def test_set_source_retires_old_source_under_pump():
+    """Replacing the capture source while the pump runs must hand the old
+    one to the pump for closing (no close while a read may be in flight),
+    and the pump must actually close it."""
+    import time
+
+    from libzl_tpu.capi.bridge import EngineRuntime
+
+    class FakeSource:
+        def __init__(self):
+            self.closed = 0
+
+        def read(self, frames):
+            return np.zeros((frames, 2), np.float32)
+
+        def close(self):
+            self.closed += 1
+
+    rt = EngineRuntime(backend="numpy", num_voices=16)
+    first, second = FakeSource(), FakeSource()
+    rt.set_source(first)
+    rt.start_pump()
+    try:
+        rt.set_source(second)
+        deadline = time.monotonic() + 5.0
+        while first.closed == 0 and time.monotonic() < deadline:
+            time.sleep(0.01)
+        assert first.closed == 1
+        assert second.closed == 0
+    finally:
+        rt.stop_pump()
+        rt.set_source(None)
+
+
+def test_drain_flushes_before_per_block_resume(tmp_path):
+    """Bounce-drained blocks must land in the sink BEFORE the first
+    per-block write once per-block semantics resume (a multi-target
+    recording starts mid-bounce) — order and count both matter."""
+    from libzl_tpu.capi.bridge import EngineRuntime
+    from libzl_tpu.io.sinks import make_sink
+
+    rt = EngineRuntime(backend="numpy", num_voices=16, bounce_drain=8)
+    out = tmp_path / "bounce.wav"
+    rt.set_sink(make_sink(f"file:{out}", SR))
+    try:
+        # drive _consume directly: step_blocks force-flushes at return,
+        # but the wall-clock pump does not — this is its sequence
+        for _ in range(3):
+            res = rt.engine.process_block()
+            rt._consume(rt.engine.total_blocks, res)
+        assert len(rt._drain_buf) == 3   # buffered, below the threshold
+        # per-block semantics resume: a ports recording starts
+        levels = rt.engine.levels
+        levels.set_should_record_ports(True)
+        levels.record_ports = [("master", 0)]
+        levels.set_record_ports_filename_prefix(str(tmp_path / "ports"))
+        levels.start_recording()
+        res = rt.engine.process_block()
+        rt._consume(rt.engine.total_blocks, res)
+        assert rt._drain_buf == [] and rt._pending_drain is None
+        levels.stop_recording()
+    finally:
+        rt.set_sink(None)
+    a = read_wav(out)
+    # 3 drained + 1 per-block, in order, none duplicated
+    assert a.num_frames == 4 * rt.engine.block_frames
