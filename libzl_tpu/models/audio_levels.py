@@ -63,6 +63,14 @@ class AudioLevels:
         self.global_playback_prefix = ""
         self.ports_prefix = ""
         self.record_ports: list[tuple[str, int]] = []
+        # the ports a LIVE take records (snapshotted at start_recording):
+        # the WAV writer's channel count is fixed at start, so editing
+        # record_ports mid-take must not change the width of the blocks
+        # fed to it — the wave module would silently write the mismatched
+        # interleave and garble the whole take. Edits apply to the next
+        # take, like the reference's connect-at-start port wiring
+        # (lib/AudioLevels.cpp:484-499).
+        self._active_record_ports: list[tuple[str, int]] = []
         self._global_recorder = DiskRecorder()
         self._ports_recorder = DiskRecorder()
         self._channel_recorders = [DiskRecorder() for _ in range(NUM_TRACKS)]
@@ -245,9 +253,10 @@ class AudioLevels:
                                      stamp=stamp), sr
             )
         if self.should_record_ports and self.record_ports:
+            self._active_record_ports = list(self.record_ports)
             self._ports_recorder.start(
                 timestamped_filename(self.ports_prefix, stamp=stamp), sr,
-                channels=len(self.record_ports),
+                channels=len(self._active_record_ports),
             )
         for c in self.channels_to_record:
             prefix = self._channel_prefixes[c] or (
@@ -302,7 +311,7 @@ class AudioLevels:
         master fetch instead of per-block device syncs (capi/bridge)."""
         if not self._global_recorder.is_recording:
             return False
-        if self._ports_recorder.is_recording and self.record_ports:
+        if self._ports_recorder.is_recording and self._active_record_ports:
             return False
         return not any(
             self._channel_recorders[c].is_recording
@@ -319,12 +328,14 @@ class AudioLevels:
         """Push one rendered block into every active recorder."""
         if self._global_recorder.is_recording:
             self._global_recorder.push(np.asarray(outputs.master))
-        if self._ports_recorder.is_recording and self.record_ports:
+        if self._ports_recorder.is_recording and self._active_record_ports:
             # one recorded channel PER PORT, like the reference's
-            # recordPorts.count()-channel writer (lib/AudioLevels.cpp:548)
+            # recordPorts.count()-channel writer (lib/AudioLevels.cpp:548);
+            # the take's snapshot, NOT record_ports — mid-take edits must
+            # not change the block width under the fixed-channel writer
             self._ports_recorder.push(np.stack(
                 [self._resolve_port(outputs, *p)
-                 for p in self.record_ports], axis=1))
+                 for p in self._active_record_ports], axis=1))
         lane_mix = None
         for c in self.channels_to_record:
             rec = self._channel_recorders[c]

@@ -385,3 +385,39 @@ def test_recorder_mp3_target_and_restart(tmp_path):
     assert not rec.failed
     a = codecs.read_mp3(second)
     assert a.sample_rate == SR and a.samples.shape[0] > 0
+
+
+def test_port_list_edits_midtake_apply_next_take(tmp_path):
+    """Editing record_ports during a live take must not change the width
+    of blocks fed to the fixed-channel WAV writer (the wave module would
+    silently interleave the mismatch and garble the whole take). Edits
+    land on the NEXT take, like the reference's connect-at-start wiring
+    (lib/AudioLevels.cpp:484-499, 548)."""
+    engine, clip = make_session()
+    lv = engine.levels
+    first = str(tmp_path / "take1.wav")
+    lv.set_should_record_ports(True)
+    lv.set_record_ports_filename_prefix(first)
+    lv.add_record_port("lane:2", 0)
+    clip.play(loop=True, midi_channel=0)
+    lv.start_recording()
+    run_blocks(engine, 10)
+    # mid-take edits: add one, and only_global must still see the take
+    lv.add_record_port("master", 0)
+    assert not lv.only_global_recording()
+    run_blocks(engine, 10)
+    lv.remove_record_port("lane:2", 0)
+    run_blocks(engine, 10)
+    lv.stop_recording()
+    back = read_wav(first)
+    assert back.samples.shape == (30 * 128, 1)   # snapshot width held
+    assert np.abs(back.samples).max() > 0.05     # and it stayed the lane tap
+    # the next take picks the edits up: now just ("master", 0)
+    second = str(tmp_path / "take2.wav")
+    lv.set_record_ports_filename_prefix(second)
+    lv.start_recording()
+    run_blocks(engine, 5)
+    lv.stop_recording()
+    back2 = read_wav(second)
+    assert back2.samples.shape == (5 * 128, 1)
+    assert np.abs(back2.samples).max() > 0.05
