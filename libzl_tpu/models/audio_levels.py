@@ -75,6 +75,12 @@ class AudioLevels:
         self._ports_recorder = DiskRecorder()
         self._channel_recorders = [DiskRecorder() for _ in range(NUM_TRACKS)]
         self.channels_to_record: list[int] = []
+        # the channels a LIVE take records (snapshotted at start_recording,
+        # same rule as _active_record_ports): removing a channel mid-take
+        # must not starve its still-live recorder — and must not let
+        # only_global_recording() flip True while it records, which would
+        # engage the bounce drain's global-only feed and gap its file
+        self._active_channels: list[int] = []
         self._channel_prefixes: list[str] = [""] * NUM_TRACKS
 
     # ------------------------------------------------------------- metering
@@ -258,7 +264,8 @@ class AudioLevels:
                 timestamped_filename(self.ports_prefix, stamp=stamp), sr,
                 channels=len(self._active_record_ports),
             )
-        for c in self.channels_to_record:
+        self._active_channels = list(self.channels_to_record)
+        for c in self._active_channels:
             prefix = self._channel_prefixes[c] or (
                 f"{self.ports_prefix}channel{c + 1}"
             )
@@ -315,7 +322,7 @@ class AudioLevels:
             return False
         return not any(
             self._channel_recorders[c].is_recording
-            for c in self.channels_to_record
+            for c in self._active_channels
         )
 
     def feed_global_recorder(self, master_block: np.ndarray) -> None:
@@ -337,7 +344,7 @@ class AudioLevels:
                 [self._resolve_port(outputs, *p)
                  for p in self._active_record_ports], axis=1))
         lane_mix = None
-        for c in self.channels_to_record:
+        for c in self._active_channels:
             rec = self._channel_recorders[c]
             if rec.is_recording:
                 if lane_mix is None:

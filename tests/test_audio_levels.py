@@ -421,3 +421,33 @@ def test_port_list_edits_midtake_apply_next_take(tmp_path):
     back2 = read_wav(second)
     assert back2.samples.shape == (5 * 128, 1)
     assert np.abs(back2.samples).max() > 0.05
+
+
+def test_channel_list_edits_midtake_apply_next_take(tmp_path):
+    """Removing a channel from channels_to_record mid-take must not starve
+    its still-live recorder, and must not flip only_global_recording()
+    True while it records (the bounce drain would switch to its
+    global-only feed and gap the channel's file)."""
+    engine, clip = make_session()
+    lv = engine.levels
+    lv.set_record_global_playback(True)
+    lv.set_global_playback_filename_prefix(str(tmp_path / "master.wav"))
+    lv.set_channel_filename_prefix(0, str(tmp_path / "ch1.wav"))
+    lv.set_channels_to_record([0])
+    clip.play(loop=True, midi_channel=0)  # channel 0 = lane 2
+    lv.start_recording()
+    run_blocks(engine, 10)
+    lv.set_channels_to_record([])         # mid-take edit
+    assert not lv.only_global_recording() # channel recorder still live
+    run_blocks(engine, 10)
+    lv.stop_recording()
+    back = read_wav(tmp_path / "ch1.wav")
+    assert back.num_frames == 20 * 128    # fed for the whole take
+    assert np.abs(back.samples).max() > 0.05
+    # the next take records no channels: the edit took effect
+    lv.set_channel_filename_prefix(0, str(tmp_path / "ch1b.wav"))
+    lv.start_recording()
+    run_blocks(engine, 5)
+    assert lv.only_global_recording()
+    lv.stop_recording()
+    assert not (tmp_path / "ch1b.wav").exists()
