@@ -527,3 +527,246 @@ def test_drain_shape_warmup_precompiles_flush_concat():
         "pipelined flush hit a signature the warmup did not enumerate"
     )
     assert len(sink.blocks) > 0
+
+
+CLIENT_FULL = r"""
+import ctypes, os, sys
+import numpy as np
+sys.path.insert(0, os.environ["ZL_REPO"])
+
+from libzl_tpu.io.wav import write_wav, read_wav
+sr = 48000
+t = np.arange(sr) / sr
+write_wav(os.environ["ZL_WAV"], (0.5*np.sin(2*np.pi*330*t)).astype(np.float32), sr)
+
+zl = ctypes.CDLL(os.environ["ZL_SO"])
+CP = ctypes.c_void_p
+for name, res, args in [
+    ("ClipAudioSource_new", CP, [ctypes.c_char_p, ctypes.c_bool]),
+    ("ClipAudioSource_byID", CP, [ctypes.c_int]),
+    ("ClipAudioSource_id", ctypes.c_int, [CP]),
+    ("ClipAudioSource_destroy", None, [CP]),
+    ("ClipAudioSource_connectProgress", None, [CP, CP]),
+    ("ClipAudioSource_playOnChannel", None, [CP, ctypes.c_bool, ctypes.c_int]),
+    ("ClipAudioSource_stopOnChannel", None, [CP, ctypes.c_int]),
+    ("ClipAudioSource_setStartPosition", None, [CP, ctypes.c_float]),
+    ("ClipAudioSource_setLength", None, [CP, ctypes.c_float, ctypes.c_int]),
+    ("ClipAudioSource_setPan", None, [CP, ctypes.c_float]),
+    ("ClipAudioSource_setSpeedRatio", None, [CP, ctypes.c_float]),
+    ("ClipAudioSource_setPitch", None, [CP, ctypes.c_float]),
+    ("ClipAudioSource_setGain", None, [CP, ctypes.c_float]),
+    ("ClipAudioSource_setSlices", None, [CP, ctypes.c_int]),
+    ("ClipAudioSource_setLoopCrossfade", None, [CP, ctypes.c_float]),
+    ("ClipAudioSource_keyZoneStart", ctypes.c_int, [CP]),
+    ("ClipAudioSource_setKeyZoneStart", None, [CP, ctypes.c_int]),
+    ("ClipAudioSource_keyZoneEnd", ctypes.c_int, [CP]),
+    ("ClipAudioSource_setKeyZoneEnd", None, [CP, ctypes.c_int]),
+    ("ClipAudioSource_rootNote", ctypes.c_int, [CP]),
+    ("ClipAudioSource_setRootNote", None, [CP, ctypes.c_int]),
+    ("ClipAudioSource_adsrAttack", ctypes.c_float, [CP]),
+    ("ClipAudioSource_setADSRAttack", None, [CP, ctypes.c_float]),
+    ("ClipAudioSource_adsrDecay", ctypes.c_float, [CP]),
+    ("ClipAudioSource_setADSRDecay", None, [CP, ctypes.c_float]),
+    ("ClipAudioSource_adsrSustain", ctypes.c_float, [CP]),
+    ("ClipAudioSource_setADSRSustain", None, [CP, ctypes.c_float]),
+    ("ClipAudioSource_adsrRelease", ctypes.c_float, [CP]),
+    ("ClipAudioSource_setADSRRelease", None, [CP, ctypes.c_float]),
+    ("ClipAudioSource_setAudioLevelChangedCallback", None, [CP, CP]),
+    ("SyncTimer_instance", CP, []),
+    ("SyncTimer_getMultiplier", ctypes.c_int, []),
+    ("SyncTimer_setBpm", None, [ctypes.c_uint]),
+    ("SyncTimer_registerTimerCallback", None, [CP]),
+    ("SyncTimer_deregisterTimerCallback", None, [CP]),
+    ("SyncTimer_queueClipToStart", None, [CP]),
+    ("SyncTimer_queueClipToStartOnChannel", None, [CP, ctypes.c_int]),
+    ("SyncTimer_queueClipToStop", None, [CP]),
+    ("SyncTimer_queueClipToStopOnChannel", None, [CP, ctypes.c_int]),
+    ("stopClips", None, [ctypes.c_int, ctypes.POINTER(CP)]),
+    ("AudioLevels_setShouldRecordPorts", None, [ctypes.c_bool]),
+    ("AudioLevels_setRecordPortsFilenamePrefix", None, [ctypes.c_char_p]),
+    ("AudioLevels_addRecordPort", None, [ctypes.c_char_p, ctypes.c_int]),
+    ("AudioLevels_removeRecordPort", None, [ctypes.c_char_p, ctypes.c_int]),
+    ("AudioLevels_clearRecordPorts", None, []),
+    ("JackPassthrough_setPanAmount", None, [ctypes.c_int, ctypes.c_float]),
+    ("JackPassthrough_getPanAmount", ctypes.c_float, [ctypes.c_int]),
+    ("JackPassthrough_setWetFx1Amount", None, [ctypes.c_int, ctypes.c_float]),
+    ("JackPassthrough_getWetFx1Amount", ctypes.c_float, [ctypes.c_int]),
+    ("JackPassthrough_setWetFx2Amount", None, [ctypes.c_int, ctypes.c_float]),
+    ("JackPassthrough_getWetFx2Amount", ctypes.c_float, [ctypes.c_int]),
+    ("JackPassthrough_setMuted", None, [ctypes.c_int, ctypes.c_bool]),
+    ("JackPassthrough_getMuted", ctypes.c_float, [ctypes.c_int]),
+]:
+    fn = getattr(zl, name)
+    fn.restype = res
+    fn.argtypes = args
+
+assert zl.SyncTimer_instance() is None  # before initJuce: no runtime yet
+zl.initJuce()
+assert zl.SyncTimer_instance() is not None
+assert zl.SyncTimer_getMultiplier() == 96
+zl.registerGraphicTypes()                 # documented no-op, must not crash
+zl.reloadZynthianConfiguration()
+
+a = zl.ClipAudioSource_new(os.environ["ZL_WAV"].encode(), False)
+b = zl.ClipAudioSource_new(os.environ["ZL_WAV"].encode(), False)
+assert a and b
+
+# in-process asserts: the shim shares this interpreter
+from libzl_tpu.capi import bridge
+from libzl_tpu.models.clip import clip_by_id
+rt = bridge._rt()
+engine = rt.engine
+aid = zl.ClipAudioSource_id(a)
+bid = zl.ClipAudioSource_id(b)
+ca, cb = clip_by_id(aid), clip_by_id(bid)
+
+# -- parameter round trips through the C marshalling layer --
+zl.ClipAudioSource_setADSRAttack(a, 0.011)
+zl.ClipAudioSource_setADSRDecay(a, 0.22)
+zl.ClipAudioSource_setADSRSustain(a, 0.61)
+zl.ClipAudioSource_setADSRRelease(a, 0.33)
+for got, want in [(zl.ClipAudioSource_adsrAttack(a), 0.011),
+                  (zl.ClipAudioSource_adsrDecay(a), 0.22),
+                  (zl.ClipAudioSource_adsrSustain(a), 0.61),
+                  (zl.ClipAudioSource_adsrRelease(a), 0.33)]:
+    assert abs(got - want) < 1e-6, (got, want)
+zl.ClipAudioSource_setADSRRelease(a, 0.02)  # keep voice teardown quick below
+zl.ClipAudioSource_setKeyZoneStart(a, 10)
+zl.ClipAudioSource_setKeyZoneEnd(a, 90)
+zl.ClipAudioSource_setRootNote(a, 64)
+assert zl.ClipAudioSource_keyZoneStart(a) == 10
+assert zl.ClipAudioSource_keyZoneEnd(a) == 90
+assert zl.ClipAudioSource_rootNote(a) == 64
+zl.ClipAudioSource_setStartPosition(b, ctypes.c_float(0.1))
+zl.ClipAudioSource_setLength(b, ctypes.c_float(2.0), 120)
+zl.ClipAudioSource_setPan(b, ctypes.c_float(0.5))
+zl.ClipAudioSource_setGain(b, ctypes.c_float(-3.0))
+zl.ClipAudioSource_setSlices(b, 4)
+zl.ClipAudioSource_setLoopCrossfade(b, ctypes.c_float(0.01))
+zl.ClipAudioSource_setSpeedRatio(b, ctypes.c_float(1.25))
+zl.ClipAudioSource_setPitch(b, ctypes.c_float(2.0))
+assert abs(cb.start_position_seconds - 0.1) < 1e-6
+assert abs(cb.length_beats - 2.0) < 1e-6
+assert abs(cb.pan - 0.5) < 1e-6
+assert abs(cb.gain_db - (-3.0)) < 1e-6
+assert len(cb.slice_positions) == 4
+assert abs(cb.loop_crossfade_seconds - 0.01) < 1e-6
+assert abs(cb.speed_ratio - 1.25) < 1e-6
+assert abs(cb.pitch_change - 2.0) < 1e-6
+zl.ClipAudioSource_connectProgress(a, None)  # Qt plumbing: documented no-op
+
+# -- passthrough strips: global (-1) and channel 3 --
+for ch in (-1, 3):
+    zl.JackPassthrough_setPanAmount(ch, ctypes.c_float(-0.25))
+    zl.JackPassthrough_setWetFx1Amount(ch, ctypes.c_float(0.3))
+    zl.JackPassthrough_setWetFx2Amount(ch, ctypes.c_float(0.7))
+    assert abs(zl.JackPassthrough_getPanAmount(ch) + 0.25) < 1e-6
+    assert abs(zl.JackPassthrough_getWetFx1Amount(ch) - 0.3) < 1e-6
+    assert abs(zl.JackPassthrough_getWetFx2Amount(ch) - 0.7) < 1e-6
+zl.JackPassthrough_setMuted(3, True)
+assert zl.JackPassthrough_getMuted(3) == 1.0
+zl.JackPassthrough_setMuted(3, False)
+assert zl.JackPassthrough_getMuted(3) == 0.0
+
+# -- callbacks + port recording while playing on a channel --
+level_hits, timer_hits = [], []
+@ctypes.CFUNCTYPE(None, ctypes.c_float)
+def on_level(v):
+    level_hits.append(v)
+@ctypes.CFUNCTYPE(None, ctypes.c_int)
+def on_tick(beat):
+    timer_hits.append(beat)
+zl.ClipAudioSource_setAudioLevelChangedCallback(a, ctypes.cast(on_level, CP))
+zl.SyncTimer_registerTimerCallback(ctypes.cast(on_tick, CP))
+
+zl.AudioLevels_setShouldRecordPorts(True)
+zl.AudioLevels_setRecordPortsFilenamePrefix(os.environ["ZL_PORTS"].encode())
+zl.AudioLevels_addRecordPort(b"lane:5", 0)   # midi channel 3 -> lane 5
+zl.AudioLevels_addRecordPort(b"lane:5", 1)
+zl.AudioLevels_addRecordPort(b"master", 0)
+zl.AudioLevels_removeRecordPort(b"master", 0)
+zl.AudioLevels_startRecording()
+zl.SyncTimer_startTimer(200)
+zl.ClipAudioSource_playOnChannel(a, True, 3)
+rt.step_blocks(120)
+zl.ClipAudioSource_stopOnChannel(a, 3)
+rt.step_blocks(40)
+zl.AudioLevels_stopRecording()
+ports = read_wav(os.environ["ZL_PORTS"])
+assert ports.samples.shape == (160 * 128, 2), ports.samples.shape
+assert np.abs(ports.samples).max() > 0.05
+assert level_hits, "audio-level callback never fired"
+assert timer_hits and all(0 <= t < 384 for t in timer_hits), timer_hits[:5]
+assert not engine.pool.active.any()
+zl.AudioLevels_clearRecordPorts()
+assert not engine.levels.record_ports
+
+# -- bar-quantized queueing (SyncTimer.cpp:816-832 semantics) --
+zl.SyncTimer_queueClipToStartOnChannel(b, 2)
+rt.step_blocks(500)  # 384 ticks at 200 BPM = ~450 blocks
+assert engine.pool.active.any(), "queued clip not playing after a bar"
+zl.SyncTimer_queueClipToStopOnChannel(b, 2)
+rt.step_blocks(540)
+assert not engine.pool.active.any(), "queued stop did not land"
+zl.SyncTimer_queueClipToStart(b)   # channel -1 variant
+rt.step_blocks(500)
+assert engine.pool.active.any()
+zl.SyncTimer_queueClipToStop(b)
+rt.step_blocks(540)
+assert not engine.pool.active.any()
+
+# -- stopClips array + deregistered timer callback goes quiet --
+zl.ClipAudioSource_playOnChannel(a, True, 3)
+zl.ClipAudioSource_playOnChannel(b, True, 2)
+rt.step_blocks(20)
+assert engine.pool.active.any()
+arr = (CP * 2)(a, b)
+zl.stopClips(2, arr)
+rt.step_blocks(40)
+assert not engine.pool.active.any(), "stopClips left voices playing"
+zl.SyncTimer_setBpm(150)
+assert abs(engine.bpm - 150.0) < 1e-6
+zl.SyncTimer_deregisterTimerCallback(ctypes.cast(on_tick, CP))
+n = len(timer_hits)
+rt.step_blocks(50)
+assert len(timer_hits) == n, "timer callback fired after deregistration"
+zl.SyncTimer_stopTimer()
+
+# -- env reload lands on the router --
+os.environ["ZYNTHIAN_MIDI_FILTER_OUTPUT"] = "1"
+zl.reloadZynthianConfiguration()
+assert engine.router.filter_midi_out is True
+
+# -- destroy invalidates the id registry --
+zl.ClipAudioSource_destroy(b)
+assert zl.ClipAudioSource_byID(bid) is None
+assert zl.ClipAudioSource_byID(aid) is not None
+zl.shutdownJuce()
+print("CAPI-FULL-OK level_hits=%d timer_hits=%d" % (len(level_hits), n))
+"""
+
+
+def test_ctypes_full_symbol_surface(libzl_so, tmp_path):
+    """Drive every public header symbol through the compiled shim (the 52
+    symbols the end-to-end client doesn't touch): parameter marshalling
+    round trips, callback trampolines, bar-quantized queueing, stopClips
+    arrays, port recording, env reload, destroy/byID invalidation."""
+    env = dict(os.environ)
+    env.update(
+        ZL_REPO=str(REPO),
+        ZL_SO=str(libzl_so),
+        ZL_WAV=str(tmp_path / "in.wav"),
+        ZL_PORTS=str(tmp_path / "ports.wav"),
+        LIBZL_TPU_BACKEND="numpy",
+        LIBZL_TPU_VOICES="32",
+        LIBZL_TPU_NO_PUMP="1",
+        JAX_PLATFORMS="cpu",
+        PYTHONPATH=str(REPO),
+    )
+    env.pop("ZYNTHIAN_MIDI_FILTER_OUTPUT", None)
+    proc = subprocess.run(
+        [sys.executable, "-c", CLIENT_FULL],
+        env=env, capture_output=True, text=True, timeout=300,
+    )
+    assert proc.returncode == 0, (proc.stdout[-2000:], proc.stderr[-3000:])
+    assert "CAPI-FULL-OK" in proc.stdout
