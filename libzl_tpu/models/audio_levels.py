@@ -253,6 +253,11 @@ class AudioLevels:
 
         sr = self.engine.sample_rate
         stamp = recording_timestamp()
+        # the port snapshot belongs to THIS take: reset unconditionally so a
+        # take without port recording cannot inherit the previous take's list
+        # (latent stale state — the feed guards on is_recording today, but
+        # the snapshot fields must never disagree with the active take)
+        self._active_record_ports = []
         if self.record_global_playback:
             self._global_recorder.start(
                 timestamped_filename(self.global_playback_prefix,
@@ -278,6 +283,10 @@ class AudioLevels:
         self._ports_recorder.stop()
         for r in self._channel_recorders:
             r.stop()
+        # take-scoped snapshots die with the take (ADVICE r3: stale
+        # _active_channels persisting after stop was latent state)
+        self._active_record_ports = []
+        self._active_channels = []
 
     def _resolve_port(self, outputs, port_name: str, channel: int) -> np.ndarray:
         """Map a record-port name to one mono stream [B].
