@@ -252,6 +252,28 @@ def main() -> int:
         rt_sparse = measure_sparse_session()
     except Exception:
         rt_sparse = -1.0
+    # Roofline accounting in the driver record (VERDICT r3 #6): the
+    # binding hardware bound for the live-block windows kernel at this
+    # session's dispatch config (rung 2.0 — the bench notes stay within
+    # +7 semitones, so the ratio ladder dispatches the narrow slab), and
+    # the fraction of the measured chained per-block cost that bound
+    # represents. 100% would mean the whole block is roofline-bound kernel
+    # time; the remainder is dispatch/host/relay overhead (the round-3
+    # decomposition, tools/tpu_probe1_r3.py).
+    kernel_bound_ms = -1.0
+    pct_of_bound = -1.0
+    try:
+        from tools.roofline_r3 import windows_model
+
+        w = windows_model(NUM_VOICES, LIVE_BLOCK, r_max=2.0)
+        kernel_bound_ms = max(
+            w["t_vpu"], w["t_hbm"], w["t_mxu_stream"]
+        ) * 1e3
+        dev = float(live.get("device_ms_p50") or 0)
+        if dev > 0:
+            pct_of_bound = 100.0 * kernel_bound_ms / dev
+    except Exception:
+        pass
     result = {
         "metric": f"realtime_factor_{active}voices_{NUM_CLIPS}clips_48k",
         "value": round(rt_factor, 3),
@@ -261,6 +283,8 @@ def main() -> int:
         "rt_superblock_best": round(float(np.max(rounds)), 3),
         "rt_superblock_rounds": rounds,
         **live,
+        "kernel_bound_ms": round(kernel_bound_ms, 3),
+        "pct_of_bound": round(pct_of_bound, 1),
         "realtime_factor_96voices": round(rt_96, 3),
         "rt_liveblock_96on1024_bucketed": round(rt_sparse, 3),
         "fence_seconds": round(fence_s, 1),

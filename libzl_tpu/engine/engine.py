@@ -132,10 +132,13 @@ class AudioEngine:
         self.fetch = fetch
         if bank_dtype not in ("float32", "int16"):
             raise ValueError(f"bank_dtype must be float32|int16: {bank_dtype}")
-        # declared transposition envelope: note pitch ratios clamp here and
-        # the windows kernel sizes its weight slab to it — a tighter ceiling
-        # is measurably faster (ops/fetch_pallas.slab_cols; probe 9). The
-        # default matches the round-1 envelope (+2 octaves).
+        # declared transposition envelope for the WINDOWS kernel: it sizes
+        # its weight slab to this ceiling — a tighter ceiling is measurably
+        # faster (ops/fetch_pallas.slab_cols; probe 9). Notes are NOT
+        # clamped to it: ratios beyond the envelope dispatch through the
+        # slab-free gather fetch (reference-unbounded pitchRatio,
+        # lib/SamplerSynthVoice.cpp:115-116; see _render_rmax). The default
+        # matches the round-1 envelope (+2 octaves).
         if not 1.0 <= float(max_pitch_ratio) <= 4.0:
             raise ValueError("max_pitch_ratio must be within [1.0, 4.0]")
         self.max_pitch_ratio = float(max_pitch_ratio)
@@ -153,7 +156,7 @@ class AudioEngine:
             raise ValueError("ratio_ladder must be auto|off")
         self._ratio_ladder = [self.max_pitch_ratio]
         if (ratio_ladder == "auto" and fetch.startswith("windows")
-                and mesh is None and self.max_pitch_ratio > 2.0):
+                and self.max_pitch_ratio > 2.0):
             self._ratio_ladder = [2.0, self.max_pitch_ratio]
         if fetch.startswith("windows"):
             from ..ops.fetch_pallas import parse_suffix
@@ -183,7 +186,14 @@ class AudioEngine:
         # per-lane mixdown contraction becomes a local matmul + psum over ICI
         # (parallel/sharding.py)
         self.mesh = mesh
-        self._sharded_render = None
+        # shard_map renders, created lazily per (kind, rung): each device
+        # renders its local voice shard (any fetch path — the Pallas kernel
+        # runs per shard), explicit psum mixdown over ICI, replicated
+        # strip/meter tail. The ratio ladder and the lookahead horizon use
+        # the same rung/slice dispatch as single-chip — the mesh does not
+        # fork the perf architecture (VERDICT r3 #2); warmup() compiles
+        # every (bucket, rung, kind) up front.
+        self._mesh_renders: dict = {}
         if mesh is not None:
             if backend == "numpy":
                 raise ValueError("mesh sharding requires the jax backend")
@@ -192,15 +202,6 @@ class AudioEngine:
                     f"num_voices ({num_voices}) must divide evenly over the "
                     f"{mesh.size}-device mesh"
                 )
-            # shard_map: each device renders its local voice shard (any
-            # fetch path — the Pallas kernel runs per shard), explicit psum
-            # mixdown over ICI, replicated strip/meter tail
-            from ..parallel.sharding import make_shardmap_packed_render
-
-            self._sharded_render = make_shardmap_packed_render(
-                mesh, block_frames=block_frames, quirk_gain=quirk_gain,
-                fetch=self.fetch, max_pitch_ratio=float(max_pitch_ratio),
-            )
         # native host core (native/zl_hostcore.cpp): one-pass program build +
         # state advance; numpy path remains the reference implementation
         self.use_native_host = False
@@ -215,12 +216,14 @@ class AudioEngine:
         # Speculative lookahead horizon: render H blocks in ONE
         # upload+dispatch and emit them as per-block slices, preempting the
         # horizon whenever an event lands (so note latency stays one block).
-        # The render has no inter-block feedback — a committed schedule's
-        # horizon output equals per-block output — and on relay-attached
-        # TPUs each per-block upload/dispatch costs 1-3 ms of fixed latency
-        # (tools/tpu_probe{1,2}_r3.py), so clean blocks amortize it H-fold.
-        # Event blocks fall back to the per-block dispatch, exactly today's
-        # path. "auto" fills a 2048-frame window (16 blocks at the live
+        # The horizon is H stacked per-block programs built by simulating
+        # the host's own per-block advance, so a committed schedule's
+        # horizon output is BIT-IDENTICAL to per-block output — and on
+        # relay-attached TPUs each per-block upload/dispatch costs 1-3 ms
+        # of fixed latency (tools/tpu_probe{1,2}_r3.py), so clean blocks
+        # amortize it H-fold. Event blocks rebuild the horizon in the same
+        # dispatch when traffic is sparse (REBUILD_MIN_GAP), else fall back
+        # to per-block. "auto" fills a 2048-frame window (16 blocks at the live
         # geometry): W=4096 fits VMEM (region scratch ~8.9 MB) but measures
         # WORSE than W=2048 on hardware — probe 4 at B=1024 has H=2 at
         # 5.09 ms/block vs H=4 at 5.26 and H=0 at 6.05, and probe 5 at
@@ -230,8 +233,7 @@ class AudioEngine:
         if lookahead == "auto":
             self._lookahead = (
                 max(min(16, 2048 // block_frames), 0)
-                if (backend == "jax" and mesh is None
-                    and block_frames <= 2048) else 0
+                if (backend == "jax" and block_frames <= 2048) else 0
             )
             if self._lookahead == 1:
                 self._lookahead = 0
@@ -239,18 +241,22 @@ class AudioEngine:
             self._lookahead = max(int(lookahead), 0)
             if self._lookahead == 1:
                 self._lookahead = 0  # a 1-block horizon is the plain path
-            if self._lookahead and (backend != "jax" or mesh is not None):
-                raise ValueError(
-                    "lookahead requires the single-chip jax backend"
-                )
-        self._h_slices: list = []
+            if self._lookahead and backend != "jax":
+                raise ValueError("lookahead requires the jax backend")
+        self._h_slices: list = []       # pending device outputs
+        self._h_snaps: list = []        # pool state AFTER each slice
+        self._h_died: list = []         # (clip_id, position_id) per slice
         self._h_cursor = 0
-        self._h_unadvanced = 0
-        self._h_anchor: Optional[dict] = None
-        self._h_lane_snapshot = None
         self._h_fingerprint = None
         self._clean_run = 0
         self._block_dirty = False
+        # event pacing: blocks since the last event/preemption block. An
+        # event block REBUILDS the horizon in the same dispatch when recent
+        # traffic is sparse enough for speculation to pay (see
+        # _lookahead_outputs) — constant-preemption storms degrade to the
+        # per-block path instead of wasting H-fold speculative renders.
+        self._blocks_since_event = 0
+        self._oob_preempt = False
 
         self.clock = BlockClock(
             sample_rate=float(sample_rate),
@@ -259,15 +265,6 @@ class AudioEngine:
         )
         self.ring = StepRing()
         self.pool = VoicePool(num_voices, block_frames, float(sample_rate))
-        self.pool.max_ratio = self.max_pitch_ratio
-        if self._lookahead:
-            # the horizon program's bq reset columns must cover the WINDOW
-            from ..constants import bq_extra_resets
-
-            self.pool.n_bq_extra = max(
-                self.pool.n_bq_extra,
-                bq_extra_resets(self._lookahead * block_frames, sample_rate),
-            )
         # Bucketed prefix rendering: the allocator claims the FIRST idle
         # voice (lib/SamplerSynth.cpp:204-215), so live voices cluster at
         # low indices and a sparse session only needs a prefix of the pool
@@ -299,12 +296,11 @@ class AudioEngine:
                 ladder.append(num_voices)
                 self._bucket_ladder = ladder
         self.allocator = VoiceAllocator(self.pool, voices_per_lane)
-        # the tail guard must cover the LARGEST render window's region DMA:
-        # lookahead horizons fetch region_rows(H*B) rows past a sound's end
-        # anchor, not region_rows(B)
-        max_window = max(self._lookahead, 1) * block_frames
+        # lookahead horizons are stacks of per-block programs (each slice
+        # fetches at block geometry), so the region tail guard only needs
+        # to cover ONE block's DMA span
         self.bank = SoundBank(
-            tail_guard=region_tail_guard(max_window, self.max_pitch_ratio)
+            tail_guard=region_tail_guard(block_frames, self.max_pitch_ratio)
         )
         self._bank_version_on_device = -1
         self._device_sound_data = None
@@ -543,14 +539,19 @@ class AudioEngine:
 
     def _mark_event(self) -> None:
         """An event is about to mutate engine/pool state: the speculative
-        horizon (if any) is stale from this block on. Catch the pool
-        mirror up to the emission frontier FIRST (the command must apply
-        to current state), then discard the remaining slices."""
+        horizon (if any) is stale from this block on — discard the
+        remaining slices. The pool mirror is already at the emission
+        frontier (emission restores the per-slice snapshot eagerly), so
+        the command applies to current state with no catch-up step."""
         self._block_dirty = True
         if self._h_slices:
-            self._catch_up_pool()
-            self._h_slices = []
-            self._h_cursor = 0
+            self._discard_horizon()
+
+    def _discard_horizon(self) -> None:
+        self._h_slices = []
+        self._h_snaps = []
+        self._h_died = []
+        self._h_cursor = 0
 
     def _apply_timer_command(self, cmd: TimerCommand, tick: int,
                              frame_offset: int) -> None:
@@ -671,13 +672,41 @@ class AudioEngine:
                 return s
         return self.pool.num_voices
 
-    def _render_rmax(self, prog_i, prog_f) -> float:
+    # the narrow-slab rung only pays when the per-shard kernel is large
+    # enough to be stream-bound: probe 26 measured the 2.0 rung -11% at
+    # 1024 voices but NEUTRAL on floor-dominated dispatches, and probes
+    # 22/24 show sub-512-voice kernels are dispatch/overhead-bound.
+    # Buckets below this per-shard size dispatch the top rung only, which
+    # halves their warmup graph count (VERDICT r3 #7). Tests/dryruns may
+    # override per instance to exercise rung dispatch on tiny meshes.
+    RUNG_MIN_SHARD_VOICES = 512
+
+    def _allowed_rungs(self, bucket: Optional[int]) -> list:
+        """Rungs warmed and dispatched for this bucket size."""
+        v = bucket if bucket is not None else self.pool.num_voices
+        shard = v // (self.mesh.size if self.mesh is not None else 1)
+        if shard >= self.RUNG_MIN_SHARD_VOICES:
+            return self._ratio_ladder
+        return self._ratio_ladder[-1:]
+
+    def _render_rmax(self, prog_i, prog_f,
+                     rungs: Optional[list] = None) -> Optional[float]:
         """Smallest ratio-ladder rung covering every active voice's pitch
         ratio this block (ratios are per-voice constants within a program —
         pitch changes arrive as commands, which dirty the block and rebuild
-        the program, so a horizon never outlives its rung)."""
-        ladder = self._ratio_ladder
-        if len(ladder) <= 1:
+        the program, so a horizon never outlives its rung).
+
+        Returns None when some active ratio exceeds the declared windows
+        envelope (`max_pitch_ratio`): the dispatch then routes through the
+        slab-free GATHER fetch, which supports the reference's unbounded
+        pitchRatio (lib/SamplerSynthVoice.cpp:115-116 — no ceiling; note 36
+        above root plays at 8x). Gather sessions have a single rung and
+        never fall back (any ratio is in range for a clamped gather).
+        `rungs` restricts the ladder (bucket-dependent prune — see
+        _allowed_rungs); defaults to the full ladder."""
+        ladder = rungs if rungs is not None else self._ratio_ladder
+        windows = self.fetch.startswith("windows")
+        if not windows:
             return ladder[0]
         from ..ops.voice import _F32_SCALARS, _INT_SCALARS
 
@@ -690,7 +719,38 @@ class AudioEngine:
         for r in ladder:
             if m <= r:
                 return r
-        return ladder[-1]
+        return None
+
+    def _mesh_render(self, kind: str, rmax: float):
+        """Lazily built shard_map render for (kind in {block, horizon},
+        ratio-ladder rung). Creation is cheap (closure + jit wrapper);
+        compilation happens at first call — warmup() triggers every key a
+        session can dispatch so no rung/horizon compiles mid-performance."""
+        key = (kind, rmax)
+        fn = self._mesh_renders.get(key)
+        if fn is None:
+            from ..parallel.sharding import (
+                make_shardmap_horizon_render,
+                make_shardmap_packed_render,
+            )
+
+            # rmax None = over-envelope pitch: slab-free gather fallback
+            fetch = self.fetch if rmax is not None else "gather"
+            r = rmax if rmax is not None else self.max_pitch_ratio
+            if kind == "block":
+                fn = make_shardmap_packed_render(
+                    self.mesh, block_frames=self.block_frames,
+                    quirk_gain=self.quirk_gain, fetch=fetch,
+                    max_pitch_ratio=r,
+                )
+            else:
+                fn = make_shardmap_horizon_render(
+                    self.mesh, block_frames=self.block_frames,
+                    slices=self._lookahead, quirk_gain=self.quirk_gain,
+                    fetch=fetch, max_pitch_ratio=r,
+                )
+            self._mesh_renders[key] = fn
+        return fn
 
     def _dispatch_packed(self, sound, prog_i, prog_f, strips_packed):
         from ..ops.voice import fuse_packed
@@ -702,18 +762,29 @@ class AudioEngine:
         # pure transfer (tools/tpu_probe1_r3.py).
         fused = fuse_packed(prog_i, prog_f)
         bucket = self._render_bucket(prog_i)
-        rmax = self._render_rmax(prog_i, prog_f)
-        if self._sharded_render is not None:
+        # per-block dispatches in a lookahead engine are event/storm blocks
+        # where fixed dispatch cost dominates the kernel — top rung only,
+        # so no per-rung block graphs need warming (VERDICT r3 #7)
+        rungs = (self._ratio_ladder[-1:] if self._lookahead
+                 else self._allowed_rungs(bucket))
+        rmax = self._render_rmax(prog_i, prog_f, rungs)
+        if self.mesh is not None:
             # per-shard bucket ladder: a prefix slice re-shards over the
             # mesh (contiguous row blocks), so every device renders
             # bucket/n voices; the shard_map reduction is value-semantic,
             # outputs are identical to full-pool dispatch. voice_peaks
             # comes back at the bucket length — update_session pads.
-            if bucket is not None and bucket < fused.shape[0]:
-                return self._sharded_render(
-                    sound, fused[:bucket], strips_packed
-                )
-            return self._sharded_render(sound, fused, strips_packed)
+            fn = self._mesh_render("block", rmax)
+            if rmax is not None and bucket is not None \
+                    and bucket < fused.shape[0]:
+                return fn(sound, fused[:bucket], strips_packed)
+            return fn(sound, fused, strips_packed)
+        fetch = self.fetch
+        if rmax is None:
+            # over-envelope pitch (the reference's unbounded pitchRatio):
+            # slab-free gather fetch at FULL pool — one warmed fallback
+            # graph instead of one per bucket, for a rare dispatch
+            fetch, rmax, bucket = "gather", self.max_pitch_ratio, None
         if bucket is not None and bucket < fused.shape[0]:
             # voice_peaks pads back to [V] INSIDE the jit (an eager host
             # concat here measured ~0.3-0.5 ms/block of dispatch overhead
@@ -721,13 +792,13 @@ class AudioEngine:
             return render_mod.render_block_fused(
                 sound, fused[:bucket], strips_packed,
                 block_frames=self.block_frames, quirk_gain=self.quirk_gain,
-                fetch=self.fetch, max_pitch_ratio=rmax,
+                fetch=fetch, max_pitch_ratio=rmax,
                 pad_voices_to=self.pool.num_voices,
             )
         return render_mod.render_block_fused(
             sound, fused, strips_packed,
             block_frames=self.block_frames, quirk_gain=self.quirk_gain,
-            fetch=self.fetch, max_pitch_ratio=rmax,
+            fetch=fetch, max_pitch_ratio=rmax,
         )
 
     # ------------------------------------------------- lookahead horizon
@@ -739,35 +810,6 @@ class AudioEngine:
             clip = self.clips.get(int(cid))
             if clip is not None:
                 clip.positions_model.remove_position(int(pid))
-
-    def _catch_up_pool(self) -> None:
-        """Advance the pool mirror past slices already emitted from the
-        horizon (deferred so a mid-horizon event can rebuild from the
-        exact emission frontier). Uses the CLOCK ANCHORS CAPTURED AT
-        HORIZON BUILD — later BPM/transport mutations must not re-time
-        blocks that already rendered. Idempotent."""
-        n = self._h_unadvanced
-        if not n:
-            return
-        self._h_unadvanced = 0
-        w = n * self.block_frames
-        anchor = self._h_anchor
-        lane = self._h_lane_snapshot
-        if self.use_native_host:
-            from . import hostcore as _hostcore
-
-            _, _, died_info = _hostcore.voice_update(
-                self.pool, lane_enabled=lane, window_frames=w, **anchor
-            )
-            died_pairs = [(cid, pid) for _, cid, pid in died_info]
-        else:
-            prog = self.pool.build_program(
-                lane_enabled=lane, window_frames=w, **anchor
-            )
-            adv = self.pool.advance(prog, window_frames=w)
-            died_pairs = list(zip(adv["died_clips"], adv["died_positions"]))
-        anchor["block_start_sample"] += float(w)
-        self._release_died(died_pairs)
 
     def _fingerprint(self):
         """Out-of-band state a horizon depends on: direct API mutations
@@ -783,76 +825,145 @@ class AudioEngine:
             pack_strips(self.strips).tobytes(),
         )
 
+    # an event block rebuilds the horizon in the same dispatch only when
+    # the run of clean blocks behind it is at least this long — a storm of
+    # back-to-back events must degrade to the per-block path, never burn a
+    # speculative H-block render per block (test_event_storm_degrades...)
+    REBUILD_MIN_GAP = 3
+
     def _lookahead_outputs(self) -> Optional[render_mod.RenderOutputs]:
         """Emit the next horizon slice, or None when this block must
-        dispatch fresh (event landed / horizon exhausted / out-of-band
-        state moved). Starts a new horizon after 3 consecutive clean
-        blocks (event-storm sessions degrade to exactly the per-block
-        path instead of wasting speculative device renders)."""
+        dispatch per-block (event storm / horizon off / no live voices).
+
+        Event blocks REBUILD the horizon from post-event state in one
+        dispatch when recent traffic is sparse (gap >= REBUILD_MIN_GAP):
+        the event block then costs the same one upload+dispatch as the
+        per-block path but delivers H blocks of audio against an H-block
+        deadline, so event-dense sessions keep quiet-regime amortization
+        (the reference pays zero penalty for event-dense cycles —
+        lib/SamplerSynth.cpp:116-148; VERDICT r3 next-round #1). Quiet
+        sessions start a horizon after 3 consecutive clean blocks."""
         if self._block_dirty:
             self._clean_run = 0
+            if (self._blocks_since_event >= self.REBUILD_MIN_GAP
+                    and self.pool.active.any()):
+                return self._start_horizon()
             return None
         if self._h_cursor < len(self._h_slices):
             if self._fingerprint() == self._h_fingerprint:
-                out = self._h_slices[self._h_cursor]
-                self._h_cursor += 1
-                self._h_unadvanced += 1
                 self._clean_run += 1
-                return out
-            self._catch_up_pool()
-            self._h_slices = []
-            self._h_cursor = 0
+                return self._emit_slice()
+            # out-of-band mutation (direct set_bpm/set_strip/lane/bank):
+            # stale slices preempt; rebuild under the same pacing gate
+            self._discard_horizon()
             self._clean_run = 0
+            self._oob_preempt = True
+            if (self._blocks_since_event >= self.REBUILD_MIN_GAP
+                    and self.pool.active.any()):
+                return self._start_horizon()
             return None
-        self._catch_up_pool()
         self._clean_run += 1
         if self._clean_run < 3 or not self.pool.active.any():
             return None
         return self._start_horizon()
 
+    def _emit_slice(self) -> render_mod.RenderOutputs:
+        """Deliver the next pre-rendered slice and synchronize the pool
+        mirror to it eagerly (snapshot restore — a memcpy, no recompute),
+        releasing the positions of voices that died in that slice."""
+        h = self._h_cursor
+        out = self._h_slices[h]
+        self.pool.restore_state(self._h_snaps[h])
+        self._release_died(self._h_died[h])
+        self._h_cursor += 1
+        return out
+
     def _start_horizon(self) -> render_mod.RenderOutputs:
-        """Build + dispatch an H-block horizon; emit slice 0."""
+        """Build + dispatch an H-block horizon; emit slice 0.
+
+        The horizon is H per-block programs built by simulating the host's
+        own per-block build+advance chain (native core or numpy mirror) —
+        each slice's program is EXACTLY what per-block dispatch would have
+        built, so the device output is bit-identical to per-block
+        rendering, not an f32-tolerance extrapolation. One fused
+        [V, H*K] upload + one dispatch carry all H blocks."""
         from ..ops.voice import fuse_packed, pack_program
 
         H = self._lookahead
-        W = H * self.block_frames
+        B = self.block_frames
+        lane = self.lane_enabled.copy()
         anchor = dict(
-            block_start_sample=float(self.clock.sample_position),
             tick_anchor_sample=self.clock.anchor_sample,
             tick_anchor=self.clock.anchor_tick,
             samples_per_tick=self.clock.samples_per_tick,
         )
-        lane = self.lane_enabled.copy()
-        prog = self.pool.build_program(
-            lane_enabled=lane, window_frames=W, **anchor
-        )
-        prog_i, prog_f = pack_program(prog)
-        fused = fuse_packed(prog_i, prog_f)
+        start0 = float(self.clock.sample_position)
+        fused_slices = []
+        snaps: list = []
+        died_lists: list = []
+        prog_i0 = prog_f0 = None
+        for h in range(H):
+            args = dict(block_start_sample=start0 + h * B, **anchor)
+            if self.use_native_host:
+                from . import hostcore as _hostcore
+
+                prog_i, prog_f, died_info = _hostcore.voice_update(
+                    self.pool, lane_enabled=lane, **args
+                )
+                died = [(cid, pid) for _, cid, pid in died_info]
+            else:
+                prog = self.pool.build_program(lane_enabled=lane, **args)
+                prog_i, prog_f = pack_program(prog)
+                adv = self.pool.advance(prog)
+                died = list(zip(adv["died_clips"], adv["died_positions"]))
+            if h == 0:
+                prog_i0, prog_f0 = prog_i, prog_f
+            fused_slices.append(fuse_packed(prog_i, prog_f))
+            snaps.append(self.pool.save_state())
+            died_lists.append(died)
+        # the sim advanced the pool H blocks; emission re-anchors it per
+        # slice from the snapshots (slice 0 below), so no state is lost
+        stack = np.concatenate(fused_slices, axis=1)
         sound = self._sound_data_for_backend()
         strips = self._packed_strips_for_backend()
-        bucket = self._render_bucket(prog_i)
-        rmax = self._render_rmax(prog_i, prog_f)
+        # slice 0 bounds the whole horizon: no events land mid-horizon by
+        # construction, so the active high-water and the pitch-ratio
+        # envelope can only shrink across slices
+        bucket = self._render_bucket(prog_i0)
+        rmax = self._render_rmax(prog_i0, prog_f0, self._allowed_rungs(bucket))
         V = self.pool.num_voices
-        if bucket is not None and bucket < V:
-            slices = render_mod.render_horizon_fused(
-                sound, fused[:bucket], strips, window_frames=W, slices=H,
-                quirk_gain=self.quirk_gain, fetch=self.fetch,
-                max_pitch_ratio=rmax, pad_voices_to=V,
-            )
+        if self.mesh is not None:
+            # per-shard bucketing + rung dispatch, same ladder as per-block;
+            # voice_peaks return at the bucket length (update_session pads)
+            fn = self._mesh_render("horizon", rmax)
+            if rmax is not None and bucket is not None and bucket < V:
+                slices = fn(sound, stack[:bucket], strips)
+            else:
+                slices = fn(sound, stack, strips)
         else:
-            slices = render_mod.render_horizon_fused(
-                sound, fused, strips, window_frames=W, slices=H,
-                quirk_gain=self.quirk_gain, fetch=self.fetch,
-                max_pitch_ratio=rmax,
-            )
+            fetch = self.fetch
+            if rmax is None:
+                # over-envelope pitch: slab-free gather at full pool
+                fetch, rmax, bucket = "gather", self.max_pitch_ratio, None
+            if bucket is not None and bucket < V:
+                slices = render_mod.render_horizon_fused(
+                    sound, stack[:bucket], strips, block_frames=B, slices=H,
+                    quirk_gain=self.quirk_gain, fetch=fetch,
+                    max_pitch_ratio=rmax, pad_voices_to=V,
+                )
+            else:
+                slices = render_mod.render_horizon_fused(
+                    sound, stack, strips, block_frames=B, slices=H,
+                    quirk_gain=self.quirk_gain, fetch=fetch,
+                    max_pitch_ratio=rmax,
+                )
         self._h_slices = list(slices)
-        self._h_cursor = 1
-        self._h_unadvanced = 1
-        self._h_anchor = anchor
-        self._h_lane_snapshot = lane
+        self._h_snaps = snaps
+        self._h_died = died_lists
+        self._h_cursor = 0
         self._h_fingerprint = self._fingerprint()
         self._h_built_this_block = True
-        return self._h_slices[0]
+        return self._emit_slice()
 
     def _zero_outputs(self) -> render_mod.RenderOutputs:
         if not hasattr(self, "_zero_outputs_cache"):
@@ -980,8 +1091,10 @@ class AudioEngine:
         lib/libzl.cpp:358-410). Safe to call at init: the sound bank is
         fixed-capacity (soundbank.py pre-allocates), so loading clips later
         does not change the compiled shapes — only the rare bank-capacity
-        growth retraces. Returns the number of render shapes warmed. No-op
-        on the numpy backend. The C-ABI pump runs this automatically before
+        growth retraces. Returns the number of graphs compiled (also kept
+        as `self.warmed_graphs` and surfaced in stats() — boot time is a
+        function of graph count x compile-fence family, NOTES_TPU_ENV.md).
+        No-op on the numpy backend. The C-ABI pump runs this automatically before
         going realtime; LIBZL_TPU_COMPILE_CACHE persists the result across
         processes."""
         if self.backend != "jax":
@@ -1011,73 +1124,94 @@ class AudioEngine:
         sizes = list(self._bucket_ladder or [self.pool.num_voices])
         hfused = None
         if self._lookahead:
-            # the horizon program doesn't depend on bucket or rung: build
-            # its packed form once for every (bucket, rung) compile below
-            W = self._lookahead * self.block_frames
-            hp = self.pool.build_program(
-                window_frames=W,
-                block_start_sample=float(self.clock.sample_position),
-                tick_anchor_sample=self.clock.anchor_sample,
-                tick_anchor=self.clock.anchor_tick,
-                samples_per_tick=self.clock.samples_per_tick,
-                lane_enabled=self.lane_enabled,
-            )
-            hi, hf = pack_program(hp)
-            hfused = fuse_packed(hi, hf)
+            # horizon shape = H per-block programs stacked on axis 1; the
+            # compile only cares about dims, so tile the idle block program
+            hfused = np.concatenate([fused] * self._lookahead, axis=1)
 
-        def warm_one(s, rmax):
+        def warm_one(s, rmax, kind):
             # mirror _dispatch_packed's exact static signature per bucket
             # (pad_voices_to participates in the jit cache key)
             pad = self.pool.num_voices if s < self.pool.num_voices else 0
-            if self._sharded_render is not None:
-                out = self._sharded_render(sound, fused[:s], strips)
-            else:
+            if self.mesh is not None:
+                fn = self._mesh_render(kind, rmax)
+                out = fn(sound, (fused if kind == "block" else hfused)[:s],
+                         strips)
+                out = out if kind == "block" else out[0]
+                jax.block_until_ready(out.master)
+                return out
+            fetch = self.fetch
+            if rmax is None:  # over-envelope gather fallback (full pool)
+                fetch, rmax = "gather", self.max_pitch_ratio
+            if kind == "block":
                 out = render_mod.render_block_fused(
                     sound, fused[:s], strips,
                     block_frames=self.block_frames,
-                    quirk_gain=self.quirk_gain, fetch=self.fetch,
+                    quirk_gain=self.quirk_gain, fetch=fetch,
                     max_pitch_ratio=rmax, pad_voices_to=pad,
                 )
-            jax.block_until_ready(out.master)
-            if hfused is not None:
-                outs = render_mod.render_horizon_fused(
+            else:
+                out = render_mod.render_horizon_fused(
                     sound, hfused[:s], strips,
-                    window_frames=self._lookahead * self.block_frames,
+                    block_frames=self.block_frames,
                     slices=self._lookahead, quirk_gain=self.quirk_gain,
-                    fetch=self.fetch, max_pitch_ratio=rmax,
+                    fetch=fetch, max_pitch_ratio=rmax,
                     pad_voices_to=pad,
-                )
-                jax.block_until_ready(outs[0].master)
+                )[0]
+            jax.block_until_ready(out.master)
             return out
 
-        work = [(s, r) for s in sizes for r in self._ratio_ladder]
+        # the work list mirrors the dispatch policy exactly — every
+        # (bucket, rung, kind) a session can dispatch, and NOTHING else
+        # (VERDICT r3 #7: redundant warmup graphs multiply boot time):
+        # - per-block graphs in a lookahead engine use the top rung only
+        #   (event/storm blocks are dispatch-bound, _dispatch_packed)
+        # - horizon rungs engage only for buckets past the per-shard
+        #   stream-bound threshold (_allowed_rungs)
+        # - windows engines add the full-pool gather fallback for
+        #   over-envelope pitch
+        work = []
+        for s in sizes:
+            block_rungs = (self._ratio_ladder[-1:] if self._lookahead
+                           else self._allowed_rungs(s))
+            for r in block_rungs:
+                work.append((s, r, "block"))
+            if self._lookahead:
+                for r in self._allowed_rungs(s):
+                    work.append((s, r, "horizon"))
+        if self.fetch.startswith("windows"):
+            # over-envelope pitch dispatches full-pool gather (rare; must
+            # never hit a mid-performance compile)
+            work.append((self.pool.num_voices, None, "block"))
+            if self._lookahead:
+                work.append((self.pool.num_voices, None, "horizon"))
+        self.warmed_graphs = len(work)
         jobs = int(os.environ.get("LIBZL_TPU_WARMUP_JOBS", "4") or "1")
-        if jobs > 1 and len(work) > 1 and self._sharded_render is None:
-            # compile the (bucket, rung) graphs concurrently: XLA/PjRt
+        if jobs > 1 and len(work) > 1 and self.mesh is None:
+            # compile the (bucket, rung, kind) graphs concurrently: XLA/PjRt
             # compilation is thread-safe and each graph compiles
             # independently, so warmup wall time approaches the slowest
-            # compile instead of the sum (the rung ladder doubled the graph
-            # count; boot must not double with it)
+            # compile instead of the sum
             from concurrent.futures import ThreadPoolExecutor
 
             with ThreadPoolExecutor(max_workers=min(jobs, len(work))) as ex:
-                out = list(ex.map(lambda sr: warm_one(*sr), work))[-1]
+                out = list(ex.map(lambda w: warm_one(*w), work))[-1]
         else:
-            for s, r in work:
-                out = warm_one(s, r)
+            for w in work:
+                out = warm_one(*w)
         # one REAL device->host transfer: block_until_ready alone does not
         # validate the readback path everywhere (on relay-attached TPUs the
         # first D2H stalls for minutes — pay that at boot, never inside the
         # realtime pump; NOTES_TPU_ENV.md "Measurement integrity")
         np.asarray(out.master)
         self._warmed_key = key
-        return len(sizes)
+        return len(work)
 
     def stats(self) -> dict:
         """Runtime health counters: SLO (deadline misses), DSP load, and
         the event watchdog (scheduled-vs-delivered MIDI accounting)."""
         return {
             "blocks": self.total_blocks,
+            "warmed_graphs": getattr(self, "warmed_graphs", 0),
             "slo_missed": self.slo.missed_blocks,
             "slo_total": self.slo.total_blocks,
             "slo_worst_overrun_ms": round(self.slo.worst_overrun * 1e3, 3),
@@ -1180,12 +1314,18 @@ class AudioEngine:
         )
 
         # speculative lookahead: clean blocks emit pre-rendered horizon
-        # slices (one upload+dispatch per H blocks); event blocks fall
-        # through to the per-block dispatch below with the pool caught up
+        # slices (one upload+dispatch per H blocks); event blocks rebuild
+        # the horizon in-dispatch when traffic is sparse enough, else fall
+        # through to the per-block dispatch below
         if self._lookahead:
             self._h_built_this_block = False
+            self._oob_preempt = False
             out = self._lookahead_outputs()
+            event_block = self._block_dirty or self._oob_preempt
             self._block_dirty = False
+            self._blocks_since_event = (
+                0 if event_block else self._blocks_since_event + 1
+            )
             if out is not None:
                 self.clock.advance_block()
                 self.total_blocks += 1
@@ -1370,9 +1510,6 @@ class AudioEngine:
         accumulate_peaks. `fetched`: a fetch_session_arrays result the
         caller already transferred (the bounce drain batches it with the
         master fetch)."""
-        # positions/progress read the pool mirror: catch it up to the
-        # emission frontier first (no-op outside lookahead mode)
-        self._catch_up_pool()
         if fetched is None:
             fetched = self.fetch_session_arrays(result)
         self.levels.ingest_block(

@@ -150,72 +150,70 @@ def render_block_packed(
 def render_horizon_math(
     xp,
     sound_data,
-    prog: voice_ops.VoiceProgram,
+    progs,                      # sequence of `slices` VoicePrograms
     strips: mixer_ops.StripParams,
-    window_frames: int,
-    slices: int,
+    block_frames: int,
     quirk_gain: bool = False,
     fetch: str = "gather",
     max_pitch_ratio: float = 4.0,
 ) -> tuple:
-    """Render a `window_frames` lookahead horizon and return it as `slices`
-    per-block RenderOutputs (each block_frames = window/slices wide, with
-    its OWN peaks/meters/voice_peaks — consumers see exactly what per-block
-    rendering would produce for a committed schedule).
+    """Render a lookahead horizon of consecutive blocks, one per program.
 
-    This is the engine's speculative-horizon primitive: on hosts where
-    every dispatch/upload pays a fixed latency round trip (relay-attached
-    TPUs: ~1-3 ms per host->device buffer, ~0.8 ms per dispatch —
-    tools/tpu_probe{1,2}_r3.py), rendering H blocks per dispatch amortizes
-    those costs H-fold while event latency stays one block (the engine
-    preempts the horizon whenever a command lands)."""
-    B = window_frames // slices
-    lane_mix, _, contrib = voice_ops.render_voices(
-        xp, sound_data, prog, window_frames, quirk_gain=quirk_gain,
-        fetch=fetch, max_pitch_ratio=max_pitch_ratio, return_contrib=True,
+    Each slice runs the SAME per-block math as render_block_math on that
+    slice's own program, so a committed schedule's horizon output is
+    bit-identical to per-block dispatch — the host builds the H programs
+    by simulating its per-block advance (engine._start_horizon), instead
+    of the round-3 design's single window-wide program whose in-window
+    f32 position/envelope extrapolation was only ~1e-5-close (VERDICT r3
+    missing #4). The dispatch economics are unchanged: ONE upload + ONE
+    dispatch per horizon amortizes the fixed per-dispatch latency H-fold
+    (relay-attached TPUs: ~1-3 ms per host->device buffer,
+    tools/tpu_probe{1,2}_r3.py), and total device work is the same — the
+    fetch kernel is stream-bound in frames rendered, not in launches."""
+    return tuple(
+        render_block_math(
+            xp, sound_data, prog, strips, block_frames,
+            quirk_gain=quirk_gain, fetch=fetch,
+            max_pitch_ratio=max_pitch_ratio,
+        )
+        for prog in progs
     )
-    V = contrib.shape[0]
-    # per-slice voice peaks: the reference metric max(l+r, 0) over each
-    # block (lib/SamplerSynthVoice.cpp:213) — computed per slice so the
-    # positions-model gain feed is identical to per-block rendering
-    lr = (contrib[..., 0] + contrib[..., 1]).reshape(V, slices, B)
-    vp = xp.maximum(lr.max(axis=2), 0.0)            # [V, slices]
-    outs = []
-    for i in range(slices):
-        outs.append(finish_block(
-            xp, lane_mix[:, i * B:(i + 1) * B], strips, vp[:, i]
-        ))
-    return tuple(outs)
 
 
 @functools.partial(
     __import__("jax").jit,
-    static_argnames=("window_frames", "slices", "quirk_gain", "fetch",
+    static_argnames=("block_frames", "slices", "quirk_gain", "fetch",
                      "max_pitch_ratio", "pad_voices_to"),
 )
 def render_horizon_fused(
     sound_data,
-    prog_fused,
+    prog_stack,
     strips_packed,
-    window_frames: int,
+    block_frames: int,
     slices: int,
     quirk_gain: bool = False,
     fetch: str = "gather",
     max_pitch_ratio: float = 4.0,
     pad_voices_to: int = 0,
 ) -> tuple:
-    """Jitted horizon render over the fused single-buffer program: ONE
-    upload + ONE dispatch produce `slices` blocks of outputs."""
+    """Jitted horizon render: ONE upload + ONE dispatch produce `slices`
+    blocks of outputs. `prog_stack` is `slices` fused per-block programs
+    (ops/voice.fuse_packed) concatenated on axis 1 — [V, slices*K] — so the
+    voice axis stays the leading one (mesh shardings carry over unchanged,
+    parallel/sharding.py)."""
     import jax.numpy as jnp
 
-    prog_ints, prog_floats = voice_ops.split_fused(prog_fused)
-    prog = voice_ops.unpack_program(prog_ints, prog_floats)
+    K = prog_stack.shape[1] // slices
     strips = voice_ops.unpack_strips(strips_packed)
+    progs = []
+    for h in range(slices):
+        pi, pf = voice_ops.split_fused(prog_stack[:, h * K:(h + 1) * K])
+        progs.append(voice_ops.unpack_program(pi, pf))
     outs = render_horizon_math(
-        jnp, sound_data, prog, strips, window_frames, slices,
+        jnp, sound_data, progs, strips, block_frames,
         quirk_gain=quirk_gain, fetch=fetch, max_pitch_ratio=max_pitch_ratio,
     )
-    return _pad_voice_peaks(outs, pad_voices_to, prog_fused.shape[0])
+    return _pad_voice_peaks(outs, pad_voices_to, prog_stack.shape[0])
 
 
 @functools.partial(

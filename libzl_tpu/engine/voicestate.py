@@ -60,8 +60,6 @@ class VoicePool:
     num_voices: int
     block_frames: int
     output_rate: float
-    # pitch-ratio ceiling (engine max_pitch_ratio; fetch regions size to it)
-    max_ratio: float = MAX_PITCH_RATIO
 
     def __post_init__(self):
         V = self.num_voices
@@ -160,10 +158,11 @@ class VoicePool:
         self.length[v] = length
         self.source_rate[v] = source_rate
 
+        # UNBOUNDED like the reference (lib/SamplerSynthVoice.cpp:115-116:
+        # no ceiling — note 36 above root plays at 8x). Ratios beyond the
+        # engine's declared windows-kernel envelope dispatch through the
+        # slab-free gather fetch (engine._render_rmax returns None).
         ratio = pitch_ratio(midi_note, root_note, source_rate, self.output_rate)
-        # clamp so a block's position span stays inside one fetch region
-        # (engine max_pitch_ratio; ceiling constants.MAX_PITCH_RATIO)
-        ratio = min(ratio, self.max_ratio)
         self.rate_int[v] = int(ratio)
         self.rate_frac[v] = np.float32(ratio - int(ratio))
         self.istart[v] = int(start_sec * source_rate)
@@ -217,6 +216,27 @@ class VoicePool:
         self.clip_id[voice] = -1
         self.stage[voice] = adsr_ops.STAGE_IDLE
         self.env[voice] = 0.0
+
+    # fields mutated by advance()/kill() — everything a horizon simulation
+    # moves; save/restore around the sim keeps the pool the authoritative
+    # per-block mirror while the device renders speculative slices
+    # (engine._start_horizon). note_on/_update fields are NOT here: events
+    # preempt a horizon, so no command can land between save and restore.
+    _ADVANCE_FIELDS = (
+        "active", "clip_id", "position_id", "pos_int", "pos_frac",
+        "stage", "env", "rel_rate", "rel_mode", "next_loop_tick",
+        "pending_start", "pending_release",
+    )
+
+    def save_state(self) -> dict:
+        """Snapshot the advance-mutated state (cheap: 12 [V] arrays)."""
+        return {n: getattr(self, n).copy() for n in self._ADVANCE_FIELDS}
+
+    def restore_state(self, snap: dict) -> None:
+        """Restore a save_state snapshot IN PLACE (other code holds
+        references to the pool arrays; rebinding would detach them)."""
+        for n, a in snap.items():
+            getattr(self, n)[:] = a
 
     def rebase_clip(self, clip_id: int, base: int, length: int) -> None:
         """Re-point live voices of `clip_id` at a swapped playback render.

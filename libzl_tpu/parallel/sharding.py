@@ -144,6 +144,61 @@ def make_shardmap_packed_render(
     return jax.jit(fn)
 
 
+def make_shardmap_horizon_render(
+    mesh: Mesh,
+    block_frames: int = DEFAULT_BLOCK_FRAMES,
+    slices: int = 16,
+    quirk_gain: bool = False,
+    fetch: str = "gather",
+    max_pitch_ratio: float = 4.0,
+):
+    """shard_map lookahead-horizon render: `slices` stacked per-block fused
+    programs ([V, slices*K], voice-sharded) render locally per device, the
+    additive lane mixdown of ALL slices rides ONE psum over ICI (a stacked
+    [slices, C, B, 2] collective — per-horizon traffic, not per-block), and
+    the strip/meter tail runs replicated per slice. Each slice's math is
+    identical to the single-chip horizon (engine render_horizon_fused), so
+    mesh output is bit-equal to the unsharded engine — the lookahead and
+    the mesh compose instead of forking the perf architecture (VERDICT r3
+    next-round #2)."""
+    import jax.numpy as jnp
+    from jax import shard_map
+
+    def local_fn(sound_data, prog_stack, strips_packed):
+        K = prog_stack.shape[1] // slices
+        strips = voice_ops.unpack_strips(strips_packed)
+        lane_mixes, peaks = [], []
+        for h in range(slices):
+            pi, pf = voice_ops.split_fused(prog_stack[:, h * K:(h + 1) * K])
+            prog = voice_ops.unpack_program(pi, pf)
+            lm, vp = voice_ops.render_voices(
+                jnp, sound_data, prog, block_frames,
+                quirk_gain=quirk_gain, fetch=fetch,
+                max_pitch_ratio=max_pitch_ratio,
+            )
+            lane_mixes.append(lm)
+            peaks.append(vp)
+        mixes = jax.lax.psum(jnp.stack(lane_mixes), VOICE_AXIS)
+        return tuple(
+            render_mod.finish_block(jnp, mixes[h], strips, peaks[h])
+            for h in range(slices)
+        )
+
+    Pv = P(VOICE_AXIS, None)
+    out_one = render_mod.RenderOutputs(
+        master=P(), lane_mix=P(), strip_dry=P(), strip_wet1=P(),
+        strip_wet2=P(), lane_peaks=P(), lane_rms=P(), master_peak=P(),
+        voice_peaks=P(VOICE_AXIS),
+    )
+    fn = shard_map(
+        local_fn, mesh=mesh,
+        in_specs=(P(), Pv, P()),
+        out_specs=tuple([out_one] * slices),
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
 def make_sharded_packed_render(
     mesh: Mesh,
     block_frames: int = DEFAULT_BLOCK_FRAMES,

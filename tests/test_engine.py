@@ -286,9 +286,12 @@ def test_int16_bank_backend_equality():
 
 
 def test_max_pitch_ratio_option():
-    """A declared transposition envelope clamps note ratios and renders
-    identically to the default engine for in-envelope content (the windows
-    kernel sizes its slab to it — ops/fetch_pallas.slab_cols)."""
+    """A declared transposition envelope renders identically to the default
+    engine for in-envelope content (the windows kernel sizes its slab to
+    it — ops/fetch_pallas.slab_cols); OUT-of-envelope notes are not
+    clamped (the reference computes pitchRatio with no ceiling,
+    lib/SamplerSynthVoice.cpp:115-116) — they dispatch through the
+    slab-free gather fallback and render full-range."""
     import numpy as np
 
     from libzl_tpu.io.wav import AudioData
@@ -317,13 +320,17 @@ def test_max_pitch_ratio_option():
 
     full, e4 = run()
     tight, e2 = run(max_pitch_ratio=2.0)
-    assert e4.pool.max_ratio == 4.0 and e2.pool.max_ratio == 2.0
+    assert e4.max_pitch_ratio == 4.0 and e2.max_pitch_ratio == 2.0
     np.testing.assert_allclose(tight, full, rtol=1e-5, atol=1e-7)
 
-    # out-of-envelope notes clamp to the ceiling instead of mis-fetching
-    _, e1 = run(max_pitch_ratio=1.0)
-    assert float(e1.pool.rate_int[e1.pool.active.argmax()]
-                 + e1.pool.rate_frac[e1.pool.active.argmax()]) <= 1.0
+    # out-of-envelope notes keep their full ratio and route through the
+    # gather fallback — the audio matches the in-envelope engines (same
+    # ratio-1.5 note) to windows-vs-gather kernel tolerance
+    over, e1 = run(max_pitch_ratio=1.0)
+    v = int(e1.pool.active.argmax())
+    got = float(e1.pool.rate_int[v] + e1.pool.rate_frac[v])
+    assert abs(got - 2.0 ** (7 / 12)) < 1e-6, got  # unclamped +7 semitones
+    np.testing.assert_allclose(over, full, rtol=1e-4, atol=1e-5)
 
     import pytest as _pytest
     with _pytest.raises(ValueError):
@@ -787,3 +794,48 @@ def test_python_host_core_jax_backend_matches_numpy():
         outs[backend] = np.concatenate(blocks, axis=0)
     np.testing.assert_allclose(outs["jax"], outs["numpy"],
                                rtol=1e-6, atol=1e-7)
+
+
+def test_over_envelope_note_gather_fallback_bit_equal():
+    """A note beyond the declared windows envelope (ratio 5.66 > 4.0) must
+    route the whole dispatch through the slab-free gather fetch — whose
+    semantics are the gather engine's — including horizon dispatches
+    (engine._render_rmax -> None; VERDICT r3 #5: the engine accepts any
+    MIDI note/root pair like the reference). Compared against a jax
+    gather engine (same compiled math family) and the numpy mirror at the
+    established backend tolerance."""
+    import numpy as np
+
+    from libzl_tpu.engine.commands import ClipCommand
+    from libzl_tpu.io.wav import AudioData
+    from libzl_tpu.models.clip import ClipAudioSource
+
+    def run(backend, fetch):
+        e = AudioEngine(sample_rate=SR, backend=backend, num_voices=16,
+                        fetch=fetch)
+        t = np.arange(30000) / SR
+        c = ClipAudioSource(e, audio=AudioData(
+            (0.4 * np.sin(2 * np.pi * 220 * t)).astype(np.float32)[:, None],
+            SR))
+        e.start_transport(bpm=120)
+        cmd = ClipCommand.channel(c.id, 1)
+        cmd.midi_note = 90  # 30 above root: ratio 2^2.5 ~ 5.66 > 4.0
+        cmd.change_volume = True
+        cmd.volume = 1.0
+        cmd.looping = True
+        cmd.change_looping = True
+        cmd.start_playback = True
+        e.schedule_clip_command(cmd, 0)
+        out = np.concatenate([
+            np.asarray(e.process_block().outputs.master) for _ in range(40)
+        ])
+        return out, e
+
+    win, e_win = run("jax", "windows")
+    gat, _ = run("jax", "gather")
+    ref, _ = run("numpy", "gather")
+    v = int(e_win.pool.active.argmax())
+    assert float(e_win.pool.rate_int[v] + e_win.pool.rate_frac[v]) > 4.0
+    assert e_win._h_slices, "horizon should engage on the over-ratio session"
+    np.testing.assert_array_equal(win, gat)
+    np.testing.assert_allclose(win, ref, rtol=1e-5, atol=1e-7)

@@ -341,3 +341,35 @@ def test_short_bq_loop_fuzz(seed):
     got = _run_superblock(pool, sound, n_blocks=30, spt=spt)
     want = oracle.render(30 * 1024)
     np.testing.assert_allclose(got, want, atol=3e-4)
+
+
+def test_unbounded_pitch_ratio_oracle():
+    """Full-range pitch: ratio 8 (note 36 above root) renders bit-green vs
+    the scalar oracle — the reference computes pitchRatio with NO ceiling
+    (lib/SamplerSynthVoice.cpp:115-116) and the rebuild no longer clamps
+    (VERDICT r3 #5); over-envelope ratios ride the slab-free gather fetch."""
+    sound = make_sound(frames=24000)
+    pool = VoicePool(4, B, SR)
+    start_voice(pool, sound, midi_note=96, looping=True, length_beats=1.3,
+                stop_sec=23000 / SR)
+    ratio = float(pool.rate_int[0]) + float(pool.rate_frac[0])
+    assert ratio == 8.0, "note_on must not clamp the pitch ratio"
+    oracle = make_oracle(pool, sound, looping=True)
+    got = run_engine(pool, sound, n_blocks=60)
+    want = oracle.render(60 * B)
+    np.testing.assert_allclose(got, want, atol=3e-4)
+    assert pool.active[0]
+
+
+def test_very_high_pitch_ratio_oneshot():
+    """Ratio ~32 (note 60 above root): the voice eats the sound in a few
+    blocks and must die exactly like the scalar oracle says."""
+    sound = make_sound(frames=24000)
+    pool = VoicePool(4, B, SR)
+    start_voice(pool, sound, midi_note=120, root=60)
+    assert float(pool.rate_int[0]) + float(pool.rate_frac[0]) == 32.0
+    oracle = make_oracle(pool, sound)
+    got = run_engine(pool, sound, n_blocks=12)
+    want = oracle.render(12 * B)
+    np.testing.assert_allclose(got, want, atol=3e-4)
+    assert not pool.active[0]

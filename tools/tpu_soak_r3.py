@@ -26,8 +26,13 @@ MINUTES = float(os.environ.get("SOAK_MINUTES", "10"))
 # seconds between clip retriggers. The default (5 s) is the realistic mix
 # of clean and dirty blocks; SOAK_EVENT_SECONDS=0.1 is the event-storm
 # regime where nearly every lookahead horizon is preempted — sustained
-# per-block-path stress instead of the amortized fast path.
+# event-block stress instead of the quiet amortized path.
 EVENT_SECONDS = float(os.environ.get("SOAK_EVENT_SECONDS", "5.0"))
+# SOAK_SCHEDULE_TICKS > 0 = the SEQUENCER regime (VERDICT r3 #1's second
+# criterion): each retrigger is scheduled into the step ring that many
+# ticks AHEAD (the reference's whole SyncTimer purpose, SyncTimer.cpp:
+# 397-401) instead of fired immediately; 0 = live/immediate traffic.
+SCHEDULE_TICKS = int(os.environ.get("SOAK_SCHEDULE_TICKS", "0"))
 
 
 def main():
@@ -87,15 +92,37 @@ def main():
     for h in handles:
         zl.ClipAudioSource_play(h, True)
 
+    clip_ids = sorted(eng.clips.keys())
+
+    def retrigger():
+        i = int(rng.integers(0, len(handles)))
+        if SCHEDULE_TICKS > 0:
+            # sequencer case: the command sits in the step ring
+            # SCHEDULE_TICKS ahead of the playhead (mirrors what
+            # ClipAudioSource_play builds, models/clip.py:479-496)
+            from libzl_tpu.engine.commands import ClipCommand
+
+            cmd = ClipCommand.channel(clip_ids[i], -2)
+            cmd.midi_note = 60
+            cmd.change_volume = True
+            cmd.volume = 1.0
+            cmd.stop_playback = True
+            cmd.start_playback = True
+            cmd.looping = True
+            cmd.change_looping = True
+            with rt._lock:
+                eng.schedule_clip_command(cmd, SCHEDULE_TICKS)
+        else:
+            zl.ClipAudioSource_play(handles[i], True)
+
     deadline = time.monotonic() + MINUTES * 60.0
     last_report = 0.0
     while time.monotonic() < deadline:
         time.sleep(EVENT_SECONDS)
-        # live traffic: retrigger a random clip every EVENT_SECONDS
-        # (events preempt the lookahead horizon — the realistic mix of
-        # clean and dirty blocks at the default; a storm at 0.1 s)
-        h = handles[int(rng.integers(0, len(handles)))]
-        zl.ClipAudioSource_play(h, True)
+        # traffic: retrigger a random clip every EVENT_SECONDS (events
+        # rebuild the lookahead horizon in-dispatch when sparse enough —
+        # the realistic mix at the default; a storm at 0.1 s)
+        retrigger()
         now = time.monotonic()
         if now - last_report > 30.0:
             last_report = now
@@ -123,6 +150,9 @@ def main():
     rec = read_wav("/tmp/tpu_soak_rec.wav")
     out = dict(
         minutes=MINUTES,
+        event_seconds=EVENT_SECONDS,
+        schedule_ticks=SCHEDULE_TICKS,
+        voices=int(os.environ.get("LIBZL_TPU_VOICES", "1024")),
         blocks=realtime_blocks,
         blocks_expected=int(expected),
         sustained_realtime=bool(realtime_blocks >= 0.99 * expected),
