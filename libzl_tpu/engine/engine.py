@@ -878,30 +878,46 @@ class AudioEngine:
         self._h_cursor += 1
         return out
 
-    def _start_horizon(self) -> render_mod.RenderOutputs:
+    def _start_horizon(self) -> Optional[render_mod.RenderOutputs]:
         """Build + dispatch an H-block horizon; emit slice 0.
 
         The horizon is H per-block programs built by simulating the host's
         own per-block build+advance chain (native core or numpy mirror) —
         each slice's program is EXACTLY what per-block dispatch would have
         built, so the device output is bit-identical to per-block
-        rendering, not an f32-tolerance extrapolation. One fused
-        [V, H*K] upload + one dispatch carry all H blocks."""
-        from ..ops.voice import fuse_packed, pack_program
+        rendering, not an f32-tolerance extrapolation. The upload is ONE
+        buffer pair: slice 0's full fused program plus a compact dynamics
+        matrix (ops/voice.pack_horizon_dynamics — only the columns the
+        clean-block program builder can vary), ~4.5x smaller than stacking
+        H full programs; relay H2D is bandwidth-bound at horizon sizes and
+        the full stack measured ~25 ms/horizon (tools/tpu_probe2_r4.py).
+        Returns None (pool restored, per-block dispatch takes the block)
+        in the rare case a program exceeds the compact encoding."""
+        from ..ops.voice import (
+            fuse_packed,
+            pack_horizon_dynamics,
+            pack_program,
+        )
 
         H = self._lookahead
         B = self.block_frames
-        lane = self.lane_enabled.copy()
+        # persistent frozen-lane buffer: stable identity keeps the native
+        # host core's pointer-struct cache warm across horizons
+        # (hostcore._build_state); content is re-frozen per build
+        lane = getattr(self, "_h_lane", None)
+        if lane is None:
+            lane = self._h_lane = np.empty_like(self.lane_enabled)
+        lane[:] = self.lane_enabled
         anchor = dict(
             tick_anchor_sample=self.clock.anchor_sample,
             tick_anchor=self.clock.anchor_tick,
             samples_per_tick=self.clock.samples_per_tick,
         )
         start0 = float(self.clock.sample_position)
-        fused_slices = []
+        snap_pre = self.pool.save_state()
+        packed: list = []
         snaps: list = []
         died_lists: list = []
-        prog_i0 = prog_f0 = None
         for h in range(H):
             args = dict(block_start_sample=start0 + h * B, **anchor)
             if self.use_native_host:
@@ -916,14 +932,20 @@ class AudioEngine:
                 prog_i, prog_f = pack_program(prog)
                 adv = self.pool.advance(prog)
                 died = list(zip(adv["died_clips"], adv["died_positions"]))
-            if h == 0:
-                prog_i0, prog_f0 = prog_i, prog_f
-            fused_slices.append(fuse_packed(prog_i, prog_f))
+            packed.append((prog_i, prog_f))
             snaps.append(self.pool.save_state())
             died_lists.append(died)
         # the sim advanced the pool H blocks; emission re-anchors it per
         # slice from the snapshots (slice 0 below), so no state is lost
-        stack = np.concatenate(fused_slices, axis=1)
+        dyn = pack_horizon_dynamics(packed[1:], self.pool.istart)
+        if dyn is None:
+            # a slice exceeded the compact encoding (foreign release frame
+            # / pending start past slice 0): restore the pre-sim pool and
+            # let this block dispatch per-block
+            self.pool.restore_state(snap_pre)
+            return None
+        prog_i0, prog_f0 = packed[0]
+        base = fuse_packed(prog_i0, prog_f0)
         sound = self._sound_data_for_backend()
         strips = self._packed_strips_for_backend()
         # slice 0 bounds the whole horizon: no events land mid-horizon by
@@ -937,23 +959,24 @@ class AudioEngine:
             # voice_peaks return at the bucket length (update_session pads)
             fn = self._mesh_render("horizon", rmax)
             if rmax is not None and bucket is not None and bucket < V:
-                slices = fn(sound, stack[:bucket], strips)
+                slices = fn(sound, base[:bucket], dyn[:bucket], strips)
             else:
-                slices = fn(sound, stack, strips)
+                slices = fn(sound, base, dyn, strips)
         else:
             fetch = self.fetch
             if rmax is None:
                 # over-envelope pitch: slab-free gather at full pool
                 fetch, rmax, bucket = "gather", self.max_pitch_ratio, None
             if bucket is not None and bucket < V:
-                slices = render_mod.render_horizon_fused(
-                    sound, stack[:bucket], strips, block_frames=B, slices=H,
+                slices = render_mod.render_horizon_compact(
+                    sound, base[:bucket], dyn[:bucket], strips,
+                    block_frames=B, slices=H,
                     quirk_gain=self.quirk_gain, fetch=fetch,
                     max_pitch_ratio=rmax, pad_voices_to=V,
                 )
             else:
-                slices = render_mod.render_horizon_fused(
-                    sound, stack, strips, block_frames=B, slices=H,
+                slices = render_mod.render_horizon_compact(
+                    sound, base, dyn, strips, block_frames=B, slices=H,
                     quirk_gain=self.quirk_gain, fetch=fetch,
                     max_pitch_ratio=rmax,
                 )
@@ -1122,11 +1145,17 @@ class AudioEngine:
 
         fused = fuse_packed(prog_i, prog_f)
         sizes = list(self._bucket_ladder or [self.pool.num_voices])
-        hfused = None
+        hdyn = None
         if self._lookahead:
-            # horizon shape = H per-block programs stacked on axis 1; the
-            # compile only cares about dims, so tile the idle block program
-            hfused = np.concatenate([fused] * self._lookahead, axis=1)
+            # horizon upload = base program + compact dynamics; the compile
+            # only cares about dims, so an all-zero dynamics matrix does
+            from ..ops.voice import horizon_dyn_cols
+
+            D = horizon_dyn_cols(self.pool.n_bq_extra)
+            hdyn = np.zeros(
+                (self.pool.num_voices, 1 + (self._lookahead - 1) * D),
+                np.int32,
+            )
 
         def warm_one(s, rmax, kind):
             # mirror _dispatch_packed's exact static signature per bucket
@@ -1134,9 +1163,10 @@ class AudioEngine:
             pad = self.pool.num_voices if s < self.pool.num_voices else 0
             if self.mesh is not None:
                 fn = self._mesh_render(kind, rmax)
-                out = fn(sound, (fused if kind == "block" else hfused)[:s],
-                         strips)
-                out = out if kind == "block" else out[0]
+                if kind == "block":
+                    out = fn(sound, fused[:s], strips)
+                else:
+                    out = fn(sound, fused[:s], hdyn[:s], strips)[0]
                 jax.block_until_ready(out.master)
                 return out
             fetch = self.fetch
@@ -1150,8 +1180,8 @@ class AudioEngine:
                     max_pitch_ratio=rmax, pad_voices_to=pad,
                 )
             else:
-                out = render_mod.render_horizon_fused(
-                    sound, hfused[:s], strips,
+                out = render_mod.render_horizon_compact(
+                    sound, fused[:s], hdyn[:s], strips,
                     block_frames=self.block_frames,
                     slices=self._lookahead, quirk_gain=self.quirk_gain,
                     fetch=fetch, max_pitch_ratio=rmax,

@@ -93,6 +93,52 @@ def available() -> bool:
     return load() is not None
 
 
+def _build_state(pool, lane_enabled: np.ndarray):
+    """ctypes _State for (pool, lane_enabled), cached on the pool.
+
+    The pointer marshalling (33 data_as casts) measured ~0.3 ms/call at
+    V=1024 — the dominant host cost of a 16-block lookahead horizon
+    (tools/tpu_probe4_r4.py host_ms). Pool arrays are mutated IN PLACE on
+    the native path (restore_state/kill/note_on write through; the numpy
+    advance(), which rebinds, never runs when use_native_host is on), so
+    a cached struct stays valid; an identity sweep re-marshals if any
+    array was rebound (e.g. by test harnesses mixing both paths).
+    lane_enabled is pointed at DIRECTLY when it is bool-contiguous (the
+    engine's live array and its horizon-frozen copies both are), so
+    in-place lane toggles propagate; otherwise the struct is built
+    uncached around a temporary copy the caller must keep alive.
+
+    Returns (state, keepalive)."""
+    cached = getattr(pool, "_hostcore_state_cache", None)
+    if cached is not None:
+        state, arrays, lane_cached = cached
+        if lane_cached is lane_enabled and all(
+            a is getattr(pool, n) for n, a in arrays
+        ):
+            return state, lane_cached
+    if (lane_enabled.dtype == np.bool_
+            and lane_enabled.flags["C_CONTIGUOUS"]):
+        lane_arr, cacheable = lane_enabled, True
+    else:
+        lane_arr = np.ascontiguousarray(lane_enabled, dtype=np.bool_)
+        cacheable = False
+    state = _State()
+    arrays = []
+    for name in _STATE_FIELDS[:-1]:
+        a = getattr(pool, name)
+        if not a.flags["C_CONTIGUOUS"]:
+            raise RuntimeError(f"pool array {name} must be contiguous")
+        arrays.append((name, a))
+        setattr(state, name, a.ctypes.data_as(ctypes.c_void_p).value)
+    setattr(
+        state, "lane_enabled",
+        lane_arr.ctypes.data_as(ctypes.c_void_p).value,
+    )
+    if cacheable:
+        pool._hostcore_state_cache = (state, arrays, lane_enabled)
+    return state, lane_arr
+
+
 def voice_update(
     pool,
     block_start_sample: float,
@@ -114,7 +160,6 @@ def voice_update(
     prog_i = np.empty((V, NUM_INT_COLS_BASE + pool.n_bq_extra), np.int32)
     prog_f = np.empty((V, NUM_F32_COLS), np.float32)
     died = np.empty(V, np.int64)
-    lane_enabled = np.ascontiguousarray(lane_enabled, dtype=np.bool_)
 
     params = _Params(
         num_voices=V,
@@ -125,18 +170,7 @@ def voice_update(
         samples_per_tick=float(samples_per_tick),
         n_bq_extra=int(pool.n_bq_extra),
     )
-    state = _State()
-    keepalive = [lane_enabled]
-    for name in _STATE_FIELDS[:-1]:
-        a = getattr(pool, name)
-        if not a.flags["C_CONTIGUOUS"]:
-            raise RuntimeError(f"pool array {name} must be contiguous")
-        keepalive.append(a)
-        setattr(state, name, a.ctypes.data_as(ctypes.c_void_p).value)
-    setattr(
-        state, "lane_enabled",
-        lane_enabled.ctypes.data_as(ctypes.c_void_p).value,
-    )
+    state, _keepalive = _build_state(pool, lane_enabled)
 
     n_died = lib.zl_voice_update(
         ctypes.byref(params), ctypes.byref(state),

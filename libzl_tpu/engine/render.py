@@ -196,11 +196,13 @@ def render_horizon_fused(
     max_pitch_ratio: float = 4.0,
     pad_voices_to: int = 0,
 ) -> tuple:
-    """Jitted horizon render: ONE upload + ONE dispatch produce `slices`
-    blocks of outputs. `prog_stack` is `slices` fused per-block programs
-    (ops/voice.fuse_packed) concatenated on axis 1 — [V, slices*K] — so the
-    voice axis stays the leading one (mesh shardings carry over unchanged,
-    parallel/sharding.py)."""
+    """Stacked-program horizon render: `prog_stack` is `slices` fused
+    per-block programs (ops/voice.fuse_packed) concatenated on axis 1 —
+    [V, slices*K]. NOT the engine's hot path: the full stack costs ~25 ms
+    of relay H2D per horizon at V=1024, H=16 (tools/tpu_probe2_r4.py), so
+    the engine dispatches render_horizon_compact below. Kept as the
+    explicit-program oracle for differential tests and probes (compact
+    output must equal stacked output bit for bit)."""
     import jax.numpy as jnp
 
     K = prog_stack.shape[1] // slices
@@ -214,6 +216,48 @@ def render_horizon_fused(
         quirk_gain=quirk_gain, fetch=fetch, max_pitch_ratio=max_pitch_ratio,
     )
     return _pad_voice_peaks(outs, pad_voices_to, prog_stack.shape[0])
+
+
+@functools.partial(
+    __import__("jax").jit,
+    static_argnames=("block_frames", "slices", "quirk_gain", "fetch",
+                     "max_pitch_ratio", "pad_voices_to"),
+)
+def render_horizon_compact(
+    sound_data,
+    base_fused,
+    dyn,
+    strips_packed,
+    block_frames: int,
+    slices: int,
+    quirk_gain: bool = False,
+    fetch: str = "gather",
+    max_pitch_ratio: float = 4.0,
+    pad_voices_to: int = 0,
+) -> tuple:
+    """The hot horizon dispatch: ONE upload of (base program [V, K] +
+    compact dynamics [V, 1+(H-1)*D]) + ONE dispatch produce `slices`
+    blocks of outputs, bit-identical to render_horizon_fused on the full
+    stacked programs (ops/voice.pack_horizon_dynamics extracts the host's
+    own per-block values; unpack_horizon_slice re-materializes each
+    slice's program inside the jit where the bit-twiddling is free).
+
+    This replaces the full [V, H*K] stack on the live path because relay
+    H2D is bandwidth-bound, not latency-flat, at horizon sizes: the stack
+    measured ~25 ms/horizon of transfer at V=1024, H=16 (2.36 MB,
+    tools/tpu_probe2_r4.py) — 60% of the whole live-block budget — while
+    the compact form is ~4.5x smaller."""
+    import jax.numpy as jnp
+
+    progs = voice_ops.horizon_programs(
+        jnp, base_fused, dyn, slices, block_frames
+    )
+    strips = voice_ops.unpack_strips(strips_packed)
+    outs = render_horizon_math(
+        jnp, sound_data, progs, strips, block_frames,
+        quirk_gain=quirk_gain, fetch=fetch, max_pitch_ratio=max_pitch_ratio,
+    )
+    return _pad_voice_peaks(outs, pad_voices_to, base_fused.shape[0])
 
 
 @functools.partial(

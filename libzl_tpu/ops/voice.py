@@ -42,7 +42,11 @@ from typing import Any, NamedTuple
 
 import numpy as np
 
-from ..constants import MAX_SEGMENTS_PER_BLOCK, NUM_SAMPLER_CHANNELS
+from ..constants import (
+    MAX_SEGMENTS_PER_BLOCK,
+    NUM_SAMPLER_CHANNELS,
+    WINDOW_ANCHOR_BLOCK,
+)
 from . import adsr as adsr_ops
 
 
@@ -205,6 +209,205 @@ def unpack_program(ints, floats) -> VoiceProgram:
         **trailer,
         **f_cols,
     )
+
+
+# --- compact lookahead-horizon dynamics -------------------------------
+# Packed-layout column indices (the pack_program contract above; the native
+# host core emits the same layout — native/zl_hostcore.cpp).
+PI_ACTIVE = _INT_SCALARS.index("active")
+PI_START = _INT_SCALARS.index("start_frame")
+PI_STOP = _INT_SCALARS.index("stop_frame")
+PI_STAGE0 = len(_INT_SCALARS) + _INT_ENV.index("stage0")
+PI_RELEASE = len(_INT_SCALARS) + _INT_ENV.index("release_frame")
+PI_RELMODE = len(_INT_SCALARS) + _INT_ENV.index("rel_mode")
+PI_SEG_START = len(_INT_SCALARS) + len(_INT_ENV)
+PI_SEG_POS = PI_SEG_START + MAX_SEGMENTS_PER_BLOCK
+PI_BQ = PI_SEG_POS + MAX_SEGMENTS_PER_BLOCK + len(_INT_TRAILER)
+PF_ENV0 = len(_F32_SCALARS) + _F32_ENV.index("env0")
+PF_REL_RATE = len(_F32_SCALARS) + _F32_ENV.index("rel_rate")
+PF_SEG_FRAC = len(_F32_SCALARS) + len(_F32_ENV)
+
+# "no release this block": engine/voicestate._BIG as int32 — pinned equal by
+# tests/test_lookahead.py so the 16-bit sentinel below round-trips exactly
+RELEASE_NONE = np.int32(1 << 30)
+_RF16 = 0xFFFF  # 16-bit release-frame field; max value = the sentinel
+
+
+def horizon_dyn_cols(n_bq_extra: int = 0) -> int:
+    """int32 columns per horizon slice in the compact dynamics matrix."""
+    S = MAX_SEGMENTS_PER_BLOCK
+    return 4 + (S + 1) // 2 + 1 + (n_bq_extra + 1) // 2
+
+
+def pack_horizon_dynamics(tail, istart) -> "np.ndarray | None":
+    """Compact per-slice dynamics for a lookahead horizon.
+
+    `tail` is [(prog_i, prog_f)] for slices 1..H-1 — slice 0 ships as the
+    full fused base program. Across a CLEAN horizon (no events by
+    construction — engine._start_horizon preempts/rebuilds on any event)
+    the per-block program builder (engine/voicestate.build_program) can
+    only vary: position anchors, envelope anchors (stage0 / env0 /
+    release_frame / rel_mode / rel_rate — rel_rate because a slice-0
+    note_off's linear release fixes its rate at the trigger,
+    voicestate.advance), wrap-segment frames, the stop frame, the active
+    mask (mid-horizon voice deaths), and the derived fetch-window anchor.
+    Everything else is command-driven, and commands preempt horizons.
+
+    Each slice packs to horizon_dyn_cols() int32 columns instead of the
+    full K=36 program: a full [V, H*K] stack measured 2.36 MB and ~25 ms
+    of relay H2D per horizon at V=1024, H=16 (tools/tpu_probe2_r4.py) —
+    the dominant live-path cost; the compact matrix is ~4.5x smaller.
+    Values are EXTRACTED from the host-built per-block programs, never
+    recomputed, so reconstruction (unpack_horizon_slice) is bit-exact.
+
+    Layout: col 0 = istart (loop restart sample, the one extra static the
+    reconstruction needs); then per slice h>=1: pos_int, pos_frac(bits),
+    env0(bits), rel_rate(bits), (S+1)//2 cols of 16-bit pairs
+    [wrap_1..wrap_{S-1}, stop_frame], one flags col
+    (release_frame | active<<16 | stage0<<17 | rel_mode<<20), and
+    ceil(W/2) cols of 16-bit beat-quantized reset pairs.
+
+    Returns None when a program exceeds the encoding (a release frame
+    neither in-block nor "none", a pending start past slice 0, or a
+    negative position anchor) — the engine then skips this horizon and
+    dispatches per-block.
+    """
+    S = MAX_SEGMENTS_PER_BLOCK
+    npack = (S + 1) // 2
+    if not tail:
+        return np.asarray(istart, np.int32)[:, None].copy()
+    V = tail[0][0].shape[0]
+    W = tail[0][0].shape[1] - PI_BQ
+    D = horizon_dyn_cols(W)
+    dyn = np.empty((V, 1 + len(tail) * D), np.int32)
+    dyn[:, 0] = istart
+    dyn_f32 = dyn.view(np.float32)  # same-itemsize alias for bit columns
+    for t, (prog_i, prog_f) in enumerate(tail):
+        rf = prog_i[:, PI_RELEASE]
+        if ((rf >= _RF16) & (rf != RELEASE_NONE)).any():
+            return None
+        if (prog_i[:, PI_START] != 0).any():
+            return None
+        pos_int = prog_i[:, PI_SEG_POS]
+        if (pos_int < 0).any():
+            return None
+        off = 1 + t * D
+        dyn[:, off] = pos_int
+        dyn_f32[:, off + 1] = prog_f[:, PF_SEG_FRAC]
+        dyn_f32[:, off + 2] = prog_f[:, PF_ENV0]
+        dyn_f32[:, off + 3] = prog_f[:, PF_REL_RATE]
+        fields = [prog_i[:, PI_SEG_START + s] for s in range(1, S)]
+        fields.append(prog_i[:, PI_STOP])
+        for c in range(npack):
+            lo = fields[2 * c]
+            hi = (fields[2 * c + 1] if 2 * c + 1 < len(fields)
+                  else np.int32(0))
+            dyn[:, off + 4 + c] = lo | (hi << 16)
+        dyn[:, off + 4 + npack] = (
+            np.minimum(rf, np.int32(_RF16))
+            | (prog_i[:, PI_ACTIVE] << 16)
+            | (prog_i[:, PI_STAGE0] << 17)
+            | (prog_i[:, PI_RELMODE] << 20)
+        )
+        for c in range((W + 1) // 2):
+            lo = prog_i[:, PI_BQ + 2 * c]
+            hi = (prog_i[:, PI_BQ + 2 * c + 1] if 2 * c + 1 < W
+                  else np.int32(0))
+            dyn[:, off + 5 + npack + c] = lo | (hi << 16)
+    return dyn
+
+
+def _bits_f32(xp, col):
+    """Bit-cast an int32 column to f32 (numpy view / lax bitcast)."""
+    if isinstance(col, np.ndarray):
+        return np.ascontiguousarray(col).view(np.float32)
+    import jax
+
+    return jax.lax.bitcast_convert_type(col, np.float32)
+
+
+def unpack_horizon_slice(xp, base: VoiceProgram, dyn, h: int,
+                         block_frames: int) -> VoiceProgram:
+    """Reconstruct slice h (h >= 1) of a compact lookahead horizon.
+
+    Bit-exact vs the host-built per-block program: every dynamic column is
+    the host's own value round-tripped through the packing (16-bit fields
+    all carry in-block frame numbers <= block_frames <= 2048), and the one
+    DERIVED column — the fetch-window anchor — repeats the host's pure
+    integer expression (voicestate.build_program:437) on non-negative
+    int32 inputs, where trunc- and floor-division agree. Static columns
+    come from the slice-0 base program; rows that die mid-horizon keep
+    base statics with active=0 — their values stay finite and the render
+    masks them, so block audio is unaffected (the full-program differential
+    fuzz in tests/test_lookahead.py pins equality end to end).
+    """
+    S = base.seg_start.shape[1]
+    W = base.bq_reset.shape[1]
+    npack = (S + 1) // 2
+    D = 4 + npack + 1 + (W + 1) // 2
+    off = 1 + (h - 1) * D
+    istart = dyn[:, 0]
+    pos_int = dyn[:, off]
+    pos_frac = _bits_f32(xp, dyn[:, off + 1])
+    env0 = _bits_f32(xp, dyn[:, off + 2])
+    rel_rate = _bits_f32(xp, dyn[:, off + 3])
+    f16 = []
+    for c in range(npack):
+        col = dyn[:, off + 4 + c]
+        f16.append(col & 0xFFFF)
+        f16.append((col >> 16) & 0xFFFF)
+    wraps, stop = f16[: S - 1], f16[S - 1]
+    flags = dyn[:, off + 4 + npack]
+    rf = flags & _RF16
+    rf = xp.where(rf == _RF16, RELEASE_NONE, rf)
+    zero_i = xp.zeros_like(pos_int)
+    seg_start = xp.stack([zero_i] + wraps, axis=1)
+    seg_pos_int = xp.stack(
+        [pos_int]
+        + [xp.where(w < block_frames, istart, 0) for w in wraps],
+        axis=1,
+    )
+    zf = xp.zeros_like(pos_frac)
+    seg_pos_frac = xp.stack([pos_frac] + [zf] * (S - 1), axis=1)
+    win_a = xp.maximum((base.base + pos_int) // WINDOW_ANCHOR_BLOCK, 0)
+    if W:
+        g = []
+        for c in range((W + 1) // 2):
+            col = dyn[:, off + 5 + npack + c]
+            g.append(col & 0xFFFF)
+            g.append((col >> 16) & 0xFFFF)
+        bq = xp.stack(g[:W], axis=1)
+    else:
+        bq = base.bq_reset
+    return base._replace(
+        active=(flags >> 16) & 1,
+        win_blk_a=win_a,
+        seg_start=seg_start,
+        seg_pos_int=seg_pos_int,
+        seg_pos_frac=seg_pos_frac,
+        start_frame=zero_i,
+        stop_frame=stop,
+        bq_reset=bq,
+        env=base.env._replace(
+            stage0=(flags >> 17) & 7,
+            release_frame=rf,
+            rel_mode=(flags >> 20) & 3,
+            env0=env0,
+            rel_rate=rel_rate,
+        ),
+    )
+
+
+def horizon_programs(xp, base_fused, dyn, slices: int,
+                     block_frames: int) -> list:
+    """All H per-block VoicePrograms of a compact horizon: slice 0 from the
+    fused base program, slices 1..H-1 reconstructed from the dynamics."""
+    pi, pf = split_fused(base_fused)
+    base = unpack_program(pi, pf)
+    return [base] + [
+        unpack_horizon_slice(xp, base, dyn, h, block_frames)
+        for h in range(1, slices)
+    ]
 
 
 def pack_strips(strips) -> np.ndarray:

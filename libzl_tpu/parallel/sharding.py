@@ -152,25 +152,26 @@ def make_shardmap_horizon_render(
     fetch: str = "gather",
     max_pitch_ratio: float = 4.0,
 ):
-    """shard_map lookahead-horizon render: `slices` stacked per-block fused
-    programs ([V, slices*K], voice-sharded) render locally per device, the
-    additive lane mixdown of ALL slices rides ONE psum over ICI (a stacked
-    [slices, C, B, 2] collective — per-horizon traffic, not per-block), and
-    the strip/meter tail runs replicated per slice. Each slice's math is
-    identical to the single-chip horizon (engine render_horizon_fused), so
-    mesh output is bit-equal to the unsharded engine — the lookahead and
-    the mesh compose instead of forking the perf architecture (VERDICT r3
-    next-round #2)."""
+    """shard_map lookahead-horizon render: the compact horizon upload
+    (base program [V, K] + dynamics [V, 1+(H-1)*D], both voice-sharded —
+    engine render_horizon_compact) reconstructs each slice's per-block
+    program locally per device, the additive lane mixdown of ALL slices
+    rides ONE psum over ICI (a stacked [slices, C, B, 2] collective —
+    per-horizon traffic, not per-block), and the strip/meter tail runs
+    replicated per slice. Each slice's math is identical to the
+    single-chip horizon, so mesh output is bit-equal to the unsharded
+    engine — the lookahead and the mesh compose instead of forking the
+    perf architecture (VERDICT r3 next-round #2)."""
     import jax.numpy as jnp
     from jax import shard_map
 
-    def local_fn(sound_data, prog_stack, strips_packed):
-        K = prog_stack.shape[1] // slices
+    def local_fn(sound_data, base_fused, dyn, strips_packed):
         strips = voice_ops.unpack_strips(strips_packed)
+        progs = voice_ops.horizon_programs(
+            jnp, base_fused, dyn, slices, block_frames
+        )
         lane_mixes, peaks = [], []
-        for h in range(slices):
-            pi, pf = voice_ops.split_fused(prog_stack[:, h * K:(h + 1) * K])
-            prog = voice_ops.unpack_program(pi, pf)
+        for prog in progs:
             lm, vp = voice_ops.render_voices(
                 jnp, sound_data, prog, block_frames,
                 quirk_gain=quirk_gain, fetch=fetch,
@@ -192,7 +193,7 @@ def make_shardmap_horizon_render(
     )
     fn = shard_map(
         local_fn, mesh=mesh,
-        in_specs=(P(), Pv, P()),
+        in_specs=(P(), Pv, Pv, P()),
         out_specs=tuple([out_one] * slices),
         check_vma=False,
     )

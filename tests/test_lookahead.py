@@ -195,11 +195,11 @@ def test_no_retrace_after_first_horizon():
     _play(eng, clip)
     for _ in range(20):
         eng.process_block()
-    before = render_mod.render_horizon_fused._cache_size()
+    before = render_mod.render_horizon_compact._cache_size()
     _play(eng, clip, note=65, channel=4)  # event -> preempt -> new horizon
     for _ in range(40):
         eng.process_block()
-    assert render_mod.render_horizon_fused._cache_size() == before
+    assert render_mod.render_horizon_compact._cache_size() == before
 
 
 def test_event_storm_degrades_to_per_block():
@@ -320,3 +320,139 @@ def test_random_traffic_differential(seed):
     # eagerly, so no reconciliation step is needed)
     np.testing.assert_array_equal(eng_on.pool.active, eng_off.pool.active)
     np.testing.assert_array_equal(eng_on.pool.pos_int, eng_off.pool.pos_int)
+
+
+# --- compact dynamics encoding (ops/voice.pack_horizon_dynamics) ---------
+
+
+def test_release_none_sentinel_matches_voicestate():
+    """The 16-bit release-frame sentinel decodes to voicestate's _BIG; the
+    two constants must stay equal or the round trip silently corrupts."""
+    from libzl_tpu.engine import voicestate
+    from libzl_tpu.ops import voice as voice_ops
+
+    assert voice_ops.RELEASE_NONE == voicestate._BIG
+
+
+def _sim_horizon_programs(eng, H):
+    """Build H consecutive per-block programs by the host sim (the numpy
+    voice machine — exactly what engine._start_horizon simulates)."""
+    from libzl_tpu.ops.voice import pack_program
+
+    pool, clock = eng.pool, eng.clock
+    lane = eng.lane_enabled.copy()
+    start0 = float(clock.sample_position)
+    packed = []
+    for h in range(H):
+        prog = pool.build_program(
+            block_start_sample=start0 + h * eng.block_frames,
+            tick_anchor_sample=clock.anchor_sample,
+            tick_anchor=clock.anchor_tick,
+            samples_per_tick=clock.samples_per_tick,
+            lane_enabled=lane,
+        )
+        packed.append(pack_program(prog))
+        pool.advance(prog)
+    return packed
+
+
+def test_compact_dynamics_reconstruction_bit_exact():
+    """Golden numpy proof of the compact horizon upload: every slice
+    reconstructed from (base program + dynamics) renders bit-identically
+    to the host-built per-block program it encodes — including a slice-0
+    note_off (rel_rate fixes at the trigger: the one pool field advance()
+    mutates mid-horizon, voicestate.advance), mid-horizon voice deaths
+    (one-shots), auto-releases, and positional + beat-quantized wraps."""
+    from libzl_tpu.engine import render as render_mod
+    from libzl_tpu.ops import voice as voice_ops
+
+    eng, clip = _engine("auto", voices=32)
+    short = ClipAudioSource(eng, audio=_tone(0.05, 330.0))
+    _play(eng, clip, note=60, channel=0)              # steady loop
+    _play(eng, short, note=72, channel=1)             # short positional loop
+    # one-shot on the 0.05 s clip at +1 octave: ~9 blocks to the hard stop,
+    # so it auto-releases and DIES inside the 16-block horizon
+    _play(eng, short, note=72, channel=2, loop=False)
+    bq = ClipAudioSource(eng, audio=_tone(0.3, 110.0))
+    bq.length_beats = 1.0
+    _play(eng, bq, note=50, channel=3)                # beat-quantized loop
+    for _ in range(5):
+        eng.process_block()
+    eng._discard_horizon()
+    # a pending note_off on the build block (the rebuild-on-event case):
+    # its linear release fixes rel_rate during slice 0's advance
+    v = int(np.flatnonzero(eng.pool.active)[0])
+    eng.pool.note_off(v, tail=True, frame_offset=7)
+
+    H = 16
+    B = eng.block_frames
+    packed = _sim_horizon_programs(eng, H)
+    dyn = voice_ops.pack_horizon_dynamics(packed[1:], eng.pool.istart)
+    assert dyn is not None
+    assert dyn.dtype == np.int32
+    base = voice_ops.fuse_packed(*packed[0])
+    recs = voice_ops.horizon_programs(np, base, dyn, H, B)
+
+    sound = eng._sound_data_for_backend()
+    if not isinstance(sound, np.ndarray):
+        sound = np.asarray(sound)
+    strips = voice_ops.unpack_strips(
+        voice_ops.pack_strips(eng.strips)
+    )
+    died_any = False
+    for h in range(H):
+        pi, pf = packed[h]
+        true_prog = voice_ops.unpack_program(pi, pf)
+        died_any |= bool(
+            (np.asarray(true_prog.stop_frame) < B).any())
+        want = render_mod.render_block_math(
+            np, sound, true_prog, strips, B, fetch="gather",
+            max_pitch_ratio=eng.max_pitch_ratio)
+        got = render_mod.render_block_math(
+            np, sound, recs[h], strips, B, fetch="gather",
+            max_pitch_ratio=eng.max_pitch_ratio)
+        for name, a, b in zip(want._fields, want, got):
+            np.testing.assert_array_equal(
+                a, b, err_msg=f"slice {h} field {name}")
+        # active rows must reconstruct every program column bit-for-bit
+        act = np.asarray(true_prog.active) != 0
+        rpi, rpf = voice_ops.pack_program(recs[h])
+        np.testing.assert_array_equal(pi[act], rpi[act],
+                                      err_msg=f"slice {h} ints")
+        np.testing.assert_array_equal(pf[act].view(np.int32),
+                                      rpf[act].view(np.int32),
+                                      err_msg=f"slice {h} floats")
+    assert died_any, "fixture never exercised a mid-horizon death"
+
+
+def test_unencodable_dynamics_fall_back_to_per_block():
+    """A program the compact encoding cannot carry makes
+    pack_horizon_dynamics return None, and the engine transparently
+    dispatches per-block with the pool state intact (audio unchanged)."""
+    from libzl_tpu.ops import voice as voice_ops
+
+    # direct: a release frame neither in-block nor "none"
+    eng, clip = _engine(0, voices=8)
+    _play(eng, clip)
+    eng.process_block()
+    packed = _sim_horizon_programs(eng, 2)
+    pi, pf = packed[1]
+    pi = pi.copy()
+    pi[0, voice_ops.PI_RELEASE] = 0x20000  # in (0xFFFF, RELEASE_NONE)
+    assert voice_ops.pack_horizon_dynamics(
+        [(pi, pf)], eng.pool.istart) is None
+
+    # engine-level: force the failure; output must equal per-block dispatch
+    import libzl_tpu.engine.engine as engine_mod
+
+    script = {0: lambda e, c: _play(e, c)}
+    off, pk_off, _ = _run_script(0, script, blocks=40)
+    orig = voice_ops.pack_horizon_dynamics
+    try:
+        voice_ops.pack_horizon_dynamics = lambda *a, **k: None
+        on, pk_on, eng_on = _run_script("auto", script, blocks=40)
+    finally:
+        voice_ops.pack_horizon_dynamics = orig
+    assert not eng_on._h_slices, "horizon must not engage when unencodable"
+    np.testing.assert_array_equal(on, off)
+    np.testing.assert_array_equal(pk_on, pk_off)
