@@ -248,6 +248,14 @@ class AudioEngine:
         self._h_died: list = []         # (clip_id, position_id) per slice
         self._h_cursor = 0
         self._h_fingerprint = None
+        self._h_start0 = 0.0
+        # speculative NEXT horizon: built+dispatched mid-emission from the
+        # current horizon's end snapshot so device render overlaps
+        # emission (see _maybe_build_spec); adopted at exhaustion
+        self._h_next: Optional[tuple] = None
+        self._h_next_start = 0.0
+        self._h_spec_tried = False
+        self._spec_built_this_block = False
         self._clean_run = 0
         self._block_dirty = False
         # event pacing: blocks since the last event/preemption block. An
@@ -552,6 +560,8 @@ class AudioEngine:
         self._h_snaps = []
         self._h_died = []
         self._h_cursor = 0
+        self._h_next = None
+        self._h_spec_tried = False
 
     def _apply_timer_command(self, cmd: TimerCommand, tick: int,
                              frame_offset: int) -> None:
@@ -842,7 +852,14 @@ class AudioEngine:
         deadline, so event-dense sessions keep quiet-regime amortization
         (the reference pays zero penalty for event-dense cycles —
         lib/SamplerSynth.cpp:116-148; VERDICT r3 next-round #1). Quiet
-        sessions start a horizon after 3 consecutive clean blocks."""
+        sessions start a horizon after 3 consecutive clean blocks.
+
+        Quiet runs PIPELINE horizons: one block into emission the next
+        horizon is speculatively built from the current one's end
+        snapshot and dispatched (_maybe_build_spec), so the device
+        renders N+1 while the host emits N's slices; at exhaustion the
+        pre-rendered successor is adopted (_adopt_spec) instead of paying
+        a serialized build+render+transfer."""
         if self._block_dirty:
             self._clean_run = 0
             if (self._blocks_since_event >= self.REBUILD_MIN_GAP
@@ -852,7 +869,15 @@ class AudioEngine:
         if self._h_cursor < len(self._h_slices):
             if self._fingerprint() == self._h_fingerprint:
                 self._clean_run += 1
-                return self._emit_slice()
+                out = self._emit_slice()
+                # the block AFTER the build/adopt block (post-emit cursor
+                # 2) pipelines the next horizon: build+dispatch N+1 from
+                # N's end snapshot while N's 14 remaining slices cover the
+                # deadline (budget accounting in process_block)
+                if (self._h_cursor == 2 and self._h_next is None
+                        and not self._h_spec_tried):
+                    self._maybe_build_spec()
+                return out
             # out-of-band mutation (direct set_bpm/set_strip/lane/bank):
             # stale slices preempt; rebuild under the same pacing gate
             self._discard_horizon()
@@ -863,6 +888,10 @@ class AudioEngine:
                 return self._start_horizon()
             return None
         self._clean_run += 1
+        if self._h_next is not None:
+            out = self._adopt_spec()
+            if out is not None:
+                return out
         if self._clean_run < 3 or not self.pool.active.any():
             return None
         return self._start_horizon()
@@ -878,8 +907,9 @@ class AudioEngine:
         self._h_cursor += 1
         return out
 
-    def _start_horizon(self) -> Optional[render_mod.RenderOutputs]:
-        """Build + dispatch an H-block horizon; emit slice 0.
+    def _sim_horizon_bundle(self, start0: float):
+        """Sim H blocks from the CURRENT pool state and dispatch ONE
+        compact horizon render.
 
         The horizon is H per-block programs built by simulating the host's
         own per-block build+advance chain (native core or numpy mirror) —
@@ -891,8 +921,10 @@ class AudioEngine:
         clean-block program builder can vary), ~4.5x smaller than stacking
         H full programs; relay H2D is bandwidth-bound at horizon sizes and
         the full stack measured ~25 ms/horizon (tools/tpu_probe2_r4.py).
-        Returns None (pool restored, per-block dispatch takes the block)
-        in the rare case a program exceeds the compact encoding."""
+
+        Returns (slices, snaps, died_lists) or None when a program exceeds
+        the compact encoding. Leaves the pool at the horizon's END state —
+        callers restore whatever frontier they need."""
         from ..ops.voice import (
             fuse_packed,
             pack_horizon_dynamics,
@@ -913,8 +945,6 @@ class AudioEngine:
             tick_anchor=self.clock.anchor_tick,
             samples_per_tick=self.clock.samples_per_tick,
         )
-        start0 = float(self.clock.sample_position)
-        snap_pre = self.pool.save_state()
         packed: list = []
         snaps: list = []
         died_lists: list = []
@@ -940,9 +970,8 @@ class AudioEngine:
         dyn = pack_horizon_dynamics(packed[1:], self.pool.istart)
         if dyn is None:
             # a slice exceeded the compact encoding (foreign release frame
-            # / pending start past slice 0): restore the pre-sim pool and
-            # let this block dispatch per-block
-            self.pool.restore_state(snap_pre)
+            # / pending start past slice 0): caller falls back to
+            # per-block dispatch after restoring its frontier
             return None
         prog_i0, prog_f0 = packed[0]
         base = fuse_packed(prog_i0, prog_f0)
@@ -980,12 +1009,71 @@ class AudioEngine:
                     quirk_gain=self.quirk_gain, fetch=fetch,
                     max_pitch_ratio=rmax,
                 )
-        self._h_slices = list(slices)
-        self._h_snaps = snaps
-        self._h_died = died_lists
+        return list(slices), snaps, died_lists
+
+    def _start_horizon(self) -> Optional[render_mod.RenderOutputs]:
+        """Build + dispatch an H-block horizon from the current frontier;
+        emit slice 0. Returns None (pool restored, per-block dispatch
+        takes the block) when a program exceeds the compact encoding."""
+        snap_pre = self.pool.save_state()
+        start0 = float(self.clock.sample_position)
+        bundle = self._sim_horizon_bundle(start0)
+        if bundle is None:
+            self.pool.restore_state(snap_pre)
+            return None
+        self._h_slices, self._h_snaps, self._h_died = bundle
         self._h_cursor = 0
+        self._h_start0 = start0
         self._h_fingerprint = self._fingerprint()
+        self._h_next = None
+        self._h_spec_tried = False
         self._h_built_this_block = True
+        return self._emit_slice()
+
+    def _maybe_build_spec(self) -> None:
+        """Speculatively build + dispatch the NEXT horizon while this one
+        still has slices in hand, from the current horizon's END snapshot
+        — the device renders horizon N+1 DURING horizon N's emission run,
+        so at exhaustion the next slices are already rendered and the
+        steady-state quiet path pays only host-build time, never a
+        serialized upload+render+transfer (the round-4 chained quiet cost
+        was host 4 ms + device ~13 ms per 16-block horizon in series;
+        overlap hides the device half entirely). Any event/OOB mutation
+        discards the speculation with the horizon (_discard_horizon); an
+        unencodable program simply leaves the speculation unbuilt (one
+        attempt per horizon — _h_spec_tried)."""
+        self._h_spec_tried = True
+        end_snap = self._h_snaps[-1]
+        if not end_snap["active"].any():
+            # whole pool dies within the current horizon: the successor is
+            # silence, which the idle shortcut delivers without a dispatch
+            return
+        frontier = self.pool.save_state()
+        self.pool.restore_state(end_snap)
+        start_next = self._h_start0 + len(self._h_slices) * self.block_frames
+        bundle = self._sim_horizon_bundle(start_next)
+        self.pool.restore_state(frontier)
+        if bundle is None:
+            return
+        self._h_next = bundle
+        self._h_next_start = start_next
+        self._spec_built_this_block = True
+
+    def _adopt_spec(self) -> Optional[render_mod.RenderOutputs]:
+        """Install the speculative horizon at exhaustion and emit its
+        slice 0 — valid only when nothing the speculation assumed has
+        changed: the fingerprint (OOB state) still matches and the clock
+        is exactly at the speculated start (events/commands discard the
+        speculation before it can go stale, this is the belt)."""
+        if (self._fingerprint() != self._h_fingerprint
+                or float(self.clock.sample_position) != self._h_next_start):
+            self._h_next = None
+            return None
+        self._h_slices, self._h_snaps, self._h_died = self._h_next
+        self._h_cursor = 0
+        self._h_start0 = self._h_next_start
+        self._h_next = None
+        self._h_spec_tried = False
         return self._emit_slice()
 
     def _zero_outputs(self) -> render_mod.RenderOutputs:
@@ -1349,6 +1437,7 @@ class AudioEngine:
         # through to the per-block dispatch below
         if self._lookahead:
             self._h_built_this_block = False
+            self._spec_built_this_block = False
             self._oob_preempt = False
             out = self._lookahead_outputs()
             event_block = self._block_dirty or self._oob_preempt
@@ -1362,17 +1451,18 @@ class AudioEngine:
                 busy = _time.perf_counter() - _t0
                 self.profiler.record("process_block", busy)
                 # a horizon-build block delivers H blocks of audio: its
-                # deadline is H periods (the pump runs that far ahead)
-                self.slo.observe(
-                    busy,
-                    budget_blocks=(self._lookahead
-                                   if self._h_built_this_block else 1),
-                )
-                self.dsp_load.observe(
-                    busy,
-                    budget_blocks=(self._lookahead
-                                   if self._h_built_this_block else 1),
-                )
+                # deadline is H periods (the pump runs that far ahead); a
+                # speculative-build block's work must land before the
+                # slices still in hand run out, so its deadline is that
+                # many periods
+                if self._h_built_this_block:
+                    budget = self._lookahead
+                elif self._spec_built_this_block:
+                    budget = max(1, len(self._h_slices) - self._h_cursor)
+                else:
+                    budget = 1
+                self.slo.observe(busy, budget_blocks=budget)
+                self.dsp_load.observe(busy, budget_blocks=budget)
                 return BlockResult(outputs=out, midi_out=midi_out,
                                    tick_count=tick_count)
 

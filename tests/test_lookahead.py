@@ -222,6 +222,54 @@ def test_event_storm_degrades_to_per_block():
     assert not starts
 
 
+def test_spec_pipeline_adopts_next_horizon():
+    """Quiet runs pipeline horizons: N+1 is built from N's end snapshot
+    one block into emission and ADOPTED at exhaustion — _start_horizon
+    must run exactly once per clean run, every later horizon arriving
+    via _adopt_spec (device render overlapped with emission), and the
+    speculative-build block must claim the slices-in-hand budget."""
+    eng, clip = _engine("auto")
+    starts, adopts, specs = [], [], []
+    orig_start = type(eng)._start_horizon
+    orig_adopt = type(eng)._adopt_spec
+    orig_spec = type(eng)._maybe_build_spec
+
+    eng._start_horizon = (
+        lambda: (starts.append(eng.total_blocks), orig_start(eng))[1])
+    eng._adopt_spec = (
+        lambda: (adopts.append(eng.total_blocks), orig_adopt(eng))[1])
+    eng._maybe_build_spec = (
+        lambda: (specs.append(eng.total_blocks), orig_spec(eng))[1:] and None)
+    _play(eng, clip)
+    budgets = []
+    for _ in range(60):
+        eng.process_block()
+        if eng._spec_built_this_block:
+            budgets.append(len(eng._h_slices) - eng._h_cursor)
+    H = eng._lookahead
+    # first horizon after 3 clean blocks; spec built one block later
+    assert starts == [3]
+    assert specs and specs[0] == 4
+    # adoption exactly at every exhaustion (blocks 3+H, 3+2H, ...)
+    assert adopts, "speculative horizon never adopted"
+    assert adopts == [3 + H * (k + 1) for k in range(len(adopts))]
+    # the spec block's deadline is the H-2 slices still in hand
+    assert budgets and all(b == H - 2 for b in budgets)
+
+
+def test_event_discards_spec_horizon():
+    """An event mid-emission discards BOTH the live horizon and the
+    speculative successor (built from a now-unreachable end state);
+    output must still equal per-block exactly."""
+    script = {0: lambda e, c: _play(e, c),
+              # block 25: mid-horizon of the second pipelined horizon
+              25: lambda e, c: _play(e, c, note=71, channel=5)}
+    on, pk_on, eng = _run_script("auto", script)
+    off, pk_off, _ = _run_script(0, script)
+    np.testing.assert_array_equal(on, off)
+    np.testing.assert_array_equal(pk_on, pk_off)
+
+
 def test_pool_mirror_tracks_emission_frontier():
     """Emission syncs the pool mirror eagerly (per-slice snapshot restore),
     so positions/progress always reflect the audio actually delivered —
