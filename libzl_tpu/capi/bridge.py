@@ -53,7 +53,8 @@ class EngineRuntime:
                  num_voices: int = 256, backend: str = "auto",
                  pipeline_depth: int = 1,
                  bounce_drain: "int | str" = "auto",
-                 lookahead: "int | str" = "auto"):
+                 lookahead: "int | str" = "auto",
+                 quirk_gain: bool = False):
         from ..engine.engine import AudioEngine
 
         if backend == "auto":
@@ -66,6 +67,7 @@ class EngineRuntime:
             num_voices=num_voices,
             backend=backend,
             lookahead=lookahead,
+            quirk_gain=quirk_gain,
         )
         # blocks in flight on the device before the host consumes the oldest
         # (each level hides one block of host->device sync behind device
@@ -623,7 +625,11 @@ def init_engine(sample_rate: int = 48000, block_frames: int = 128,
     LIBZL_TPU_SINK=alsa[:dev]|file:path|null,
     LIBZL_TPU_SOURCE=alsa[:dev]|file:path|null,
     LIBZL_TPU_WARMUP=1 (pre-compile every voice-bucket render shape before
-    the pump starts — no mid-performance compiles; see AudioEngine.warmup).
+    the pump starts — no mid-performance compiles; see AudioEngine.warmup),
+    LIBZL_TPU_QUIRK_GAIN=1 (strict-reference audio: reproduce the
+    interpolation-gain quirk of lib/SamplerSynthVoice.cpp:204-205 on every
+    render — for A/B captures against a real zynthbox unit; default off =
+    the corrected reading).
     """
     import os
 
@@ -647,7 +653,9 @@ def init_engine(sample_rate: int = 48000, block_frames: int = 128,
         # engine behind (a retry would then silently no-op)
         runtime = EngineRuntime(sample_rate, block_frames, num_voices, backend,
                                 pipeline_depth=depth, bounce_drain=drain,
-                                lookahead=la)
+                                lookahead=la,
+                                quirk_gain=bool(
+                                    os.environ.get("LIBZL_TPU_QUIRK_GAIN")))
         try:
             sink_spec = os.environ.get("LIBZL_TPU_SINK")
             if sink_spec:

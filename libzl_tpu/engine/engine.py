@@ -55,6 +55,10 @@ from .scheduler import StepRing, midi_clock_due
 from .soundbank import SoundBank, region_tail_guard
 from .voicestate import VoicePool
 
+# lazily-created process-wide worker for speculative horizon dispatches
+# (AudioEngine._spec_executor)
+_SPEC_EXECUTOR = None
+
 
 @dataclasses.dataclass
 class BlockResult:
@@ -922,8 +926,10 @@ class AudioEngine:
         H full programs; relay H2D is bandwidth-bound at horizon sizes and
         the full stack measured ~25 ms/horizon (tools/tpu_probe2_r4.py).
 
-        Returns (slices, snaps, died_lists) or None when a program exceeds
-        the compact encoding. Leaves the pool at the horizon's END state —
+        Returns (dispatch_closure, snaps, died_lists) or None when a
+        program exceeds the compact encoding; the closure (see
+        _horizon_dispatch_closure) performs the upload+enqueue and returns
+        the slice outputs. Leaves the pool at the horizon's END state —
         callers restore whatever frontier they need."""
         from ..ops.voice import (
             fuse_packed,
@@ -974,6 +980,22 @@ class AudioEngine:
             # per-block dispatch after restoring its frontier
             return None
         prog_i0, prog_f0 = packed[0]
+        dispatch = self._horizon_dispatch_closure(prog_i0, prog_f0, dyn)
+        return dispatch, snaps, died_lists
+
+    def _horizon_dispatch_closure(self, prog_i0, prog_f0, dyn):
+        """Resolve everything a compact-horizon dispatch needs from engine
+        state NOW (on the engine thread: device-resident sound/strips
+        caches, bucket, rung, mesh fn) and return a zero-argument closure
+        that performs ONLY the jit call — upload of base+dyn plus enqueue,
+        no engine state touched — so the speculative path can run it on
+        the dispatch worker while the engine thread keeps processing
+        blocks (the upload is ~5-6 ms of host-thread time through the
+        relay at V=1024, tools/tpu_probe4_r4.py xfer curve)."""
+        from ..ops.voice import fuse_packed
+
+        H = self._lookahead
+        B = self.block_frames
         base = fuse_packed(prog_i0, prog_f0)
         sound = self._sound_data_for_backend()
         strips = self._packed_strips_for_backend()
@@ -988,28 +1010,24 @@ class AudioEngine:
             # voice_peaks return at the bucket length (update_session pads)
             fn = self._mesh_render("horizon", rmax)
             if rmax is not None and bucket is not None and bucket < V:
-                slices = fn(sound, base[:bucket], dyn[:bucket], strips)
-            else:
-                slices = fn(sound, base, dyn, strips)
-        else:
-            fetch = self.fetch
-            if rmax is None:
-                # over-envelope pitch: slab-free gather at full pool
-                fetch, rmax, bucket = "gather", self.max_pitch_ratio, None
-            if bucket is not None and bucket < V:
-                slices = render_mod.render_horizon_compact(
-                    sound, base[:bucket], dyn[:bucket], strips,
-                    block_frames=B, slices=H,
-                    quirk_gain=self.quirk_gain, fetch=fetch,
-                    max_pitch_ratio=rmax, pad_voices_to=V,
-                )
-            else:
-                slices = render_mod.render_horizon_compact(
-                    sound, base, dyn, strips, block_frames=B, slices=H,
-                    quirk_gain=self.quirk_gain, fetch=fetch,
-                    max_pitch_ratio=rmax,
-                )
-        return list(slices), snaps, died_lists
+                return lambda: list(fn(sound, base[:bucket], dyn[:bucket],
+                                       strips))
+            return lambda: list(fn(sound, base, dyn, strips))
+        fetch = self.fetch
+        if rmax is None:
+            # over-envelope pitch: slab-free gather at full pool
+            fetch, rmax, bucket = "gather", self.max_pitch_ratio, None
+        quirk = self.quirk_gain
+        if bucket is not None and bucket < V:
+            return lambda: list(render_mod.render_horizon_compact(
+                sound, base[:bucket], dyn[:bucket], strips,
+                block_frames=B, slices=H, quirk_gain=quirk, fetch=fetch,
+                max_pitch_ratio=rmax, pad_voices_to=V,
+            ))
+        return lambda: list(render_mod.render_horizon_compact(
+            sound, base, dyn, strips, block_frames=B, slices=H,
+            quirk_gain=quirk, fetch=fetch, max_pitch_ratio=rmax,
+        ))
 
     def _start_horizon(self) -> Optional[render_mod.RenderOutputs]:
         """Build + dispatch an H-block horizon from the current frontier;
@@ -1021,7 +1039,10 @@ class AudioEngine:
         if bundle is None:
             self.pool.restore_state(snap_pre)
             return None
-        self._h_slices, self._h_snaps, self._h_died = bundle
+        dispatch, snaps, died_lists = bundle
+        self._h_slices = dispatch()
+        self._h_snaps = snaps
+        self._h_died = died_lists
         self._h_cursor = 0
         self._h_start0 = start0
         self._h_fingerprint = self._fingerprint()
@@ -1055,7 +1076,13 @@ class AudioEngine:
         self.pool.restore_state(frontier)
         if bundle is None:
             return
-        self._h_next = bundle
+        dispatch, snaps, died_lists = bundle
+        # the dispatch closure is pure-functional (everything engine-state
+        # resolved on this thread); run its ~5-6 ms of upload+enqueue on
+        # the dispatch worker so the engine thread's speculative-build
+        # block pays only the host sim
+        self._h_next = (self._spec_executor().submit(dispatch),
+                        snaps, died_lists)
         self._h_next_start = start_next
         self._spec_built_this_block = True
 
@@ -1069,12 +1096,38 @@ class AudioEngine:
                 or float(self.clock.sample_position) != self._h_next_start):
             self._h_next = None
             return None
-        self._h_slices, self._h_snaps, self._h_died = self._h_next
+        future, snaps, died_lists = self._h_next
+        try:
+            slices = future.result()
+        except Exception:
+            # a failed speculative dispatch (e.g. backend teardown in a
+            # test harness) must not take down the audio path: fall back
+            # to a fresh synchronous horizon
+            self._h_next = None
+            return None
+        self._h_slices = slices
+        self._h_snaps = snaps
+        self._h_died = died_lists
         self._h_cursor = 0
         self._h_start0 = self._h_next_start
         self._h_next = None
         self._h_spec_tried = False
         return self._emit_slice()
+
+    @staticmethod
+    def _spec_executor():
+        """Single PROCESS-WIDE dispatch worker for speculative horizon
+        uploads (module-level so test harnesses creating many engines
+        share one thread). jax dispatch is thread-safe; the closures it
+        runs touch no engine state (see _horizon_dispatch_closure)."""
+        global _SPEC_EXECUTOR
+        if _SPEC_EXECUTOR is None:
+            from concurrent.futures import ThreadPoolExecutor
+
+            _SPEC_EXECUTOR = ThreadPoolExecutor(
+                max_workers=1, thread_name_prefix="libzl-spec-dispatch"
+            )
+        return _SPEC_EXECUTOR
 
     def _zero_outputs(self) -> render_mod.RenderOutputs:
         if not hasattr(self, "_zero_outputs_cache"):
@@ -1333,6 +1386,13 @@ class AudioEngine:
             "slo_missed": self.slo.missed_blocks,
             "slo_total": self.slo.total_blocks,
             "slo_worst_overrun_ms": round(self.slo.worst_overrun * 1e3, 3),
+            # per-dispatch-path miss attribution: kind -> [missed, total,
+            # worst_overrun_s] (emit / horizon / event_rebuild / spec /
+            # per_block / idle)
+            "slo_by_kind": {
+                k: [v[0], v[1], round(v[2] * 1e3, 3)]
+                for k, v in self.slo.by_kind.items()
+            },
             "dsp_load": round(self.dsp_load.load, 4),
             "watchdog_scheduled": self.watchdog.scheduled,
             "watchdog_delivered": self.watchdog.delivered,
@@ -1457,11 +1517,14 @@ class AudioEngine:
                 # many periods
                 if self._h_built_this_block:
                     budget = self._lookahead
+                    kind = "event_rebuild" if event_block else "horizon"
                 elif self._spec_built_this_block:
                     budget = max(1, len(self._h_slices) - self._h_cursor)
+                    kind = "spec"
                 else:
                     budget = 1
-                self.slo.observe(busy, budget_blocks=budget)
+                    kind = "emit"
+                self.slo.observe(busy, budget_blocks=budget, kind=kind)
                 self.dsp_load.observe(busy, budget_blocks=budget)
                 return BlockResult(outputs=out, midi_out=midi_out,
                                    tick_count=tick_count)
@@ -1474,7 +1537,7 @@ class AudioEngine:
             self.total_blocks += 1
             busy = _time.perf_counter() - _t0
             self.profiler.record("process_block", busy)
-            self.slo.observe(busy)
+            self.slo.observe(busy, kind="idle")
             self.dsp_load.observe(busy)
             return BlockResult(
                 outputs=self._zero_outputs(), midi_out=midi_out,
@@ -1529,7 +1592,7 @@ class AudioEngine:
         self.total_blocks += 1
         busy = _time.perf_counter() - _t0
         self.profiler.record("process_block", busy)
-        self.slo.observe(busy)
+        self.slo.observe(busy, kind="per_block")
         self.dsp_load.observe(busy)
         return BlockResult(outputs=outputs, midi_out=midi_out,
                            tick_count=tick_count)

@@ -69,17 +69,26 @@ class SloCounter:
         self.total_blocks = 0
         self.missed_blocks = 0
         self.worst_overrun = 0.0
+        # per-kind (miss, total) attribution: which dispatch path misses —
+        # "emit" slices vs "horizon"/"event_rebuild"/"spec" builds vs
+        # "per_block" dispatches (untagged observations land in "block")
+        self.by_kind: dict = {}
 
-    def observe(self, seconds: float, budget_blocks: int = 1) -> bool:
+    def observe(self, seconds: float, budget_blocks: int = 1,
+                kind: str = "block") -> bool:
         """`budget_blocks`: how many blocks of audio this observation
         produced — a lookahead horizon-build block delivers H blocks per
         call, so its deadline is H periods (the pump runs that far ahead;
         the counter predicts dropouts, not per-call latency)."""
         self.total_blocks += 1
         budget = self.budget * max(budget_blocks, 1)
+        stats = self.by_kind.setdefault(kind, [0, 0, 0.0])
+        stats[1] += 1
         if seconds > budget:
             self.missed_blocks += 1
             self.worst_overrun = max(self.worst_overrun, seconds - budget)
+            stats[0] += 1
+            stats[2] = max(stats[2], seconds - budget)
             return False
         return True
 

@@ -770,3 +770,21 @@ def test_ctypes_full_symbol_surface(libzl_so, tmp_path):
     )
     assert proc.returncode == 0, (proc.stdout[-2000:], proc.stderr[-3000:])
     assert "CAPI-FULL-OK" in proc.stdout
+
+
+def test_bridge_quirk_gain_env(tmp_path):
+    """LIBZL_TPU_QUIRK_GAIN=1 selects strict-reference audio at the
+    embedding surface (no Python API available to a C host)."""
+    import os
+
+    from libzl_tpu.capi import bridge
+
+    os.environ["LIBZL_TPU_BACKEND"] = "numpy"
+    os.environ["LIBZL_TPU_QUIRK_GAIN"] = "1"
+    try:
+        bridge.init_engine(pump=False)
+        assert bridge._rt().engine.quirk_gain is True
+    finally:
+        bridge.shutdown_engine()
+        os.environ.pop("LIBZL_TPU_BACKEND", None)
+        os.environ.pop("LIBZL_TPU_QUIRK_GAIN", None)

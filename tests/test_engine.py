@@ -839,3 +839,41 @@ def test_over_envelope_note_gather_fallback_bit_equal():
     assert e_win._h_slices, "horizon should engage on the over-ratio session"
     np.testing.assert_array_equal(win, gat)
     np.testing.assert_allclose(win, ref, rtol=1e-5, atol=1e-7)
+
+
+def test_quirk_gain_strict_reference_mode_end_to_end():
+    """AudioEngine(quirk_gain=True) is the engine-level 'strict reference
+    audio' mode: every block renders with the interpolation-gain quirk of
+    lib/SamplerSynthVoice.cpp:204-205 (gain folded into one tap), for A/B
+    captures against a real zynthbox unit. The jax engine must match the
+    quirked numpy mirror exactly, and differ from the corrected default
+    at a fractional-position pitch ratio."""
+    def run(backend, quirk):
+        e = AudioEngine(sample_rate=SR, backend=backend, num_voices=16,
+                        quirk_gain=quirk)
+        c = make_clip(e)
+        c.root_note = 57  # note 60 -> ratio 2^(3/12): fractional positions
+        e.start_transport(bpm=120)
+        cmd = ClipCommand.channel(c.id, 0)
+        cmd.midi_note = 60
+        cmd.change_volume = True
+        cmd.volume = 0.5  # g != 1: the quirk folds the gain into ONE tap
+        cmd.looping = True
+        cmd.change_looping = True
+        cmd.start_playback = True
+        e.schedule_clip_command(cmd, 0)
+        return np.concatenate([
+            np.asarray(e.process_block().outputs.master) for _ in range(30)
+        ])
+
+    quirk_jax = run("jax", True)
+    quirk_np = run("numpy", True)
+    corrected = run("jax", False)
+    # the quirked un-parenthesized expression (a*ia + b*al*g) fuses
+    # differently under XLA than numpy's left-assoc chain (FMA), so the
+    # cross-backend check is 1-ULP, not bit (the corrected default IS
+    # bit-identical across backends — test_dispatch_equivalence)
+    np.testing.assert_allclose(quirk_jax, quirk_np, rtol=0, atol=2e-7)
+    assert np.abs(quirk_jax).max() > 0.05
+    assert not np.array_equal(quirk_jax, corrected), (
+        "strict mode must reproduce the quirk, not the corrected reading")

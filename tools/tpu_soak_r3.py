@@ -159,6 +159,7 @@ def main():
         slo_missed=stats["slo_missed"],
         slo_miss_rate=round(stats["slo_missed"] / max(stats["slo_total"], 1),
                             5),
+        slo_by_kind=stats.get("slo_by_kind", {}),
         dsp_load=stats["dsp_load"],
         watchdog_mismatches=stats["watchdog_mismatches"],
         watchdog_lost=stats["watchdog_lost"],
