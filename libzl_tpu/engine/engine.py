@@ -1387,7 +1387,7 @@ class AudioEngine:
             "slo_total": self.slo.total_blocks,
             "slo_worst_overrun_ms": round(self.slo.worst_overrun * 1e3, 3),
             # per-dispatch-path miss attribution: kind -> [missed, total,
-            # worst_overrun_s] (emit / horizon / event_rebuild / spec /
+            # worst_overrun_ms] (emit / horizon / event_rebuild / spec /
             # per_block / idle)
             "slo_by_kind": {
                 k: [v[0], v[1], round(v[2] * 1e3, 3)]

@@ -291,6 +291,15 @@ def pack_horizon_dynamics(tail, istart) -> "np.ndarray | None":
         pos_int = prog_i[:, PI_SEG_POS]
         if (pos_int < 0).any():
             return None
+        # every 16-bit-packed field carries an in-block frame number; a
+        # block size beyond 0xFFFF (or any out-of-range value) cannot ride
+        # the compact encoding — fall back to per-block dispatch instead
+        # of silently wrapping bits in the lo|hi<<16 packs below
+        for pk in (prog_i[:, PI_SEG_START + 1:PI_SEG_START + S],
+                   prog_i[:, PI_STOP:PI_STOP + 1],
+                   prog_i[:, PI_BQ:PI_BQ + W]):
+            if ((pk < 0) | (pk > _RF16)).any():
+                return None
         off = 1 + t * D
         dyn[:, off] = pos_int
         dyn_f32[:, off + 1] = prog_f[:, PF_SEG_FRAC]

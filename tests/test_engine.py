@@ -445,7 +445,12 @@ def test_compile_cache_env(tmp_path, monkeypatch):
     old_dir = jax.config.jax_compilation_cache_dir
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     try:
-        e = AudioEngine(sample_rate=SR, num_voices=8, backend="jax")
+        # a block size no other test uses: the persistent cache only
+        # writes on a FRESH XLA compile, so a shape already in the
+        # in-process jit cache (any earlier test at the default geometry)
+        # would make this assertion order-dependent
+        e = AudioEngine(sample_rate=SR, num_voices=8, backend="jax",
+                        block_frames=352)
         x = (0.3 * np.sin(2 * np.pi * 220 * np.arange(SR // 10) / SR)
              ).astype(np.float32)[:, None]
         clip = ClipAudioSource(e, audio=AudioData(x, SR))

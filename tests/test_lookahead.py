@@ -490,6 +490,18 @@ def test_unencodable_dynamics_fall_back_to_per_block():
     assert voice_ops.pack_horizon_dynamics(
         [(pi, pf)], eng.pool.istart) is None
 
+    # direct: any 16-bit-packed frame field out of range (a block size
+    # beyond 0xFFFF) must refuse the encoding, not wrap bits silently
+    pi2, pf2 = packed[1]
+    cols = [voice_ops.PI_SEG_START + 1, voice_ops.PI_STOP]
+    if pi2.shape[1] > voice_ops.PI_BQ:  # bq columns exist at this geometry
+        cols.append(voice_ops.PI_BQ)
+    for col in cols:
+        bad = pi2.copy()
+        bad[0, col] = 0x10000
+        assert voice_ops.pack_horizon_dynamics(
+            [(bad, pf2)], eng.pool.istart) is None, f"col {col}"
+
     # engine-level: force the failure; output must equal per-block dispatch
     import libzl_tpu.engine.engine as engine_mod
 

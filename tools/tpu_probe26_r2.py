@@ -43,7 +43,12 @@ def main():
         for rmax in (4.0, 2.0):
             e = bench.build_session(block)
             e.max_pitch_ratio = rmax
-            e.pool.max_ratio = rmax
+            # at HEAD the ratio LADDER (not a pool clamp — removed with
+            # round 4's unbounded pitch) decides the kernel slab width;
+            # pin a single rung so each cell measures its static rmax.
+            # bench sessions stay within +7 semitones, so every block
+            # fits the 2.0 rung and never hits the gather fallback.
+            e._ratio_ladder = [rmax]
             e._bank_version_on_device = -1
             engines[(block, rmax)] = e
 
