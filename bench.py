@@ -177,6 +177,19 @@ def measure_live_mode(blocks: int = 300) -> dict:
         np.asarray(jnp.concatenate(masters, axis=0))
         drained.append((time.perf_counter() - t0) / K * 1e3)
     bounce_ms = float(np.percentile(np.asarray(drained), 50))
+
+    # kernel-only: the live windows kernel with DEVICE-RESIDENT inputs
+    # (one real per-block program, device_put once, re-dispatched in a
+    # chained loop). This is the number the roofline bound applies to —
+    # device_ms_p50 above additionally carries per-block host build +
+    # program upload + the lookahead path's dispatch share, which are
+    # pipeline costs, not kernel time (NOTES_TPU_ENV.md round-4 bench
+    # entry; tools/tpu_probe4_r4.py "resident" cell is the same pattern).
+    kernel_ms = -1.0
+    try:
+        kernel_ms = _measure_kernel_resident(engine)
+    except Exception:
+        pass
     return dict(
         rt_liveblock=round(rt_live, 3),
         device_ms_p50=round(device_ms, 3),
@@ -184,7 +197,48 @@ def measure_live_mode(blocks: int = 300) -> dict:
         sync_ms_p50=round(max(p50 - device_ms, 0.0), 3),
         bounce_ms_per_block=round(bounce_ms, 3),
         bounce_sync_amortization=round(p50 / max(bounce_ms, 1e-6), 2),
+        kernel_ms_p50=round(kernel_ms, 3),
     )
+
+
+def _measure_kernel_resident(engine, rounds: int = 5, reps: int = 32) -> float:
+    """Per-block cost of the live render kernel alone: one real program
+    (built by the host voice machine at the engine's current state),
+    device-resident, re-dispatched `reps` times per timed round with one
+    sync at the end. Median of rounds. Pool state is save/restored around
+    the host sim so the caller's session is untouched."""
+    import jax
+
+    from libzl_tpu.engine import hostcore
+    from libzl_tpu.engine import render as render_mod
+    from libzl_tpu.ops import voice as voice_ops
+
+    snap = engine.pool.save_state()
+    pi, pf, _ = hostcore.voice_update(
+        engine.pool,
+        block_start_sample=float(engine.clock.sample_position),
+        tick_anchor_sample=engine.clock.anchor_sample,
+        tick_anchor=engine.clock.anchor_tick,
+        samples_per_tick=engine.clock.samples_per_tick,
+        lane_enabled=engine.lane_enabled,
+    )
+    engine.pool.restore_state(snap)
+    rmax = engine._render_rmax(pi, pf)
+    fused = jax.device_put(voice_ops.fuse_packed(pi, pf))
+    sound = engine._sound_data_for_backend()
+    strips = engine._packed_strips_for_backend()
+    kw = dict(block_frames=LIVE_BLOCK, quirk_gain=engine.quirk_gain,
+              fetch=engine.fetch, max_pitch_ratio=rmax)
+    out = render_mod.render_block_fused(sound, fused, strips, **kw)
+    jax.block_until_ready(out.master)
+    round_ms = []
+    for _ in range(rounds):
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            out = render_mod.render_block_fused(sound, fused, strips, **kw)
+        jax.block_until_ready(out.master)
+        round_ms.append((time.perf_counter() - t0) / reps * 1e3)
+    return float(np.median(round_ms))
 
 
 def measure_sparse_session(blocks: int = 200) -> float:
@@ -255,13 +309,17 @@ def main() -> int:
     # Roofline accounting in the driver record (VERDICT r3 #6): the
     # binding hardware bound for the live-block windows kernel at this
     # session's dispatch config (rung 2.0 — the bench notes stay within
-    # +7 semitones, so the ratio ladder dispatches the narrow slab), and
-    # the fraction of the measured chained per-block cost that bound
-    # represents. 100% would mean the whole block is roofline-bound kernel
-    # time; the remainder is dispatch/host/relay overhead (the round-3
-    # decomposition, tools/tpu_probe1_r3.py).
+    # +7 semitones, so the ratio ladder dispatches the narrow slab).
+    # pct_of_bound compares that bound against the KERNEL-ONLY measured
+    # cell (device-resident inputs, kernel_ms_p50) — the quantity the
+    # bound actually bounds; bound_pct_of_block is the same bound as a
+    # fraction of the full chained per-block cost (device_ms_p50), whose
+    # remainder is host build + upload + dispatch share, not kernel time
+    # (the round-3/round-4 decomposition, tools/tpu_probe1_r3.py and
+    # tpu_probe4_r4.py).
     kernel_bound_ms = -1.0
     pct_of_bound = -1.0
+    bound_pct_of_block = -1.0
     try:
         from tools.roofline_r3 import windows_model
 
@@ -269,9 +327,12 @@ def main() -> int:
         kernel_bound_ms = max(
             w["t_vpu"], w["t_hbm"], w["t_mxu_stream"]
         ) * 1e3
+        kern = float(live.get("kernel_ms_p50") or 0)
+        if kern > 0:
+            pct_of_bound = 100.0 * kernel_bound_ms / kern
         dev = float(live.get("device_ms_p50") or 0)
         if dev > 0:
-            pct_of_bound = 100.0 * kernel_bound_ms / dev
+            bound_pct_of_block = 100.0 * kernel_bound_ms / dev
     except Exception:
         pass
     result = {
@@ -285,6 +346,7 @@ def main() -> int:
         **live,
         "kernel_bound_ms": round(kernel_bound_ms, 3),
         "pct_of_bound": round(pct_of_bound, 1),
+        "bound_pct_of_block": round(bound_pct_of_block, 1),
         "realtime_factor_96voices": round(rt_96, 3),
         "rt_liveblock_96on1024_bucketed": round(rt_sparse, 3),
         "fence_seconds": round(fence_s, 1),
