@@ -17,6 +17,15 @@ that envelope: (voices * realtime_factor) / 96.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
+DRIVER CONTRACT (hardened after BENCH_r04 rc=124/parsed-null — VERDICT r4
+#1): the bench is SELF-BUDGETED. `LIBZL_BENCH_BUDGET_S` (default 540 s,
+total wall including fence and retries) bounds the run; a watchdog thread
+prints the headline JSON from whatever cells completed (missing cells -1,
+"partial": true) and exits 0 if the deadline arrives mid-cell — a relay
+hang can no longer produce rc=124 with zero output. The retry parent
+STREAMS the child's stdout line-by-line (progress goes to stderr; stdout
+carries only the one JSON line), so nothing is buffered until exit.
+
 Environment note: the first device->host transfer through this harness's
 TPU relay stalls for minutes (a relay artifact, not engine time); the
 benchmark pays that cost up front in a fence, outside any timed region.
@@ -25,7 +34,9 @@ benchmark pays that cost up front in a fence, outside any timed region.
 from __future__ import annotations
 
 import json
+import os
 import sys
+import threading
 import time
 
 import numpy as np
@@ -35,6 +46,97 @@ NUM_CLIPS = 64
 SAMPLE_RATE = 48000
 SUPER_BLOCK = 1024
 LIVE_BLOCK = 128
+
+# total wall budget (seconds) for the whole bench, fence and retries
+# included. The driver's own timeout killed BENCH_r04 before any output;
+# finishing early with partial fields beats dying silent with all of them.
+BUDGET_S = float(os.environ.get("LIBZL_BENCH_BUDGET_S", "540") or 540)
+# wall margin the child keeps for printing + teardown
+_CHILD_MARGIN_S = 10.0
+
+_START = time.monotonic()
+_DEADLINE = _START + BUDGET_S
+
+
+def _remaining() -> float:
+    return _DEADLINE - time.monotonic()
+
+
+def _note(msg: str) -> None:
+    """Progress/diagnostics: stderr ONLY (stdout carries the one JSON
+    line the driver parses)."""
+    print(f"[bench +{time.monotonic() - _START:.0f}s] {msg}",
+          file=sys.stderr, flush=True)
+
+
+# Results accumulate here as cells complete so the watchdog can print a
+# partial headline at deadline. Missing numeric fields default to -1.
+_RESULT_LOCK = threading.Lock()
+_RESULTS: dict = {}
+_PRINTED = threading.Event()
+
+
+def _emit_result(partial: bool) -> None:
+    """Print the driver's one JSON line exactly once (watchdog and the
+    normal path race at the deadline boundary)."""
+    if _PRINTED.is_set():
+        return
+    _PRINTED.set()
+    with _RESULT_LOCK:
+        r = dict(_RESULTS)
+    active = int(r.pop("_active", NUM_VOICES))
+    rt = float(r.pop("_rt_superblock", -1.0))
+    rounds = r.pop("_rounds", [])
+    out = {
+        "metric": f"realtime_factor_{active}voices_{NUM_CLIPS}clips_48k",
+        "value": round(rt, 3),
+        "unit": "x_realtime",
+        "vs_baseline": round(rt * active / 96.0, 2) if rt > 0 else -1.0,
+        "rt_superblock": round(rt, 3),
+        "rt_superblock_best": (
+            round(float(np.max(rounds)), 3) if rounds else -1.0),
+        "rt_superblock_rounds": rounds,
+        "rt_liveblock": -1.0,
+        "device_ms_p50": -1.0,
+        "latency_p50_ms": -1.0,
+        "sync_ms_p50": -1.0,
+        "bounce_ms_per_block": -1.0,
+        "bounce_sync_amortization": -1.0,
+        "kernel_ms_p50": -1.0,
+        "kernel_bound_ms": -1.0,
+        "pct_of_bound": -1.0,
+        "kernel_pct_of_bound": -1.0,
+        "realtime_factor_96voices": -1.0,
+        "rt_liveblock_96on1024_bucketed": -1.0,
+        "fence_seconds": -1.0,
+    }
+    out.update(r)
+    if partial:
+        out["partial"] = True
+    sys.stdout.write(json.dumps(out) + "\n")
+    sys.stdout.flush()
+
+
+def _set(**kv) -> None:
+    with _RESULT_LOCK:
+        _RESULTS.update(kv)
+
+
+def _watchdog() -> None:
+    """Hard self-budget: at the deadline, print whatever completed and
+    exit 0. os._exit because the hang this rescues is typically a stuck
+    D2H inside the jax runtime — no Python-level unwind can free it."""
+    delay = _DEADLINE - _CHILD_MARGIN_S - time.monotonic()
+    if delay > 0:
+        time.sleep(delay)
+    if _PRINTED.is_set():
+        return
+    _note(f"budget ({BUDGET_S:.0f}s) exhausted mid-cell; emitting partial "
+          "result")
+    _emit_result(partial=True)
+    sys.stdout.flush()
+    sys.stderr.flush()
+    os._exit(0)
 
 
 def fence():
@@ -100,7 +202,9 @@ def measure_throughput(
     (NOTES_TPU_ENV.md) — a stall poisons a single long measurement; the
     median of independent rounds tolerates a poisoned round while staying
     a defensible central estimate (the best round and the full band are
-    reported alongside for transparency)."""
+    reported alongside for transparency). Rounds stop early when the
+    self-budget runs low — the median of completed rounds still headlines.
+    """
     import jax
 
     engine = build_session(SUPER_BLOCK)
@@ -111,13 +215,19 @@ def measure_throughput(
 
     rendered = blocks_per_round * SUPER_BLOCK / SAMPLE_RATE
     rts = []
-    for _ in range(rounds):
+    for i in range(rounds):
         t0 = time.perf_counter()
         last = None
         for _ in range(blocks_per_round):
             last = engine.process_block()
         jax.block_until_ready(last.outputs.master)
         rts.append(rendered / (time.perf_counter() - t0))
+        # keep at least one round; stop if the next round cannot fit
+        elapsed_round = time.perf_counter() - t0
+        if i + 1 < rounds and _remaining() < elapsed_round * 2 + 30:
+            _note(f"throughput: stopping after {i + 1}/{rounds} rounds "
+                  "(budget)")
+            break
     return float(np.median(rts)), active, [round(x, 3) for x in rts]
 
 
@@ -154,29 +264,46 @@ def measure_live_mode(blocks: int = 300) -> dict:
         round_ms.append((time.perf_counter() - t0) / per_round * 1e3)
     device_ms = min(round_ms)
     rt_live = LIVE_BLOCK / SAMPLE_RATE / (device_ms * 1e-3)
+    _set(rt_liveblock=round(rt_live, 3), device_ms_p50=round(device_ms, 3))
 
     # synced: pay the round trip every block (what a naive pump would do)
-    times = []
-    for _ in range(blocks):
-        t0 = time.perf_counter()
-        res = engine.process_block()
-        jax.block_until_ready(res.outputs.master)
-        times.append(time.perf_counter() - t0)
-    p50 = float(np.percentile(np.asarray(times) * 1e3, 50))
+    p50 = -1.0
+    if _remaining() > 60:
+        times = []
+        for _ in range(blocks):
+            t0 = time.perf_counter()
+            res = engine.process_block()
+            jax.block_until_ready(res.outputs.master)
+            times.append(time.perf_counter() - t0)
+            if _remaining() < 45 and len(times) >= 50:
+                break
+        p50 = float(np.percentile(np.asarray(times) * 1e3, 50))
+        _set(latency_p50_ms=round(p50, 3),
+             sync_ms_p50=round(max(p50 - device_ms, 0.0), 3))
+    else:
+        _note("live: skipping synced-loop cell (budget)")
 
     # bounce drain (LIBZL_TPU_BOUNCE_DRAIN analog): fetch K blocks' master
     # mixes in ONE device->host transfer — the sync is a fixed-cost round
     # trip, so the bounce path amortizes it K-fold vs the synced loop
     import jax.numpy as jnp
 
-    K = 32  # matches the bridge's auto bounce drain depth
-    drained = []
-    for _ in range(10):
-        t0 = time.perf_counter()
-        masters = [engine.process_block().outputs.master for _ in range(K)]
-        np.asarray(jnp.concatenate(masters, axis=0))
-        drained.append((time.perf_counter() - t0) / K * 1e3)
-    bounce_ms = float(np.percentile(np.asarray(drained), 50))
+    if _remaining() > 45:
+        K = 32  # matches the bridge's auto bounce drain depth
+        drained = []
+        for _ in range(10):
+            t0 = time.perf_counter()
+            masters = [engine.process_block().outputs.master for _ in range(K)]
+            np.asarray(jnp.concatenate(masters, axis=0))
+            drained.append((time.perf_counter() - t0) / K * 1e3)
+            if _remaining() < 30 and len(drained) >= 3:
+                break
+        bounce_ms = float(np.percentile(np.asarray(drained), 50))
+        _set(bounce_ms_per_block=round(bounce_ms, 3))
+        if p50 > 0:
+            _set(bounce_sync_amortization=round(p50 / max(bounce_ms, 1e-6), 2))
+    else:
+        _note("live: skipping bounce cell (budget)")
 
     # kernel-only: the live windows kernel with DEVICE-RESIDENT inputs
     # (one real per-block program, device_put once, re-dispatched in a
@@ -185,20 +312,24 @@ def measure_live_mode(blocks: int = 300) -> dict:
     # program upload + the lookahead path's dispatch share, which are
     # pipeline costs, not kernel time (NOTES_TPU_ENV.md round-4 bench
     # entry; tools/tpu_probe4_r4.py "resident" cell is the same pattern).
-    kernel_ms = -1.0
-    try:
-        kernel_ms = _measure_kernel_resident(engine)
-    except Exception:
-        pass
-    return dict(
-        rt_liveblock=round(rt_live, 3),
-        device_ms_p50=round(device_ms, 3),
-        latency_p50_ms=round(p50, 3),
-        sync_ms_p50=round(max(p50 - device_ms, 0.0), 3),
-        bounce_ms_per_block=round(bounce_ms, 3),
-        bounce_sync_amortization=round(p50 / max(bounce_ms, 1e-6), 2),
-        kernel_ms_p50=round(kernel_ms, 3),
-    )
+    # LIBZL_BENCH_KERNEL_REPS=0 disables the cell (it adds one fresh XLA
+    # compile — the full-ladder rung-2.0 per-block graph warmup skips).
+    reps = int(os.environ.get("LIBZL_BENCH_KERNEL_REPS", "32") or 0)
+    if reps > 0 and _remaining() > 60:
+        try:
+            kernel_ms = _measure_kernel_resident(engine, reps=reps)
+            _set(kernel_ms_p50=round(kernel_ms, 3))
+        except Exception as exc:  # noqa: BLE001 — diagnosable -1, not a crash
+            _note(f"kernel-resident cell failed ({type(exc).__name__}: "
+                  f"{exc}); kernel_ms_p50 stays -1")
+    elif reps > 0:
+        _note("live: skipping kernel-resident cell (budget)")
+
+    with _RESULT_LOCK:
+        return {k: _RESULTS.get(k, -1.0) for k in (
+            "rt_liveblock", "device_ms_p50", "latency_p50_ms", "sync_ms_p50",
+            "bounce_ms_per_block", "bounce_sync_amortization",
+            "kernel_ms_p50")}
 
 
 def _measure_kernel_resident(engine, rounds: int = 5, reps: int = 32) -> float:
@@ -223,12 +354,18 @@ def _measure_kernel_resident(engine, rounds: int = 5, reps: int = 32) -> float:
         lane_enabled=engine.lane_enabled,
     )
     engine.pool.restore_state(snap)
+    fetch = engine.fetch
     rmax = engine._render_rmax(pi, pf)
+    if rmax is None:
+        # over-envelope pitch: mirror the engine's own dispatch fallback
+        # (engine._dispatch_packed) — slab-free gather at the declared
+        # envelope, never a None slab for the windows kernel
+        fetch, rmax = "gather", engine.max_pitch_ratio
     fused = jax.device_put(voice_ops.fuse_packed(pi, pf))
     sound = engine._sound_data_for_backend()
     strips = engine._packed_strips_for_backend()
-    kw = dict(block_frames=LIVE_BLOCK, quirk_gain=engine.quirk_gain,
-              fetch=engine.fetch, max_pitch_ratio=rmax)
+    kw = dict(block_frames=engine.block_frames, quirk_gain=engine.quirk_gain,
+              fetch=fetch, max_pitch_ratio=rmax)
     out = render_mod.render_block_fused(sound, fused, strips, **kw)
     jax.block_until_ready(out.master)
     round_ms = []
@@ -238,6 +375,8 @@ def _measure_kernel_resident(engine, rounds: int = 5, reps: int = 32) -> float:
             out = render_mod.render_block_fused(sound, fused, strips, **kw)
         jax.block_until_ready(out.master)
         round_ms.append((time.perf_counter() - t0) / reps * 1e3)
+        if _remaining() < 30 and round_ms:
+            break
     return float(np.median(round_ms))
 
 
@@ -264,6 +403,8 @@ def measure_sparse_session(blocks: int = 200) -> float:
         jax.block_until_ready(last.outputs.master)
         ms = (time.perf_counter() - t0) / per_round * 1e3
         best_ms = ms if best_ms is None else min(best_ms, ms)
+        if _remaining() < 30:
+            break
     return LIVE_BLOCK / SAMPLE_RATE / (best_ms * 1e-3)
 
 
@@ -287,143 +428,170 @@ def measure_reference_headline(blocks: int = 400) -> float:
         jax.block_until_ready(last.outputs.master)
         rts.append(blocks // 4 * SUPER_BLOCK / SAMPLE_RATE
                    / (time.perf_counter() - t0))
+        if _remaining() < 45:
+            break
     return max(rts)
 
 
-def main() -> int:
-    fence_s = fence()
-    rt_factor, active, rounds = measure_throughput()
-    try:
-        rt_96 = measure_reference_headline()
-    except Exception:
-        rt_96 = -1.0
-    try:
-        live = measure_live_mode()
-    except Exception:
-        live = dict(rt_liveblock=-1.0, device_ms_p50=-1.0,
-                    latency_p50_ms=-1.0, sync_ms_p50=-1.0)
-    try:
-        rt_sparse = measure_sparse_session()
-    except Exception:
-        rt_sparse = -1.0
-    # Roofline accounting in the driver record (VERDICT r3 #6): the
-    # binding hardware bound for the live-block windows kernel at this
-    # session's dispatch config (rung 2.0 — the bench notes stay within
-    # +7 semitones, so the ratio ladder dispatches the narrow slab).
-    # pct_of_bound compares that bound against the KERNEL-ONLY measured
-    # cell (device-resident inputs, kernel_ms_p50) — the quantity the
-    # bound actually bounds; bound_pct_of_block is the same bound as a
-    # fraction of the full chained per-block cost (device_ms_p50), whose
-    # remainder is host build + upload + dispatch share, not kernel time
-    # (the round-3/round-4 decomposition, tools/tpu_probe1_r3.py and
-    # tpu_probe4_r4.py).
-    kernel_bound_ms = -1.0
-    pct_of_bound = -1.0
-    bound_pct_of_block = -1.0
+def _roofline() -> None:
+    """Roofline accounting in the driver record (VERDICT r3 #6): the
+    binding hardware bound for the live-block windows kernel at this
+    session's dispatch config (rung 2.0 — the bench notes stay within
+    +7 semitones, so the ratio ladder dispatches the narrow slab).
+
+    Key semantics (ADVICE r4: the r4 redefinition broke longitudinal
+    comparability, restored here):
+    - pct_of_bound: bound as % of the full chained per-block cost
+      (device_ms_p50) — the HISTORICAL meaning (BENCH_r01-r03); the
+      remainder is host build + upload + dispatch share, not kernel time.
+    - kernel_pct_of_bound: bound as % of the kernel-only measured cell
+      (kernel_ms_p50) — the quantity the bound actually bounds
+      (~85-118% expected; tools/roofline_r3.py).
+    """
     try:
         from tools.roofline_r3 import windows_model
 
         w = windows_model(NUM_VOICES, LIVE_BLOCK, r_max=2.0)
-        kernel_bound_ms = max(
-            w["t_vpu"], w["t_hbm"], w["t_mxu_stream"]
-        ) * 1e3
-        kern = float(live.get("kernel_ms_p50") or 0)
+        bound_ms = max(w["t_vpu"], w["t_hbm"], w["t_mxu_stream"]) * 1e3
+        _set(kernel_bound_ms=round(bound_ms, 3))
+        with _RESULT_LOCK:
+            kern = float(_RESULTS.get("kernel_ms_p50", -1) or -1)
+            dev = float(_RESULTS.get("device_ms_p50", -1) or -1)
         if kern > 0:
-            pct_of_bound = 100.0 * kernel_bound_ms / kern
-        dev = float(live.get("device_ms_p50") or 0)
+            _set(kernel_pct_of_bound=round(100.0 * bound_ms / kern, 1))
         if dev > 0:
-            bound_pct_of_block = 100.0 * kernel_bound_ms / dev
-    except Exception:
-        pass
-    result = {
-        "metric": f"realtime_factor_{active}voices_{NUM_CLIPS}clips_48k",
-        "value": round(rt_factor, 3),
-        "unit": "x_realtime",
-        "vs_baseline": round(rt_factor * active / 96.0, 2),
-        "rt_superblock": round(rt_factor, 3),
-        "rt_superblock_best": round(float(np.max(rounds)), 3),
-        "rt_superblock_rounds": rounds,
-        **live,
-        "kernel_bound_ms": round(kernel_bound_ms, 3),
-        "pct_of_bound": round(pct_of_bound, 1),
-        "bound_pct_of_block": round(bound_pct_of_block, 1),
-        "realtime_factor_96voices": round(rt_96, 3),
-        "rt_liveblock_96on1024_bucketed": round(rt_sparse, 3),
-        "fence_seconds": round(fence_s, 1),
-    }
-    print(json.dumps(result))
+            _set(pct_of_bound=round(100.0 * bound_ms / dev, 1))
+    except Exception as exc:  # noqa: BLE001
+        _note(f"roofline fields unavailable ({exc})")
+
+
+def main() -> int:
+    threading.Thread(target=_watchdog, daemon=True,
+                     name="bench-budget-watchdog").start()
+    _note(f"self-budget {BUDGET_S:.0f}s")
+    fence_s = fence()
+    _set(fence_seconds=round(fence_s, 1))
+    _note(f"fence {fence_s:.1f}s; remaining {_remaining():.0f}s")
+
+    rt_factor, active, rounds = measure_throughput()
+    _set(_rt_superblock=rt_factor, _active=active, _rounds=rounds)
+    _note(f"throughput median {rt_factor:.2f}x ({rounds}); "
+          f"remaining {_remaining():.0f}s")
+
+    if _remaining() > 120:
+        try:
+            live = measure_live_mode()
+            _note(f"live {live}")
+        except Exception as exc:  # noqa: BLE001
+            _note(f"live cell failed ({type(exc).__name__}: {exc})")
+    else:
+        _note("skipping live cells (budget)")
+    _roofline()
+
+    if _remaining() > 90:
+        try:
+            _set(realtime_factor_96voices=round(
+                measure_reference_headline(), 3))
+        except Exception as exc:  # noqa: BLE001
+            _note(f"96v cell failed ({exc})")
+    else:
+        _note("skipping 96v cell (budget)")
+
+    if _remaining() > 90:
+        try:
+            _set(rt_liveblock_96on1024_bucketed=round(
+                measure_sparse_session(), 3))
+        except Exception as exc:  # noqa: BLE001
+            _note(f"sparse cell failed ({exc})")
+    else:
+        _note("skipping sparse cell (budget)")
+
+    _emit_result(partial=False)
     return 0
 
 
-def _run_with_retries(attempts: int = 4) -> int:
+def _run_with_retries(attempts: int = 3) -> int:
     """Re-exec the measurement in fresh child processes, retrying on
-    failure. The harness's TPU relay intermittently refuses backend init
-    ("Unable to initialize backend 'axon': UNAVAILABLE", observed
-    2026-08-18 after a 35-min hang) and jax caches a failed backend for
-    the process lifetime — a retry must be a NEW process. Only the
-    successful child prints to stdout (the one JSON line the driver
-    reads); failures go to stderr. A deterministic bug still fails all
-    attempts and exits nonzero."""
-    import os
+    failure WITHIN the shared budget. The harness's TPU relay
+    intermittently refuses backend init ("Unable to initialize backend
+    'axon': UNAVAILABLE", observed 2026-08-18 after a 35-min hang) and
+    jax caches a failed backend for the process lifetime — a retry must
+    be a NEW process. Child stdout is STREAMED line-by-line and the
+    result line forwarded the moment it appears (never buffered until
+    exit — the BENCH_r04 failure mode); diagnostics ride stderr
+    unbuffered. The child is itself deadline-bounded, so a hung attempt
+    self-terminates with a partial JSON line before the parent's cap."""
     import subprocess
 
-    env = dict(os.environ, _LIBZL_BENCH_CHILD="1")
     for attempt in range(attempts):
+        remaining = _DEADLINE - time.monotonic()
+        if attempt and remaining < 90:
+            print(f"bench: {remaining:.0f}s left — not enough for another "
+                  "attempt", file=sys.stderr, flush=True)
+            break
         if attempt:
-            delay = 60 * attempt
-            print(f"bench attempt {attempt} failed; retrying in {delay}s "
-                  "(relay outages are transient)", file=sys.stderr)
+            delay = min(30.0 * attempt, max(remaining - 60, 0))
+            print(f"bench attempt {attempt} failed; retrying in {delay:.0f}s "
+                  "(relay outages are transient)", file=sys.stderr, flush=True)
             time.sleep(delay)
+            remaining = _DEADLINE - time.monotonic()
+        env = dict(
+            os.environ,
+            _LIBZL_BENCH_CHILD="1",
+            # child budget: what's left of the shared budget, minus parent
+            # teardown margin
+            LIBZL_BENCH_BUDGET_S=str(max(remaining - 5, 30)),
+        )
+        proc = subprocess.Popen([sys.executable, __file__], env=env,
+                                stdout=subprocess.PIPE, text=True, bufsize=1)
+        result_line = ""
         try:
-            # Generous per-attempt cap: slow-family fences alone run up to
-            # ~21 min (NOTES_TPU_ENV.md), so only a true wedge hits this.
-            # Child stdout is CAPTURED and forwarded only once a result is
-            # accepted: the driver reads exactly one JSON line, and a child
-            # that prints its line then dies in teardown must not leave a
-            # duplicate behind a retry.
-            proc = subprocess.run([sys.executable, __file__], env=env,
-                                  timeout=3600, stdout=subprocess.PIPE,
-                                  text=True)
+            # stream: forward the result line the instant it appears
+            assert proc.stdout is not None
+            for line in proc.stdout:
+                line = line.strip()
+                if not line:
+                    continue
+                if not result_line and _is_result_line(line):
+                    result_line = line
+                    sys.stdout.write(line + "\n")
+                    sys.stdout.flush()
+                else:
+                    print(f"bench child stdout (ignored): {line}",
+                          file=sys.stderr, flush=True)
+        except Exception as exc:  # noqa: BLE001
+            print(f"bench parent stream error: {exc}", file=sys.stderr,
+                  flush=True)
+        # child deadline + margin: a wedged child that somehow outlives its
+        # own watchdog gets killed rather than outliving the driver budget
+        try:
+            proc.wait(timeout=max(_DEADLINE - time.monotonic(), 5) + 30)
         except subprocess.TimeoutExpired:
-            print("bench attempt timed out after 3600s (relay wedge); "
-                  "child killed", file=sys.stderr)
-            continue
-        out = proc.stdout or ""
-        result_line = _extract_result_line(out)
-        if proc.returncode == 0 or result_line:
-            # nonzero exit WITH a complete result line = the measurement
-            # finished and the process crashed on the way out (relay
-            # threads at interpreter teardown) — accept rather than burn
-            # another full attempt re-measuring a number we already have
+            print("bench child outlived its own deadline; killing",
+                  file=sys.stderr, flush=True)
+            proc.kill()
+            proc.wait()
+        if result_line:
             if proc.returncode != 0:
-                print(f"bench child exited {proc.returncode} after "
-                      "printing its result; accepting the measurement",
-                      file=sys.stderr)
-            sys.stdout.write((result_line or out.strip()) + "\n")
-            sys.stdout.flush()
+                print(f"bench child exited {proc.returncode} after printing "
+                      "its result; accepted", file=sys.stderr, flush=True)
             return 0
-        if out.strip():
-            print(f"bench child stdout (discarded): {out.strip()}",
-                  file=sys.stderr)
+        print(f"bench child exited {proc.returncode} with no result line",
+              file=sys.stderr, flush=True)
     return 1
 
 
-def _extract_result_line(out: str) -> str:
-    """Return the last stdout line that parses as a bench result JSON
-    object (has the driver-contract keys), or ''."""
-    for line in reversed(out.strip().splitlines()):
-        try:
-            obj = json.loads(line)
-        except ValueError:
-            continue
-        if isinstance(obj, dict) and {"metric", "value", "unit"} <= set(obj):
-            return line.strip()
-    return ""
+def _is_result_line(line: str) -> bool:
+    """True when `line` parses as a bench result JSON object (has the
+    driver-contract keys)."""
+    try:
+        obj = json.loads(line)
+    except ValueError:
+        return False
+    return isinstance(obj, dict) and {"metric", "value", "unit"} <= set(obj)
 
 
 if __name__ == "__main__":
-    import os
-
     if os.environ.get("_LIBZL_BENCH_CHILD"):
         sys.exit(main())
     sys.exit(_run_with_retries())
