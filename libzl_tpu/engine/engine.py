@@ -951,23 +951,34 @@ class AudioEngine:
             tick_anchor=self.clock.anchor_tick,
             samples_per_tick=self.clock.samples_per_tick,
         )
+        if self.use_native_host:
+            # the WHOLE H-block sim (programs, compact dynamics, per-slice
+            # snapshots and deaths) in one native call: the per-slice
+            # ctypes sims + numpy dynamics packing measured ~3.5 ms/horizon
+            # at V=1024/H=16 — the dominant serial live-path host cost
+            # (VERDICT r4 #2; tools/tpu_probe4_r4.py host_ms)
+            from . import hostcore as _hostcore
+
+            res = _hostcore.horizon_update(
+                self.pool, slices=H, block_start_sample=start0,
+                lane_enabled=lane, **anchor,
+            )
+            if res is None:
+                # a slice exceeded the compact encoding: caller falls back
+                # to per-block dispatch after restoring its frontier
+                return None
+            prog_i0, prog_f0, dyn, snaps, died_lists = res
+            dispatch = self._horizon_dispatch_closure(prog_i0, prog_f0, dyn)
+            return dispatch, snaps, died_lists
         packed: list = []
         snaps: list = []
         died_lists: list = []
         for h in range(H):
             args = dict(block_start_sample=start0 + h * B, **anchor)
-            if self.use_native_host:
-                from . import hostcore as _hostcore
-
-                prog_i, prog_f, died_info = _hostcore.voice_update(
-                    self.pool, lane_enabled=lane, **args
-                )
-                died = [(cid, pid) for _, cid, pid in died_info]
-            else:
-                prog = self.pool.build_program(lane_enabled=lane, **args)
-                prog_i, prog_f = pack_program(prog)
-                adv = self.pool.advance(prog)
-                died = list(zip(adv["died_clips"], adv["died_positions"]))
+            prog = self.pool.build_program(lane_enabled=lane, **args)
+            prog_i, prog_f = pack_program(prog)
+            adv = self.pool.advance(prog)
+            died = list(zip(adv["died_clips"], adv["died_positions"]))
             packed.append((prog_i, prog_f))
             snaps.append(self.pool.save_state())
             died_lists.append(died)

@@ -66,6 +66,21 @@ class _State(ctypes.Structure):
     _fields_ = [(name, ctypes.c_void_p) for name in _STATE_FIELDS]
 
 
+# per-slice snapshot buffers for the native horizon sim — order/dtypes
+# mirror VoicePool._ADVANCE_FIELDS (and native/zl_hostcore.cpp Snaps)
+_SNAP_FIELDS = [
+    ("active", np.bool_), ("clip_id", np.int64), ("position_id", np.int64),
+    ("pos_int", np.int64), ("pos_frac", np.float32), ("stage", np.int32),
+    ("env", np.float32), ("rel_rate", np.float32), ("rel_mode", np.int32),
+    ("next_loop_tick", np.int64), ("pending_start", np.int64),
+    ("pending_release", np.int64),
+]
+
+
+class _Snaps(ctypes.Structure):
+    _fields_ = [(name, ctypes.c_void_p) for name, _ in _SNAP_FIELDS]
+
+
 _lib: Optional[ctypes.CDLL] = None
 
 
@@ -76,7 +91,7 @@ def load() -> Optional[ctypes.CDLL]:
         return _lib
     from .._native import load_native
 
-    lib = load_native("zl_hostcore", "zl_hostcore_abi_version", 4)
+    lib = load_native("zl_hostcore", "zl_hostcore_abi_version", 5)
     if lib is None:
         return None
     lib.zl_voice_update.restype = ctypes.c_int64
@@ -84,6 +99,13 @@ def load() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(_Params), ctypes.POINTER(_State),
         ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_float),
         ctypes.POINTER(ctypes.c_int64),
+    ]
+    lib.zl_horizon_update.restype = ctypes.c_int64
+    lib.zl_horizon_update.argtypes = [
+        ctypes.POINTER(_Params), ctypes.POINTER(_State), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(_Snaps),
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
     ]
     _lib = lib
     return _lib
@@ -184,3 +206,75 @@ def voice_update(
         died_info.append((v, int(pool.clip_id[v]), int(pool.position_id[v])))
         pool.kill(v)
     return prog_i, prog_f, died_info
+
+
+def horizon_update(
+    pool,
+    slices: int,
+    block_start_sample: float,
+    tick_anchor_sample: float,
+    tick_anchor: int,
+    samples_per_tick: float,
+    lane_enabled: np.ndarray,
+):
+    """The whole H-block lookahead-horizon host sim in ONE native call
+    (engine._sim_horizon_bundle's hot path — VERDICT r4 #2: the per-slice
+    ctypes calls + numpy dynamics packing cost ~3.5 ms/horizon at V=1024).
+
+    Returns (prog_i0, prog_f0, dyn, snaps, died_lists) — bit-identical to
+    running `voice_update` per slice + ops/voice.pack_horizon_dynamics +
+    pool.save_state() per slice — or None when a tail slice exceeds the
+    compact encoding (caller falls back to per-block dispatch; pool state
+    is partially advanced, restore the pre-sim snapshot). `snaps[h]` is a
+    restore_state()-compatible dict of views into one [H, V] buffer per
+    field; `died_lists[h]` is [(clip_id, position_id)] with kills already
+    applied natively (ids were read pre-kill)."""
+    from ..ops.voice import horizon_dyn_cols
+
+    lib = load()
+    assert lib is not None, "native host core unavailable"
+    V = pool.num_voices
+    H = int(slices)
+    D = horizon_dyn_cols(pool.n_bq_extra)
+    prog_i = np.empty((V, NUM_INT_COLS_BASE + pool.n_bq_extra), np.int32)
+    prog_f = np.empty((V, NUM_F32_COLS), np.float32)
+    dyn = np.empty((V, 1 + (H - 1) * D), np.int32)
+    snap_bufs = {n: np.empty((H, V), dt) for n, dt in _SNAP_FIELDS}
+    died = np.empty(H * V * 3, np.int64)
+    counts = np.empty(H, np.int64)
+
+    params = _Params(
+        num_voices=V,
+        block_frames=int(pool.block_frames),
+        block_start_sample=float(block_start_sample),
+        tick_anchor_sample=float(tick_anchor_sample),
+        tick_anchor=int(tick_anchor),
+        samples_per_tick=float(samples_per_tick),
+        n_bq_extra=int(pool.n_bq_extra),
+    )
+    state, _keepalive = _build_state(pool, lane_enabled)
+    snaps_struct = _Snaps()
+    for name, _ in _SNAP_FIELDS:
+        setattr(snaps_struct, name,
+                snap_bufs[name].ctypes.data_as(ctypes.c_void_p).value)
+
+    rc = lib.zl_horizon_update(
+        ctypes.byref(params), ctypes.byref(state), H,
+        prog_i.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        prog_f.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        dyn.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        ctypes.byref(snaps_struct),
+        died.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+    )
+    if rc != 0:
+        return None
+    snaps = [
+        {n: snap_bufs[n][h] for n, _ in _SNAP_FIELDS} for h in range(H)
+    ]
+    died_lists = []
+    for h in range(H):
+        n = int(counts[h])
+        tri = died[h * V * 3: h * V * 3 + n * 3].reshape(n, 3)
+        died_lists.append([(int(c), int(p)) for _, c, p in tri])
+    return prog_i, prog_f, dyn, snaps, died_lists

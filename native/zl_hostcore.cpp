@@ -144,29 +144,17 @@ inline float envelope_at(int stage0, float env0, float a_rate, float d_rate,
   return std::max(e_r - sf * new_rate, 0.0f);
 }
 
-}  // namespace
-
-extern "C" {
-
-/*
- * One-pass build_program + advance for all voices.
- *
- * Writes the packed program matrices (prog_i [V, 21] int32,
- * prog_f [V, 15] float32) for the device dispatch, then advances the state
- * arrays past the block exactly as engine/voicestate.VoicePool.advance()
- * does. `died_out` receives indices of voices that stopped (count returned).
- */
-int64_t zl_voice_update(const Params *p, State *s, int32_t *prog_i,
-                        float *prog_f, int64_t *died_out) {
-  const int64_t V = p->num_voices;
+// One voice's build_program + advance for one block: writes the packed
+// program row (pi [kNIBase+W] int32, pf [kNF] float32), advances the voice's
+// state arrays past the block exactly as engine/voicestate.VoicePool's
+// build_program + advance pair does, and returns whether the voice died
+// this block (the CALLER kills — it may need clip_id/position_id first).
+static inline bool update_voice(const Params *p, State *s, int64_t v,
+                                int32_t *pi, float *pf) {
   const int64_t B = p->block_frames;
   const int W = (int)p->n_bq_extra;
   const int kNI = kNIBase + W;
-  int64_t died_count = 0;
-
-  for (int64_t v = 0; v < V; ++v) {
-    int32_t *pi = prog_i + v * kNI;
-    float *pf = prog_f + v * kNF;
+  {
     std::memset(pi, 0, sizeof(int32_t) * kNI);
     std::memset(pf, 0, sizeof(float) * kNF);
     // inactive program row defaults
@@ -182,7 +170,7 @@ int64_t zl_voice_update(const Params *p, State *s, int32_t *prog_i,
       // mirror clears them globally in advance())
       s->pending_start[v] = -1;
       s->pending_release[v] = kBig;
-      continue;
+      return false;
     }
 
     const double posf = (double)s->pos_int[v] + (double)s->pos_frac[v];
@@ -454,17 +442,203 @@ int64_t zl_voice_update(const Params *p, State *s, int32_t *prog_i,
     bool dead = (stop_frame < B) ||
                 (s->stage[v] == kRelease && s->env[v] <= 0.0f) ||
                 (!released && s->stage[v] == kIdle);
-    if (dead) {
-      // only flag; the Python wrapper reads (clip_id, position_id) for the
-      // positions-model cleanup and then performs the full kill()
-      died_out[died_count++] = v;
-    }
     s->pending_start[v] = -1;
     s->pending_release[v] = kBig;
+    return dead;
+  }
+}
+
+// VoicePool.kill(v) (engine/voicestate.py)
+static inline void kill_voice(State *s, int64_t v) {
+  s->active[v] = 0;
+  s->position_id[v] = -1;
+  s->clip_id[v] = -1;
+  s->stage[v] = kIdle;
+  s->env[v] = 0.0f;
+}
+
+// Per-slice snapshot buffers for the horizon sim: each pointer is an [H, V]
+// array (row-major); row h receives the state AFTER slice h's advance+kills.
+// Mirrors VoicePool._ADVANCE_FIELDS / save_state() exactly.
+struct Snaps {
+  uint8_t *active;
+  int64_t *clip_id;
+  int64_t *position_id;
+  int64_t *pos_int;
+  float *pos_frac;
+  int32_t *stage;
+  float *env;
+  float *rel_rate;
+  int32_t *rel_mode;
+  int64_t *next_loop_tick;
+  int64_t *pending_start;
+  int64_t *pending_release;
+};
+
+static inline void snapshot_row(const State *s, const Snaps *o, int64_t h,
+                                int64_t V) {
+  std::memcpy(o->active + h * V, s->active, (size_t)V);
+  std::memcpy(o->clip_id + h * V, s->clip_id, (size_t)V * 8);
+  std::memcpy(o->position_id + h * V, s->position_id, (size_t)V * 8);
+  std::memcpy(o->pos_int + h * V, s->pos_int, (size_t)V * 8);
+  std::memcpy(o->pos_frac + h * V, s->pos_frac, (size_t)V * 4);
+  std::memcpy(o->stage + h * V, s->stage, (size_t)V * 4);
+  std::memcpy(o->env + h * V, s->env, (size_t)V * 4);
+  std::memcpy(o->rel_rate + h * V, s->rel_rate, (size_t)V * 4);
+  std::memcpy(o->rel_mode + h * V, s->rel_mode, (size_t)V * 4);
+  std::memcpy(o->next_loop_tick + h * V, s->next_loop_tick, (size_t)V * 8);
+  std::memcpy(o->pending_start + h * V, s->pending_start, (size_t)V * 8);
+  std::memcpy(o->pending_release + h * V, s->pending_release,
+              (size_t)V * 8);
+}
+
+// compact-horizon dynamics constants (ops/voice.py pack_horizon_dynamics)
+constexpr int32_t kRf16 = 0xFFFF;        // 16-bit release field / sentinel
+constexpr int32_t kReleaseNone = 1 << 30;  // RELEASE_NONE
+// packed column indices (ops/voice.py PI_*/PF_*; static layout, asserted
+// against the python side at import by engine/hostcore.py)
+constexpr int kPiActive = 0, kPiStart = 6, kPiStop = 7, kPiStage0 = 9,
+              kPiRelease = 10, kPiRelMode = 11, kPiSegStart = 12,
+              kPiSegPos = 16, kPiBq = kNIBase;
+constexpr int kPfEnv0 = 4, kPfRelRate = 8, kPfSegFrac = 11;
+
+}  // namespace
+
+extern "C" {
+
+/*
+ * One-pass build_program + advance for all voices.
+ *
+ * Writes the packed program matrices (prog_i [V, 21+W] int32,
+ * prog_f [V, 15] float32) for the device dispatch, then advances the state
+ * arrays past the block exactly as engine/voicestate.VoicePool.advance()
+ * does. `died_out` receives indices of voices that stopped (count
+ * returned); the Python wrapper reads (clip_id, position_id) for the
+ * positions-model cleanup and then performs the full kill().
+ */
+int64_t zl_voice_update(const Params *p, State *s, int32_t *prog_i,
+                        float *prog_f, int64_t *died_out) {
+  const int64_t V = p->num_voices;
+  const int kNI = kNIBase + (int)p->n_bq_extra;
+  int64_t died_count = 0;
+  for (int64_t v = 0; v < V; ++v) {
+    if (update_voice(p, s, v, prog_i + v * kNI, prog_f + v * kNF)) {
+      died_out[died_count++] = v;
+    }
   }
   return died_count;
 }
 
-int zl_hostcore_abi_version(void) { return 4; }
+/*
+ * The whole lookahead-horizon host sim in ONE call (VERDICT r4 #2: the 16
+ * Python->ctypes per-block sims + numpy dynamics packing dominated the
+ * bit-exact live path's host cost at ~3.5 ms/horizon).
+ *
+ * Simulates H consecutive blocks from the current pool state — exactly the
+ * per-block update_voice chain, so device programs are bit-identical to
+ * per-block dispatch — writing:
+ *   - prog_i0/prog_f0: slice 0's full packed program [V, 21+W]/[V, 15]
+ *   - dyn: the compact dynamics matrix [V, 1 + (H-1)*D] of
+ *     ops/voice.pack_horizon_dynamics (col 0 = istart; per tail slice:
+ *     pos anchor, pos_frac/env0/rel_rate bits, 16-bit wrap/stop pairs,
+ *     flags, 16-bit bq-reset pairs) — bit-identical to the numpy packer
+ *   - snaps: per-slice post-advance state snapshots ([H, V] per field)
+ *   - died_out [H*V*3]: (voice, clip_id, position_id) triples per slice,
+ *     counts in died_counts [H]; kills applied natively before the next
+ *     slice (ids recorded pre-kill)
+ *
+ * Returns 0, or 1 when a tail slice exceeds the compact encoding (release
+ * frame neither in-block nor "none", a pending start past slice 0, a
+ * negative position anchor, or a 16-bit field out of range) — the caller
+ * falls back to per-block dispatch and restores its pre-sim snapshot
+ * (pool state is partially advanced on failure, same contract as the
+ * numpy packer returning None).
+ */
+int64_t zl_horizon_update(const Params *p, State *s, int64_t H,
+                          int32_t *prog_i0, float *prog_f0, int32_t *dyn,
+                          const Snaps *snaps, int64_t *died_out,
+                          int64_t *died_counts) {
+  const int64_t V = p->num_voices;
+  const int W = (int)p->n_bq_extra;
+  const int kNI = kNIBase + W;
+  constexpr int kNpack = (kSegments + 1) / 2;
+  const int D = 4 + kNpack + 1 + (W + 1) / 2;
+  const int64_t stride = 1 + (H - 1) * (int64_t)D;
+  // tail-slice scratch row (slice 0 writes straight into prog_*0)
+  int32_t tpi[64];
+  float tpf[kNF];
+  if (kNI > 64) return 1;  // absurd bq-extra geometry: per-block fallback
+
+  for (int64_t h = 0; h < H; ++h) {
+    Params ph = *p;
+    ph.block_start_sample =
+        p->block_start_sample + (double)(h * p->block_frames);
+    int64_t *died_row = died_out + h * V * 3;
+    int64_t n_died = 0;
+    for (int64_t v = 0; v < V; ++v) {
+      int32_t *pi;
+      float *pf;
+      if (h == 0) {
+        pi = prog_i0 + v * kNI;
+        pf = prog_f0 + v * kNF;
+      } else {
+        pi = tpi;
+        pf = tpf;
+      }
+      bool died = update_voice(&ph, s, v, pi, pf);
+      if (h == 0) {
+        dyn[v * stride] = (int32_t)s->istart[v];
+      } else {
+        // encodability checks — EXACTLY pack_horizon_dynamics's
+        const int32_t rf = pi[kPiRelease];
+        if (rf >= kRf16 && rf != kReleaseNone) return 1;
+        if (pi[kPiStart] != 0) return 1;
+        if (pi[kPiSegPos] < 0) return 1;
+        for (int j = 1; j < kSegments; ++j) {
+          const int32_t x = pi[kPiSegStart + j];
+          if (x < 0 || x > kRf16) return 1;
+        }
+        if (pi[kPiStop] < 0 || pi[kPiStop] > kRf16) return 1;
+        for (int j = 0; j < W; ++j) {
+          const int32_t x = pi[kPiBq + j];
+          if (x < 0 || x > kRf16) return 1;
+        }
+        int32_t *row = dyn + v * stride + 1 + (h - 1) * D;
+        row[0] = pi[kPiSegPos];
+        std::memcpy(row + 1, pf + kPfSegFrac, 4);
+        std::memcpy(row + 2, pf + kPfEnv0, 4);
+        std::memcpy(row + 3, pf + kPfRelRate, 4);
+        // 16-bit pairs of [wrap_1..wrap_{S-1}, stop]
+        int32_t fields[kSegments];
+        for (int j = 1; j < kSegments; ++j) fields[j - 1] = pi[kPiSegStart + j];
+        fields[kSegments - 1] = pi[kPiStop];
+        for (int c = 0; c < kNpack; ++c) {
+          const int32_t lo = fields[2 * c];
+          const int32_t hi = (2 * c + 1 < kSegments) ? fields[2 * c + 1] : 0;
+          row[4 + c] = lo | (hi << 16);
+        }
+        row[4 + kNpack] = std::min(rf, kRf16) | (pi[kPiActive] << 16) |
+                          (pi[kPiStage0] << 17) | (pi[kPiRelMode] << 20);
+        for (int c = 0; c < (W + 1) / 2; ++c) {
+          const int32_t lo = pi[kPiBq + 2 * c];
+          const int32_t hi = (2 * c + 1 < W) ? pi[kPiBq + 2 * c + 1] : 0;
+          row[5 + kNpack + c] = lo | (hi << 16);
+        }
+      }
+      if (died) {
+        died_row[n_died * 3 + 0] = v;
+        died_row[n_died * 3 + 1] = s->clip_id[v];
+        died_row[n_died * 3 + 2] = s->position_id[v];
+        ++n_died;
+      }
+    }
+    died_counts[h] = n_died;
+    for (int64_t i = 0; i < n_died; ++i) kill_voice(s, died_row[i * 3]);
+    snapshot_row(s, snaps, h, V);
+  }
+  return 0;
+}
+
+int zl_hostcore_abi_version(void) { return 5; }
 
 }  // extern "C"

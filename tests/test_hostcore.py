@@ -184,3 +184,95 @@ def test_non_contiguous_pool_array_fails_loud():
             tick_anchor=0, samples_per_tick=250.0,
             lane_enabled=np.ones(12, np.int32),
         )
+
+
+# ---------------------------------------------------------------- horizon
+
+def run_horizon_both(seed, H=8, block=B, short_bq=False, spt=250.0,
+                     release_before=False, start0=0.0):
+    """Native one-call horizon sim vs the per-slice reference chain
+    (voice_update per slice + ops/voice.pack_horizon_dynamics +
+    pool.save_state per slice) — bit-identical outputs and end state.
+    The per-slice native path is itself pinned to the numpy voice machine
+    by run_both above, so this transitively pins the one-call sim to the
+    reference implementation."""
+    from libzl_tpu.ops.voice import pack_horizon_dynamics
+
+    pool_ref = make_pool(seed, block=block, short_bq=short_bq)
+    pool_h = copy.deepcopy(pool_ref)
+    lane = np.ones(12, bool)
+    if release_before:
+        for v in range(0, 6):
+            pool_ref.note_off(v, tail=True, frame_offset=17)
+            pool_h.note_off(v, tail=True, frame_offset=17)
+    anchor = dict(tick_anchor_sample=0.0, tick_anchor=0,
+                  samples_per_tick=spt)
+
+    packed, snaps_ref, died_ref = [], [], []
+    for h in range(H):
+        pi, pf, died_info = hostcore.voice_update(
+            pool_ref, block_start_sample=start0 + float(h * block),
+            lane_enabled=lane, **anchor)
+        packed.append((pi, pf))
+        snaps_ref.append(pool_ref.save_state())
+        died_ref.append([(c, p) for _, c, p in died_info])
+    dyn_ref = pack_horizon_dynamics(packed[1:], pool_ref.istart)
+
+    res = hostcore.horizon_update(
+        pool_h, slices=H, block_start_sample=start0, lane_enabled=lane,
+        **anchor)
+    if dyn_ref is None:
+        assert res is None
+        return
+    assert res is not None
+    pi0, pf0, dyn, snaps, died_lists = res
+    np.testing.assert_array_equal(pi0, packed[0][0], err_msg="prog_i0")
+    np.testing.assert_array_equal(pf0, packed[0][1], err_msg="prog_f0")
+    np.testing.assert_array_equal(dyn, dyn_ref, err_msg="dynamics")
+    assert died_lists == died_ref
+    for h in range(H):
+        assert set(snaps[h]) == set(snaps_ref[h])
+        for name, a_ref in snaps_ref[h].items():
+            np.testing.assert_array_equal(
+                snaps[h][name], a_ref, err_msg=f"snap {name}, slice {h}")
+    for name in STATE_ARRAYS:
+        np.testing.assert_array_equal(
+            getattr(pool_h, name), getattr(pool_ref, name),
+            err_msg=f"end state {name}")
+
+
+def test_horizon_equivalence_mixed_session():
+    run_horizon_both(seed=11, H=16)
+
+
+def test_horizon_equivalence_with_releases():
+    """Slice-0 releases fix linear release rates at the trigger and kill
+    voices mid-horizon — deaths, snapshots and dyn flags must match."""
+    run_horizon_both(seed=12, H=16, release_before=True)
+
+
+def test_horizon_equivalence_short_bq_superblock():
+    """B=512 with 1-3-tick bq loops: the bq_reset extra columns ride the
+    compact dynamics' 16-bit pair packing (W=2 at this geometry)."""
+    run_horizon_both(seed=13, H=4, block=512, short_bq=True)
+
+
+def test_horizon_equivalence_odd_bpm_offset_start():
+    run_horizon_both(seed=14, H=8, spt=SR * 60.0 / (137.77 * 96.0),
+                     start0=12800.0)
+
+
+def test_horizon_snapshots_restore_compatible():
+    """snaps[h] views must drive VoicePool.restore_state like the dict
+    copies save_state returns (the engine restores per emitted slice)."""
+    pool = make_pool(seed=15)
+    lane = np.ones(12, bool)
+    res = hostcore.horizon_update(
+        pool, slices=4, block_start_sample=0.0, tick_anchor_sample=0.0,
+        tick_anchor=0, samples_per_tick=250.0, lane_enabled=lane)
+    assert res is not None
+    _, _, _, snaps, _ = res
+    pool.restore_state(snaps[1])
+    np.testing.assert_array_equal(pool.pos_int, snaps[1]["pos_int"])
+    pool.restore_state(snaps[3])
+    np.testing.assert_array_equal(pool.env, snaps[3]["env"])

@@ -502,17 +502,22 @@ def test_unencodable_dynamics_fall_back_to_per_block():
         assert voice_ops.pack_horizon_dynamics(
             [(bad, pf2)], eng.pool.istart) is None, f"col {col}"
 
-    # engine-level: force the failure; output must equal per-block dispatch
-    import libzl_tpu.engine.engine as engine_mod
+    # engine-level: force the failure (in whichever sim implementation the
+    # engine uses — the native one-call horizon or the numpy packer);
+    # output must equal per-block dispatch
+    from libzl_tpu.engine import hostcore as hostcore_mod
 
     script = {0: lambda e, c: _play(e, c)}
     off, pk_off, _ = _run_script(0, script, blocks=40)
     orig = voice_ops.pack_horizon_dynamics
+    orig_native = hostcore_mod.horizon_update
     try:
         voice_ops.pack_horizon_dynamics = lambda *a, **k: None
+        hostcore_mod.horizon_update = lambda *a, **k: None
         on, pk_on, eng_on = _run_script("auto", script, blocks=40)
     finally:
         voice_ops.pack_horizon_dynamics = orig
+        hostcore_mod.horizon_update = orig_native
     assert not eng_on._h_slices, "horizon must not engage when unencodable"
     np.testing.assert_array_equal(on, off)
     np.testing.assert_array_equal(pk_on, pk_off)
