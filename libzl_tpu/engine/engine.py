@@ -1380,6 +1380,12 @@ class AudioEngine:
         else:
             for w in work:
                 out = warm_one(*w)
+        if self._lookahead:
+            # pay the speculative dispatch worker's cold start (thread
+            # spawn + first jit enqueue from that thread) at boot: the
+            # first _maybe_build_spec otherwise lands it mid-realtime
+            # (MULTICHIP_r04's unexplained 648 ms max block)
+            out = self._spec_executor().submit(warm_one, *work[-1]).result()
         # one REAL device->host transfer: block_until_ready alone does not
         # validate the readback path everywhere (on relay-attached TPUs the
         # first D2H stalls for minutes — pay that at boot, never inside the

@@ -73,6 +73,10 @@ class SloCounter:
         # "emit" slices vs "horizon"/"event_rebuild"/"spec" builds vs
         # "per_block" dispatches (untagged observations land in "block")
         self.by_kind: dict = {}
+        # dispatch path of the most recent observation — lets harnesses
+        # (dryrun_multichip) attribute per-block wall time to a path
+        # without threading state through the engine
+        self.last_kind: str = ""
 
     def observe(self, seconds: float, budget_blocks: int = 1,
                 kind: str = "block") -> bool:
@@ -81,6 +85,7 @@ class SloCounter:
         call, so its deadline is H periods (the pump runs that far ahead;
         the counter predicts dropouts, not per-call latency)."""
         self.total_blocks += 1
+        self.last_kind = kind
         budget = self.budget * max(budget_blocks, 1)
         stats = self.by_kind.setdefault(kind, [0, 0, 0.0])
         stats[1] += 1
