@@ -42,8 +42,12 @@ def main(out_path="/tmp/multichip_demo.wav"):
     n_dev = len(mesh.devices.flatten())
     print(f"mesh: {n_dev} devices ({mesh.devices.flatten()[0].platform})")
 
+    # LIBZL_DEMO_VOICES / LIBZL_DEMO_SECONDS shrink the demo (the test
+    # suite runs it at a smaller pool to keep the CPU-mesh wall time down;
+    # the sharding path exercised is identical)
+    num_voices = int(os.environ.get("LIBZL_DEMO_VOICES", "4096") or 4096)
     engine = AudioEngine(
-        sample_rate=SR, block_frames=1024, num_voices=4096, mesh=mesh
+        sample_rate=SR, block_frames=1024, num_voices=num_voices, mesh=mesh
     )
     engine.start_transport(bpm=128)
 
@@ -77,8 +81,9 @@ def main(out_path="/tmp/multichip_demo.wav"):
                 delay=int(rng.integers(0, 48)),
             )
 
+    seconds = float(os.environ.get("LIBZL_DEMO_SECONDS", "2.0") or 2.0)
     blocks = []
-    for _ in range(int(2.0 * SR) // engine.block_frames):
+    for _ in range(int(seconds * SR) // engine.block_frames):
         res = engine.process_block()
         blocks.append(np.asarray(res.outputs.master))
     master = np.concatenate(blocks, axis=0)

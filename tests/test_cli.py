@@ -162,7 +162,8 @@ def test_trace_subcommand(tmp_path, capsys):
     src = tmp_path / "in.wav"
     make_tone(src, seconds=0.2)
     out = tmp_path / "trace"
-    rc = main(["trace", str(src), str(out), "--blocks", "3"])
+    rc = main(["trace", str(src), str(out), "--blocks", "3",
+               "--voices", "16"])
     assert rc == 0
     files = [p for p in out.rglob("*") if p.is_file()]
     assert files, "no profiler trace files written"

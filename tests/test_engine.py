@@ -266,8 +266,10 @@ def test_int16_bank_backend_equality():
     from libzl_tpu.models.clip import ClipAudioSource
 
     def run(backend, dtype):
+        # per-block: bank quantization is a fetch-path property; the
+        # int16 horizon path is covered by the windows-kernel tests
         e = AudioEngine(sample_rate=SR, backend=backend, num_voices=16,
-                        bank_dtype=dtype)
+                        bank_dtype=dtype, lookahead=0)
         t = np.arange(12000) / SR
         c = ClipAudioSource(e, audio=AudioData(
             (0.4 * np.sin(2 * np.pi * 330 * t)).astype(np.float32)[:, None],
@@ -298,8 +300,11 @@ def test_max_pitch_ratio_option():
     from libzl_tpu.models.clip import ClipAudioSource
 
     def run(**kw):
+        # lookahead=0: slab sizing + the gather fallback are per-block
+        # dispatch properties; the horizon variant is covered by
+        # test_over_envelope_note_gather_fallback_bit_equal (suite budget)
         e = AudioEngine(sample_rate=SR, backend="jax", num_voices=16,
-                        fetch="windows", **kw)
+                        fetch="windows", lookahead=0, **kw)
         t = np.arange(12000) / SR
         c = ClipAudioSource(e, audio=AudioData(
             (0.4 * np.sin(2 * np.pi * 330 * t)).astype(np.float32)[:, None],
@@ -443,7 +448,13 @@ def test_compile_cache_env(tmp_path, monkeypatch):
 
     monkeypatch.setenv("LIBZL_TPU_COMPILE_CACHE", str(tmp_path))
     old_dir = jax.config.jax_compilation_cache_dir
+    old_min = jax.config.jax_persistent_cache_min_compile_time_secs
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    # jax initializes the persistent cache ONCE (the suite's conftest
+    # already did, pointing at the shared suite cache); reset so the
+    # engine's dir update actually takes effect for this process
+    from jax.experimental.compilation_cache import compilation_cache as cc
+
     try:
         # a block size no other test uses: the persistent cache only
         # writes on a FRESH XLA compile, so a shape already in the
@@ -451,6 +462,7 @@ def test_compile_cache_env(tmp_path, monkeypatch):
         # would make this assertion order-dependent
         e = AudioEngine(sample_rate=SR, num_voices=8, backend="jax",
                         block_frames=352)
+        cc.reset_cache()  # re-init at the engine-configured directory
         x = (0.3 * np.sin(2 * np.pi * 220 * np.arange(SR // 10) / SR)
              ).astype(np.float32)[:, None]
         clip = ClipAudioSource(e, audio=AudioData(x, SR))
@@ -459,8 +471,10 @@ def test_compile_cache_env(tmp_path, monkeypatch):
         e.process_block()
         assert len(glob.glob(str(tmp_path) + "/*")) >= 1
     finally:
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                          old_min)
         jax.config.update("jax_compilation_cache_dir", old_dir)
+        cc.reset_cache()  # back to the suite-wide cache (conftest)
 
 
 def test_windows_precision_suffix_validated():
@@ -831,8 +845,10 @@ def test_over_envelope_note_gather_fallback_bit_equal():
         cmd.change_looping = True
         cmd.start_playback = True
         e.schedule_clip_command(cmd, 0)
+        # 24 blocks: the horizon engages at block 3 (clean-run gate) and a
+        # second one starts at 19, so both fallback dispatches are covered
         out = np.concatenate([
-            np.asarray(e.process_block().outputs.master) for _ in range(40)
+            np.asarray(e.process_block().outputs.master) for _ in range(24)
         ])
         return out, e
 
@@ -854,8 +870,11 @@ def test_quirk_gain_strict_reference_mode_end_to_end():
     quirked numpy mirror exactly, and differ from the corrected default
     at a fractional-position pitch ratio."""
     def run(backend, quirk):
+        # lookahead=0: the quirk lives in the per-sample interpolation
+        # math, identical in every dispatch path (horizon bit-exactness
+        # has its own differentials); per-block keeps the suite fast
         e = AudioEngine(sample_rate=SR, backend=backend, num_voices=16,
-                        quirk_gain=quirk)
+                        quirk_gain=quirk, lookahead=0)
         c = make_clip(e)
         c.root_note = 57  # note 60 -> ratio 2^(3/12): fractional positions
         e.start_transport(bpm=120)

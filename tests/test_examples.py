@@ -75,7 +75,11 @@ def test_midi_live_demo(tmp_path):
     assert float(np.abs(audio.samples).max()) > 0.005
 
 
-def test_multichip_demo(tmp_path):
+def test_multichip_demo(tmp_path, monkeypatch):
+    # a 512-voice pool keeps the CPU-mesh wall time down; the pjit path,
+    # mesh construction and psum mixdown are identical to the 4096 default
+    monkeypatch.setenv("LIBZL_DEMO_VOICES", "512")
+    monkeypatch.setenv("LIBZL_DEMO_SECONDS", "1.0")
     out = tmp_path / "mesh.wav"
     proc = _run(["examples/multichip_demo.py", str(out)])
     assert "mesh: 8 devices" in proc.stdout

@@ -357,11 +357,15 @@ def test_random_traffic_differential(seed):
             peaks.append(np.asarray(res.outputs.voice_peaks))
         return np.concatenate(outs), np.stack(peaks)
 
+    from tests._budget import fuzz_blocks
+
+    blocks = fuzz_blocks(quick=110, full=180)
     eng_on, clips_on = build()
-    on, pk_on = drive(eng_on, clips_on, np.random.default_rng(seed), 180)
+    on, pk_on = drive(eng_on, clips_on, np.random.default_rng(seed), blocks)
     eng_off, clips_off = build()
     eng_off._lookahead = 0
-    off, pk_off = drive(eng_off, clips_off, np.random.default_rng(seed), 180)
+    off, pk_off = drive(eng_off, clips_off, np.random.default_rng(seed),
+                        blocks)
     np.testing.assert_array_equal(on, off)
     np.testing.assert_array_equal(pk_on, pk_off)
     # both engines agree on the end state (emission syncs the mirror

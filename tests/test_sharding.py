@@ -82,8 +82,12 @@ def test_engine_on_mesh_matches_single_device():
     from libzl_tpu.parallel.sharding import make_mesh
 
     def run(mesh):
+        # lookahead=0: this pins the sharded per-block reduction; the
+        # mesh+horizon composition has its own bit-equal differential
+        # (test_randomized_session_mesh_lookahead_bit_equal)
         engine = AudioEngine(
-            sample_rate=48000, backend="jax", num_voices=32, mesh=mesh
+            sample_rate=48000, backend="jax", num_voices=32, mesh=mesh,
+            lookahead=0,
         )
         t = np2.arange(12000) / 48000
         clip = ClipAudioSource(
@@ -246,9 +250,12 @@ def test_mesh_bucket_ladder_matches_full_pool():
     from libzl_tpu.parallel.sharding import make_mesh
 
     def run(voice_buckets):
+        # lookahead=0 pins the bucket ladder itself (half the compiled
+        # graphs); ladder-under-horizon engagement on a mesh is covered
+        # by dryrun_multichip + the mesh lookahead differential
         engine = AudioEngine(
             sample_rate=48000, backend="jax", num_voices=128,
-            mesh=make_mesh(8), voice_buckets=voice_buckets,
+            mesh=make_mesh(8), voice_buckets=voice_buckets, lookahead=0,
         )
         t = np.arange(9000) / 48000
         clip = ClipAudioSource(

@@ -184,7 +184,9 @@ def test_soak_random_traffic():
 def test_soak_jax_backend():
     """Shorter run through the jit dispatch path: exercises program packing,
     the device strip cache (fuzzes invalidation), and the idle shortcut."""
-    _soak("jax", 600, 99)
+    from tests._budget import fuzz_blocks
+
+    _soak("jax", fuzz_blocks(quick=300, full=600), 99)
 
 
 def test_soak_extended_traffic(tmp_path):

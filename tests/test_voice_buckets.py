@@ -233,7 +233,9 @@ def test_lookahead_bucket_tolerance():
     for eng, clip in ((eng_a, clip_a), (eng_b, clip_b)):
         for i in range(12):
             _play(eng, clip, 40 + i, channel=i % 10)
-    for b in range(40):
+    # 24 blocks: horizons engage at 3 and roll over at 11/19 (H=8), so
+    # bucketed-vs-full covers build, adoption and emission phases
+    for b in range(24):
         ra = eng_a.process_block()
         rb = eng_b.process_block()
         np.testing.assert_allclose(
