@@ -55,7 +55,11 @@ LIVE_BLOCK = 128
 # total wall budget (seconds) for the whole bench, fence and retries
 # included. The driver's own timeout killed BENCH_r04 before any output;
 # finishing early with partial fields beats dying silent with all of them.
-BUDGET_S = float(os.environ.get("LIBZL_BENCH_BUDGET_S", "540") or 540)
+# Default sizing: rounds 1-3 ran 10-15+ min under the driver (fence alone
+# can stall 5-20 min on a slow relay family, NOTES_TPU_ENV.md) and their
+# BENCH lines all parsed, so the driver's cap is comfortably above 20 min;
+# a 540 s trial run spent 525 s in the fence and emitted all fields -1.
+BUDGET_S = float(os.environ.get("LIBZL_BENCH_BUDGET_S", "1200") or 1200)
 # wall margin the child keeps for printing + teardown
 _CHILD_MARGIN_S = 10.0
 
@@ -546,14 +550,36 @@ def _run_with_retries(attempts: int = 3) -> int:
     self-terminates with a partial JSON line before the parent's cap."""
     import subprocess
 
-    best: tuple[float, str] | None = None  # (headline value, line)
+    state = {"best": None}  # (headline value, line)
+    emitted = threading.Event()
 
     def _emit_best() -> int:
-        if best is None:
+        if emitted.is_set():
+            return 0
+        emitted.set()
+        if state["best"] is None:
             return 1
-        sys.stdout.write(best[1] + "\n")
+        sys.stdout.write(state["best"][1] + "\n")
         sys.stdout.flush()
         return 0
+
+    def _parent_watchdog() -> None:
+        # the parent holds candidate lines while retrying (a degraded or
+        # empty first attempt); if the shared deadline arrives mid-child,
+        # emit the best candidate NOW rather than risk the driver's own
+        # timeout killing us with the line still buffered here
+        delay = _DEADLINE - 2.0 - time.monotonic()
+        if delay > 0:
+            time.sleep(delay)
+        if not emitted.is_set() and state["best"] is not None:
+            print("bench parent: budget exhausted mid-retry; emitting best "
+                  "candidate", file=sys.stderr, flush=True)
+            _emit_best()
+            sys.stdout.flush()
+            os._exit(0)
+
+    threading.Thread(target=_parent_watchdog, daemon=True,
+                     name="bench-parent-watchdog").start()
 
     for attempt in range(attempts):
         remaining = _DEADLINE - time.monotonic()
@@ -561,7 +587,7 @@ def _run_with_retries(attempts: int = 3) -> int:
             print(f"bench: {remaining:.0f}s left — not enough for another "
                   "attempt", file=sys.stderr, flush=True)
             break
-        if attempt and best is None:
+        if attempt and state["best"] is None:
             delay = min(30.0 * attempt, max(remaining - 60, 0))
             print(f"bench attempt {attempt} failed; retrying in {delay:.0f}s "
                   "(relay outages are transient)", file=sys.stderr, flush=True)
@@ -608,14 +634,22 @@ def _run_with_retries(attempts: int = 3) -> int:
                 value = float(json.loads(result_line).get("value", -1))
             except ValueError:
                 value = -1.0
-            if best is None or value > best[0]:
-                best = (value, result_line)
+            if state["best"] is None or value > state["best"][0]:
+                state["best"] = (value, result_line)
             if proc.returncode == 3:
                 # degraded-family bail: the line is a throughput-only
                 # fallback; a fresh process may land a healthy family
                 print("bench child reported a degraded relay family; "
                       "retrying in a fresh process", file=sys.stderr,
                       flush=True)
+                continue
+            if value <= 0 and attempt + 1 < attempts \
+                    and _DEADLINE - time.monotonic() > 300:
+                # an empty partial (e.g. the fence ate the child's whole
+                # budget): hold it as a floor and try a fresh process —
+                # fence time is relay-family-bound, a new family may fly
+                print("bench child measured nothing (value <= 0); retrying "
+                      "in a fresh process", file=sys.stderr, flush=True)
                 continue
             if proc.returncode != 0:
                 print(f"bench child exited {proc.returncode} after printing "

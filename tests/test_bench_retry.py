@@ -169,6 +169,21 @@ def test_degraded_family_retried_and_best_line_wins(monkeypatch, bench_mod,
     assert capsys.readouterr().out == fast + "\n"
 
 
+def test_empty_partial_is_retried_and_floor_kept(monkeypatch, bench_mod,
+                                                 capsys):
+    """A child whose fence ate the whole budget emits an all--1 partial
+    (value -1, rc 0). The parent must hold it as a floor and try a fresh
+    process — a new relay family may fence in seconds — then emit the
+    healthy line."""
+    empty = json.dumps({"metric": "realtime_factor", "value": -1.0,
+                        "unit": "x_realtime", "vs_baseline": -1.0,
+                        "partial": True})
+    fake = _patch(monkeypatch, bench_mod, [(0, empty + "\n"), 0])
+    assert bench_mod._run_with_retries() == 0
+    assert len(fake.calls) == 2
+    assert capsys.readouterr().out == _RESULT + "\n"
+
+
 def test_degraded_family_fallback_survives_failed_retry(monkeypatch,
                                                         bench_mod, capsys):
     """If the fresh-process retry after a degraded-family bail fails

@@ -57,7 +57,7 @@ def _host_loop_once(eng):
     lane = eng.lane_enabled.copy()
     packed, snaps, dieds = [], [], []
     for h in range(H):
-        pi, pf, adv = hostcore.voice_update(
+        pi, pf, died_info = hostcore.voice_update(
             eng.pool, block_start_sample=start0 + h * B,
             tick_anchor_sample=eng.clock.anchor_sample,
             tick_anchor=eng.clock.anchor_tick,
@@ -66,7 +66,7 @@ def _host_loop_once(eng):
         )
         packed.append((pi, pf))
         snaps.append(eng.pool.save_state())
-        dieds.append(list(zip(adv["died_clips"], adv["died_positions"])))
+        dieds.append(died_info)
     dyn = voice_ops.pack_horizon_dynamics(packed[1:], eng.pool.istart)
     base = voice_ops.fuse_packed(*packed[0])
     eng.pool.restore_state(snap_pre)
