@@ -256,8 +256,11 @@ class AudioEngine:
         # speculative NEXT horizon: built+dispatched mid-emission from the
         # current horizon's end snapshot so device render overlaps
         # emission (see _maybe_build_spec); adopted at exhaustion
-        self._h_next: Optional[tuple] = None
+        self._h_next = None  # Future from the dispatch worker, or None
         self._h_next_start = 0.0
+        # dedicated pools for worker-side speculative sims (never the live
+        # pool off the engine thread); free list, see _spec_pool_acquire
+        self._spec_pools: list = []
         self._h_spec_tried = False
         self._spec_built_this_block = False
         self._clean_run = 0
@@ -911,9 +914,16 @@ class AudioEngine:
         self._h_cursor += 1
         return out
 
-    def _sim_horizon_bundle(self, start0: float):
+    def _sim_horizon_bundle(self, start0: float, pool=None, lane=None,
+                            anchor=None, sound=None, strips=None):
         """Sim H blocks from the CURRENT pool state and dispatch ONE
         compact horizon render.
+
+        `pool`/`lane`/`anchor`/`sound`/`strips` default to live engine
+        state (the synchronous _start_horizon path); the speculative path
+        passes a dedicated spec pool plus engine-thread-resolved inputs so
+        the whole sim can run on the dispatch worker without touching the
+        live pool (see _maybe_build_spec).
 
         The horizon is H per-block programs built by simulating the host's
         own per-block build+advance chain (native core or numpy mirror) —
@@ -939,18 +949,22 @@ class AudioEngine:
 
         H = self._lookahead
         B = self.block_frames
-        # persistent frozen-lane buffer: stable identity keeps the native
-        # host core's pointer-struct cache warm across horizons
-        # (hostcore._build_state); content is re-frozen per build
-        lane = getattr(self, "_h_lane", None)
+        if pool is None:
+            pool = self.pool
         if lane is None:
-            lane = self._h_lane = np.empty_like(self.lane_enabled)
-        lane[:] = self.lane_enabled
-        anchor = dict(
-            tick_anchor_sample=self.clock.anchor_sample,
-            tick_anchor=self.clock.anchor_tick,
-            samples_per_tick=self.clock.samples_per_tick,
-        )
+            # persistent frozen-lane buffer: stable identity keeps the
+            # native host core's pointer-struct cache warm across horizons
+            # (hostcore._build_state); content is re-frozen per build
+            lane = getattr(self, "_h_lane", None)
+            if lane is None:
+                lane = self._h_lane = np.empty_like(self.lane_enabled)
+            lane[:] = self.lane_enabled
+        if anchor is None:
+            anchor = dict(
+                tick_anchor_sample=self.clock.anchor_sample,
+                tick_anchor=self.clock.anchor_tick,
+                samples_per_tick=self.clock.samples_per_tick,
+            )
         if self.use_native_host:
             # the WHOLE H-block sim (programs, compact dynamics, per-slice
             # snapshots and deaths) in one native call: the per-slice
@@ -960,7 +974,7 @@ class AudioEngine:
             from . import hostcore as _hostcore
 
             res = _hostcore.horizon_update(
-                self.pool, slices=H, block_start_sample=start0,
+                pool, slices=H, block_start_sample=start0,
                 lane_enabled=lane, **anchor,
             )
             if res is None:
@@ -968,48 +982,56 @@ class AudioEngine:
                 # to per-block dispatch after restoring its frontier
                 return None
             prog_i0, prog_f0, dyn, snaps, died_lists = res
-            dispatch = self._horizon_dispatch_closure(prog_i0, prog_f0, dyn)
+            dispatch = self._horizon_dispatch_closure(
+                prog_i0, prog_f0, dyn, sound=sound, strips=strips)
             return dispatch, snaps, died_lists
         packed: list = []
         snaps: list = []
         died_lists: list = []
         for h in range(H):
             args = dict(block_start_sample=start0 + h * B, **anchor)
-            prog = self.pool.build_program(lane_enabled=lane, **args)
+            prog = pool.build_program(lane_enabled=lane, **args)
             prog_i, prog_f = pack_program(prog)
-            adv = self.pool.advance(prog)
+            adv = pool.advance(prog)
             died = list(zip(adv["died_clips"], adv["died_positions"]))
             packed.append((prog_i, prog_f))
-            snaps.append(self.pool.save_state())
+            snaps.append(pool.save_state())
             died_lists.append(died)
         # the sim advanced the pool H blocks; emission re-anchors it per
         # slice from the snapshots (slice 0 below), so no state is lost
-        dyn = pack_horizon_dynamics(packed[1:], self.pool.istart)
+        dyn = pack_horizon_dynamics(packed[1:], pool.istart)
         if dyn is None:
             # a slice exceeded the compact encoding (foreign release frame
             # / pending start past slice 0): caller falls back to
             # per-block dispatch after restoring its frontier
             return None
         prog_i0, prog_f0 = packed[0]
-        dispatch = self._horizon_dispatch_closure(prog_i0, prog_f0, dyn)
+        dispatch = self._horizon_dispatch_closure(
+            prog_i0, prog_f0, dyn, sound=sound, strips=strips)
         return dispatch, snaps, died_lists
 
-    def _horizon_dispatch_closure(self, prog_i0, prog_f0, dyn):
-        """Resolve everything a compact-horizon dispatch needs from engine
-        state NOW (on the engine thread: device-resident sound/strips
-        caches, bucket, rung, mesh fn) and return a zero-argument closure
-        that performs ONLY the jit call — upload of base+dyn plus enqueue,
-        no engine state touched — so the speculative path can run it on
-        the dispatch worker while the engine thread keeps processing
-        blocks (the upload is ~5-6 ms of host-thread time through the
-        relay at V=1024, tools/tpu_probe4_r4.py xfer curve)."""
+    def _horizon_dispatch_closure(self, prog_i0, prog_f0, dyn,
+                                  sound=None, strips=None):
+        """Resolve everything a compact-horizon dispatch needs (device-
+        resident sound/strips caches, bucket, rung, mesh fn) and return a
+        zero-argument closure that performs ONLY the jit call — upload of
+        base+dyn plus enqueue, no engine state touched (the upload is
+        ~5-6 ms of host-thread time through the relay at V=1024,
+        tools/tpu_probe4_r4.py xfer curve). The speculative path passes
+        `sound`/`strips` resolved on the engine thread and runs the rest
+        HERE on the dispatch worker: bucket/rung are pure functions of the
+        simmed program plus config the adoption fingerprint re-checks, and
+        _mesh_render's jit cache is GIL-atomic, so a concurrent engine-
+        thread dispatch at worst duplicates a compile, never corrupts."""
         from ..ops.voice import fuse_packed
 
         H = self._lookahead
         B = self.block_frames
         base = fuse_packed(prog_i0, prog_f0)
-        sound = self._sound_data_for_backend()
-        strips = self._packed_strips_for_backend()
+        if sound is None:
+            sound = self._sound_data_for_backend()
+        if strips is None:
+            strips = self._packed_strips_for_backend()
         # slice 0 bounds the whole horizon: no events land mid-horizon by
         # construction, so the active high-water and the pitch-ratio
         # envelope can only shrink across slices
@@ -1073,29 +1095,81 @@ class AudioEngine:
         overlap hides the device half entirely). Any event/OOB mutation
         discards the speculation with the horizon (_discard_horizon); an
         unencodable program simply leaves the speculation unbuilt (one
-        attempt per horizon — _h_spec_tried)."""
+        attempt per horizon — _h_spec_tried).
+
+        The WHOLE build runs on the dispatch worker: sim on a dedicated
+        spec pool (the live pool is never touched off the engine thread),
+        then program fuse + bucket/rung resolution + upload/enqueue. The
+        engine thread's speculative-build block pays only input
+        resolution + submit (~0.05 ms) — round 4 paid the ~3.9 ms
+        sim+closure inline here, the largest residual live-path host cost
+        (tools/tpu_probe2_r5.py kind stats; VERDICT r4 #2). The worker
+        syncs the spec pool from the live pool itself: torn reads are
+        safe because every advance-mutated field is overwritten by
+        end_snap and any other mutation is an event, which discards this
+        speculation before adoption (VoicePool.sync_from)."""
         self._h_spec_tried = True
         end_snap = self._h_snaps[-1]
         if not end_snap["active"].any():
             # whole pool dies within the current horizon: the successor is
             # silence, which the idle shortcut delivers without a dispatch
             return
-        frontier = self.pool.save_state()
-        self.pool.restore_state(end_snap)
         start_next = self._h_start0 + len(self._h_slices) * self.block_frames
-        bundle = self._sim_horizon_bundle(start_next)
-        self.pool.restore_state(frontier)
-        if bundle is None:
-            return
-        dispatch, snaps, died_lists = bundle
-        # the dispatch closure is pure-functional (everything engine-state
-        # resolved on this thread); run its ~5-6 ms of upload+enqueue on
-        # the dispatch worker so the engine thread's speculative-build
-        # block pays only the host sim
-        self._h_next = (self._spec_executor().submit(dispatch),
-                        snaps, died_lists)
+        # inputs an event could mutate under the worker are resolved HERE
+        # (cheap: version-gated caches + a lane memcpy + three floats)
+        lane = getattr(self, "_spec_lane", None)
+        if lane is None or lane.shape != self.lane_enabled.shape:
+            lane = self._spec_lane = np.empty_like(self.lane_enabled)
+        lane[:] = self.lane_enabled
+        anchor = dict(
+            tick_anchor_sample=self.clock.anchor_sample,
+            tick_anchor=self.clock.anchor_tick,
+            samples_per_tick=self.clock.samples_per_tick,
+        )
+        sound = self._sound_data_for_backend()
+        strips = self._packed_strips_for_backend()
+
+        def build():
+            pool = self._spec_pool_acquire()
+            try:
+                pool.sync_from(self.pool)
+                pool.restore_state(end_snap)
+                bundle = self._sim_horizon_bundle(
+                    start_next, pool=pool, lane=lane, anchor=anchor,
+                    sound=sound, strips=strips,
+                )
+            finally:
+                self._spec_pools.append(pool)
+            if bundle is None:
+                # unencodable program: adoption falls back to a fresh
+                # synchronous horizon (pool state above was private)
+                return None
+            dispatch, snaps, died_lists = bundle
+            return dispatch(), snaps, died_lists
+
+        self._h_next = self._spec_executor().submit(build)
         self._h_next_start = start_next
         self._spec_built_this_block = True
+
+    def _spec_pool_acquire(self):
+        """A spec pool matching the live geometry, from the free list or
+        fresh (worker-side: list ops are GIL-atomic, and pools return to
+        the list only after their build's sim completes — a discard storm
+        that queues several builds on the single worker never shares a
+        pool between an in-flight sim and a new one)."""
+        from .voicestate import VoicePool
+
+        try:
+            pool = self._spec_pools.pop()
+        except IndexError:
+            pool = None
+        live = self.pool
+        if (pool is None or pool.num_voices != live.num_voices
+                or pool.block_frames != live.block_frames
+                or pool.output_rate != live.output_rate):
+            pool = VoicePool(live.num_voices, live.block_frames,
+                             live.output_rate)
+        return pool
 
     def _adopt_spec(self) -> Optional[render_mod.RenderOutputs]:
         """Install the speculative horizon at exhaustion and emit its
@@ -1107,15 +1181,21 @@ class AudioEngine:
                 or float(self.clock.sample_position) != self._h_next_start):
             self._h_next = None
             return None
-        future, snaps, died_lists = self._h_next
+        future = self._h_next
         try:
-            slices = future.result()
+            res = future.result()
         except Exception:
             # a failed speculative dispatch (e.g. backend teardown in a
             # test harness) must not take down the audio path: fall back
             # to a fresh synchronous horizon
             self._h_next = None
             return None
+        if res is None:
+            # the speculative sim hit an unencodable program: fall back to
+            # a fresh synchronous horizon (which re-decides per-block)
+            self._h_next = None
+            return None
+        slices, snaps, died_lists = res
         self._h_slices = slices
         self._h_snaps = snaps
         self._h_died = died_lists

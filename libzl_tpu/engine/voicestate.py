@@ -238,6 +238,34 @@ class VoicePool:
         for n, a in snap.items():
             getattr(self, n)[:] = a
 
+    def sync_from(self, src: "VoicePool") -> None:
+        """Mirror `src`'s FULL per-voice state into this pool.
+
+        Speculative horizon builds sim on a dedicated pool on the dispatch
+        worker (engine._maybe_build_spec) so the live pool is never touched
+        off the engine thread. Array contents are copied in place — stable
+        identities keep the native host core's per-pool pointer cache warm
+        (hostcore._build_state) — and the cache itself is never copied (it
+        holds raw pointers into the OWNING pool's buffers). Scalar state
+        (_next_position_id, geometry) copies by value. Safe against torn
+        reads when `src` is concurrently advanced by emission restores:
+        every advance-mutated field is overwritten by the caller's
+        restore_state(end_snap) right after, and any mutation of the
+        remaining fields is an engine event, which discards the
+        speculation before it can be adopted."""
+        for k, v in src.__dict__.items():
+            if k == "_hostcore_state_cache":
+                continue
+            if isinstance(v, np.ndarray):
+                mine = self.__dict__.get(k)
+                if (isinstance(mine, np.ndarray) and mine.shape == v.shape
+                        and mine.dtype == v.dtype):
+                    mine[...] = v
+                else:
+                    self.__dict__[k] = v.copy()
+            else:
+                self.__dict__[k] = v
+
     def rebase_clip(self, clip_id: int, base: int, length: int) -> None:
         """Re-point live voices of `clip_id` at a swapped playback render.
 
