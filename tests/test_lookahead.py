@@ -525,3 +525,53 @@ def test_unencodable_dynamics_fall_back_to_per_block():
     assert not eng_on._h_slices, "horizon must not engage when unencodable"
     np.testing.assert_array_equal(on, off)
     np.testing.assert_array_equal(pk_on, pk_off)
+
+
+def test_spec_pool_sync_from_mirrors_and_stays_identity_stable():
+    """sync_from must mirror EVERY pool field by content while keeping the
+    destination's array identities (the native host core's pointer cache
+    is keyed on them, hostcore._build_state) and must never copy the
+    pointer cache itself — it holds raw addresses into the OWNING pool's
+    buffers (engine._maybe_build_spec worker-side sim)."""
+    from libzl_tpu.engine.voicestate import VoicePool
+
+    rng = np.random.default_rng(7)
+    src = VoicePool(16, 128, 48000.0)
+    for v in range(10):
+        src.note_on(
+            v, clip_id=v, midi_note=int(rng.integers(40, 80)),
+            midi_channel=0, lane=v % 12, base=1000 * v, length=48000,
+            source_rate=48000.0, root_note=60, start_sec=0.0, stop_sec=1.0,
+            gain=0.5, clip_volume=1.0, pan=0.1, attack=0.01, decay=0.05,
+            sustain=0.7, release=0.2, looping=bool(v % 2),
+            length_beats=2.0, start_tick=0,
+        )
+    src._hostcore_state_cache = ("sentinel", [], None)
+
+    dst = VoicePool(16, 128, 48000.0)
+    before_ids = {k: id(v) for k, v in dst.__dict__.items()
+                  if isinstance(v, np.ndarray)}
+    dst.sync_from(src)
+    for k, v in src.__dict__.items():
+        if k == "_hostcore_state_cache":
+            continue
+        got = dst.__dict__[k]
+        if isinstance(v, np.ndarray):
+            np.testing.assert_array_equal(got, v, err_msg=k)
+            assert got is not v, f"{k} aliases the source pool"
+            assert id(got) == before_ids[k], f"{k} identity rebound"
+        else:
+            assert got == v, k
+    assert "_hostcore_state_cache" not in dst.__dict__
+    assert dst._next_position_id == src._next_position_id
+
+    # a lazily-created source scratch array appears on the destination
+    prog = src.build_program(
+        block_start_sample=0.0, tick_anchor_sample=0.0, tick_anchor=0,
+        samples_per_tick=100.0, lane_enabled=np.ones(12, bool),
+    )
+    src.advance(prog)
+    dst2 = VoicePool(16, 128, 48000.0)
+    dst2.sync_from(src)
+    np.testing.assert_array_equal(dst2._stop_frames, src._stop_frames)
+    assert dst2._stop_frames is not src._stop_frames
