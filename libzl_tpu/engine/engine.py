@@ -261,6 +261,9 @@ class AudioEngine:
         # dedicated pools for worker-side speculative sims (never the live
         # pool off the engine thread); free list, see _spec_pool_acquire
         self._spec_pools: list = []
+        # generation counter for cancelling orphaned speculative builds
+        # (bumped by _discard_horizon; read GIL-atomically on the worker)
+        self._spec_gen = 0
         self._h_spec_tried = False
         self._spec_built_this_block = False
         self._clean_run = 0
@@ -569,6 +572,13 @@ class AudioEngine:
         self._h_cursor = 0
         self._h_next = None
         self._h_spec_tried = False
+        # stale-generation mark: a discarded speculative build that is
+        # still queued/running on the dispatch worker early-exits at its
+        # next checkpoint instead of burning ~10 ms of worker time per
+        # orphan — in an event storm the orphan churn queued real builds
+        # behind it and the adoption wait surfaced as emit-block SLO
+        # misses (r5b storm soak: 0.855% vs round-4's 0.105%)
+        self._spec_gen += 1
 
     def _apply_timer_command(self, cmd: TimerCommand, tick: int,
                              frame_offset: int) -> None:
@@ -761,10 +771,13 @@ class AudioEngine:
                     max_pitch_ratio=r,
                 )
             else:
+                from ..ops.voice import fused_cols
+
                 fn = make_shardmap_horizon_render(
                     self.mesh, block_frames=self.block_frames,
                     slices=self._lookahead, quirk_gain=self.quirk_gain,
                     fetch=fetch, max_pitch_ratio=r,
+                    base_cols=fused_cols(self.pool.n_bq_extra),
                 )
             self._mesh_renders[key] = fn
         return fn
@@ -1028,6 +1041,11 @@ class AudioEngine:
         H = self._lookahead
         B = self.block_frames
         base = fuse_packed(prog_i0, prog_f0)
+        # base+dyn ship as ONE int32 buffer: the relay's per-transfer fixed
+        # cost (~3.5-4 ms at horizon sizes, NOTES transfer curve) is paid
+        # once per horizon instead of twice (render_horizon_onebuf)
+        K = base.shape[1]
+        hz = np.concatenate([base, dyn], axis=1)
         if sound is None:
             sound = self._sound_data_for_backend()
         if strips is None:
@@ -1043,22 +1061,21 @@ class AudioEngine:
             # voice_peaks return at the bucket length (update_session pads)
             fn = self._mesh_render("horizon", rmax)
             if rmax is not None and bucket is not None and bucket < V:
-                return lambda: list(fn(sound, base[:bucket], dyn[:bucket],
-                                       strips))
-            return lambda: list(fn(sound, base, dyn, strips))
+                return lambda: list(fn(sound, hz[:bucket], strips))
+            return lambda: list(fn(sound, hz, strips))
         fetch = self.fetch
         if rmax is None:
             # over-envelope pitch: slab-free gather at full pool
             fetch, rmax, bucket = "gather", self.max_pitch_ratio, None
         quirk = self.quirk_gain
         if bucket is not None and bucket < V:
-            return lambda: list(render_mod.render_horizon_compact(
-                sound, base[:bucket], dyn[:bucket], strips,
-                block_frames=B, slices=H, quirk_gain=quirk, fetch=fetch,
-                max_pitch_ratio=rmax, pad_voices_to=V,
+            return lambda: list(render_mod.render_horizon_onebuf(
+                sound, hz[:bucket], strips,
+                block_frames=B, slices=H, base_cols=K, quirk_gain=quirk,
+                fetch=fetch, max_pitch_ratio=rmax, pad_voices_to=V,
             ))
-        return lambda: list(render_mod.render_horizon_compact(
-            sound, base, dyn, strips, block_frames=B, slices=H,
+        return lambda: list(render_mod.render_horizon_onebuf(
+            sound, hz, strips, block_frames=B, slices=H, base_cols=K,
             quirk_gain=quirk, fetch=fetch, max_pitch_ratio=rmax,
         ))
 
@@ -1128,8 +1145,13 @@ class AudioEngine:
         )
         sound = self._sound_data_for_backend()
         strips = self._packed_strips_for_backend()
+        gen = self._spec_gen
 
         def build():
+            # orphan checkpoint #1: an event discarded this speculation
+            # while it sat in the worker queue — skip the whole build
+            if self._spec_gen != gen:
+                return None
             pool = self._spec_pool_acquire()
             try:
                 pool.sync_from(self.pool)
@@ -1145,6 +1167,10 @@ class AudioEngine:
                 # synchronous horizon (pool state above was private)
                 return None
             dispatch, snaps, died_lists = bundle
+            # orphan checkpoint #2: discarded mid-sim — skip the ~6-10 ms
+            # upload+enqueue (the result could never be adopted)
+            if self._spec_gen != gen:
+                return None
             return dispatch(), snaps, died_lists
 
         self._h_next = self._spec_executor().submit(build)
@@ -1389,6 +1415,12 @@ class AudioEngine:
                 np.int32,
             )
 
+        hz = None
+        if hdyn is not None:
+            # the dispatch ships base+dyn as ONE buffer (_horizon_dispatch_
+            # closure / render_horizon_onebuf); warm that exact signature
+            hz = np.concatenate([fused, hdyn], axis=1)
+
         def warm_one(s, rmax, kind):
             # mirror _dispatch_packed's exact static signature per bucket
             # (pad_voices_to participates in the jit cache key)
@@ -1398,7 +1430,7 @@ class AudioEngine:
                 if kind == "block":
                     out = fn(sound, fused[:s], strips)
                 else:
-                    out = fn(sound, fused[:s], hdyn[:s], strips)[0]
+                    out = fn(sound, hz[:s], strips)[0]
                 jax.block_until_ready(out.master)
                 return out
             fetch = self.fetch
@@ -1412,10 +1444,11 @@ class AudioEngine:
                     max_pitch_ratio=rmax, pad_voices_to=pad,
                 )
             else:
-                out = render_mod.render_horizon_compact(
-                    sound, fused[:s], hdyn[:s], strips,
+                out = render_mod.render_horizon_onebuf(
+                    sound, hz[:s], strips,
                     block_frames=self.block_frames,
-                    slices=self._lookahead, quirk_gain=self.quirk_gain,
+                    slices=self._lookahead, base_cols=fused.shape[1],
+                    quirk_gain=self.quirk_gain,
                     fetch=fetch, max_pitch_ratio=rmax,
                     pad_voices_to=pad,
                 )[0]

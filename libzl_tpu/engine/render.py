@@ -249,6 +249,15 @@ def render_horizon_compact(
     the compact form is ~4.5x smaller."""
     import jax.numpy as jnp
 
+    return _horizon_compact_outs(
+        jnp, sound_data, base_fused, dyn, strips_packed, block_frames,
+        slices, quirk_gain, fetch, max_pitch_ratio, pad_voices_to,
+    )
+
+
+def _horizon_compact_outs(jnp, sound_data, base_fused, dyn, strips_packed,
+                          block_frames, slices, quirk_gain, fetch,
+                          max_pitch_ratio, pad_voices_to):
     progs = voice_ops.horizon_programs(
         jnp, base_fused, dyn, slices, block_frames
     )
@@ -258,6 +267,42 @@ def render_horizon_compact(
         quirk_gain=quirk_gain, fetch=fetch, max_pitch_ratio=max_pitch_ratio,
     )
     return _pad_voice_peaks(outs, pad_voices_to, base_fused.shape[0])
+
+
+@functools.partial(
+    __import__("jax").jit,
+    static_argnames=("block_frames", "slices", "base_cols", "quirk_gain",
+                     "fetch", "max_pitch_ratio", "pad_voices_to"),
+)
+def render_horizon_onebuf(
+    sound_data,
+    hz_fused,
+    strips_packed,
+    block_frames: int,
+    slices: int,
+    base_cols: int,
+    quirk_gain: bool = False,
+    fetch: str = "gather",
+    max_pitch_ratio: float = 4.0,
+    pad_voices_to: int = 0,
+) -> tuple:
+    """render_horizon_compact with base program and compact dynamics
+    CONCATENATED into one int32 buffer [V, base_cols + 1+(H-1)*D]
+    (ops/voice.fused_cols gives the split point).
+
+    This is what the engine dispatches: the relay charges a near-flat
+    ~3.5-4 ms fixed cost per host->device transfer at horizon sizes
+    (NOTES_TPU_ENV.md transfer curve — ~4 ms across 64-373 KB), so
+    shipping ONE buffer instead of (base, dyn) saves a fixed cost every
+    horizon. The split is a free slice inside the jit; outputs are
+    bit-identical to render_horizon_compact on the pair."""
+    import jax.numpy as jnp
+
+    return _horizon_compact_outs(
+        jnp, sound_data, hz_fused[:, :base_cols], hz_fused[:, base_cols:],
+        strips_packed, block_frames, slices, quirk_gain, fetch,
+        max_pitch_ratio, pad_voices_to,
+    )
 
 
 @functools.partial(

@@ -151,6 +151,15 @@ def fuse_packed(prog_i: np.ndarray, prog_f: np.ndarray) -> np.ndarray:
     return np.concatenate([prog_i, prog_f.view(np.int32)], axis=1)
 
 
+def fused_cols(n_bq_extra: int = 0) -> int:
+    """Width of a fuse_packed program [V, Ki+Kf] at the given bq tail
+    (the pack_program layout above) — the static split point when a
+    horizon ships base+dynamics as one concatenated buffer."""
+    S = MAX_SEGMENTS_PER_BLOCK
+    return (len(_INT_SCALARS) + len(_INT_ENV) + 2 * S + len(_INT_TRAILER)
+            + n_bq_extra + len(_F32_SCALARS) + len(_F32_ENV) + S)
+
+
 def split_fused(fused):
     """Inverse of fuse_packed for traced jax values (or numpy)."""
     ki = fused.shape[1] - (len(_F32_SCALARS) + len(_F32_ENV)

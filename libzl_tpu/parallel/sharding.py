@@ -151,17 +151,21 @@ def make_shardmap_horizon_render(
     quirk_gain: bool = False,
     fetch: str = "gather",
     max_pitch_ratio: float = 4.0,
+    base_cols: int = 0,
 ):
     """shard_map lookahead-horizon render: the compact horizon upload
-    (base program [V, K] + dynamics [V, 1+(H-1)*D], both voice-sharded —
-    engine render_horizon_compact) reconstructs each slice's per-block
-    program locally per device, the additive lane mixdown of ALL slices
-    rides ONE psum over ICI (a stacked [slices, C, B, 2] collective —
-    per-horizon traffic, not per-block), and the strip/meter tail runs
-    replicated per slice. Each slice's math is identical to the
-    single-chip horizon, so mesh output is bit-equal to the unsharded
-    engine — the lookahead and the mesh compose instead of forking the
-    perf architecture (VERDICT r3 next-round #2)."""
+    (base program [V, K] and dynamics [V, 1+(H-1)*D] concatenated into
+    ONE voice-sharded buffer when `base_cols` > 0, mirroring the
+    single-chip render_horizon_onebuf — one host->device transfer per
+    horizon) reconstructs each slice's per-block program locally per
+    device, the additive lane mixdown of ALL slices rides ONE psum over
+    ICI (a stacked [slices, C, B, 2] collective — per-horizon traffic,
+    not per-block), and the strip/meter tail runs replicated per slice.
+    Each slice's math is identical to the single-chip horizon, so mesh
+    output is bit-equal to the unsharded engine — the lookahead and the
+    mesh compose instead of forking the perf architecture (VERDICT r3
+    next-round #2). base_cols=0 keeps the two-buffer (base, dyn)
+    signature for oracle tests."""
     import jax.numpy as jnp
     from jax import shard_map
 
@@ -185,18 +189,30 @@ def make_shardmap_horizon_render(
             for h in range(slices)
         )
 
+    def onebuf_fn(sound_data, hz_fused, strips_packed):
+        return local_fn(sound_data, hz_fused[:, :base_cols],
+                        hz_fused[:, base_cols:], strips_packed)
+
     Pv = P(VOICE_AXIS, None)
     out_one = render_mod.RenderOutputs(
         master=P(), lane_mix=P(), strip_dry=P(), strip_wet1=P(),
         strip_wet2=P(), lane_peaks=P(), lane_rms=P(), master_peak=P(),
         voice_peaks=P(VOICE_AXIS),
     )
-    fn = shard_map(
-        local_fn, mesh=mesh,
-        in_specs=(P(), Pv, Pv, P()),
-        out_specs=tuple([out_one] * slices),
-        check_vma=False,
-    )
+    if base_cols:
+        fn = shard_map(
+            onebuf_fn, mesh=mesh,
+            in_specs=(P(), Pv, P()),
+            out_specs=tuple([out_one] * slices),
+            check_vma=False,
+        )
+    else:
+        fn = shard_map(
+            local_fn, mesh=mesh,
+            in_specs=(P(), Pv, Pv, P()),
+            out_specs=tuple([out_one] * slices),
+            check_vma=False,
+        )
     return jax.jit(fn)
 
 

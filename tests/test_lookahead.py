@@ -195,11 +195,11 @@ def test_no_retrace_after_first_horizon():
     _play(eng, clip)
     for _ in range(20):
         eng.process_block()
-    before = render_mod.render_horizon_compact._cache_size()
+    before = render_mod.render_horizon_onebuf._cache_size()
     _play(eng, clip, note=65, channel=4)  # event -> preempt -> new horizon
     for _ in range(40):
         eng.process_block()
-    assert render_mod.render_horizon_compact._cache_size() == before
+    assert render_mod.render_horizon_onebuf._cache_size() == before
 
 
 def test_event_storm_degrades_to_per_block():
@@ -575,3 +575,38 @@ def test_spec_pool_sync_from_mirrors_and_stays_identity_stable():
     dst2.sync_from(src)
     np.testing.assert_array_equal(dst2._stop_frames, src._stop_frames)
     assert dst2._stop_frames is not src._stop_frames
+
+
+def test_discarded_spec_build_early_exits_on_worker():
+    """An event that discards the speculation while its build is still
+    QUEUED on the dispatch worker must cancel the build (generation
+    check) — orphan builds burned ~10 ms of worker time each and queued
+    real builds behind them, surfacing as emit-block SLO misses in event
+    storms (round-5 storm soak regression)."""
+    import threading
+
+    eng, clip = _engine("auto")
+    _play(eng, clip)
+    for _ in range(4):
+        eng.process_block()  # horizon at block 3
+    sims = []
+    orig_sim = type(eng)._sim_horizon_bundle
+
+    def spy(self, *a, **k):
+        sims.append(k.get("pool") is not None or len(a) > 1)
+        return orig_sim(self, *a, **k)
+
+    eng._sim_horizon_bundle = spy.__get__(eng)
+
+    # jam the worker so the spec build cannot start before the discard
+    gate = threading.Event()
+    blocker = eng._spec_executor().submit(gate.wait, 5.0)
+    eng.process_block()  # h_cursor==2: spec submitted behind the blocker
+    assert eng._spec_built_this_block
+    future = eng._h_next
+    assert future is not None
+    eng._mark_event()  # discard: bumps the spec generation
+    gate.set()
+    blocker.result()
+    assert future.result() is None, "orphaned build must early-exit"
+    assert not sims, "orphaned build must never run the horizon sim"
