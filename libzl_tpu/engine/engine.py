@@ -22,6 +22,8 @@ from __future__ import annotations
 
 import dataclasses
 import os
+import queue
+import threading
 from typing import Callable, Optional
 
 import numpy as np
@@ -55,9 +57,117 @@ from .scheduler import StepRing, midi_clock_due
 from .soundbank import SoundBank, region_tail_guard
 from .voicestate import VoicePool
 
-# lazily-created process-wide worker for speculative horizon dispatches
-# (AudioEngine._spec_executor)
+# lazily-created process-wide workers for speculative horizons: one
+# dispatch thread (uploads/enqueues) and one sim thread (host voice sims)
+# — split so consecutive horizon uploads run back-to-back while the next
+# sim overlaps them (AudioEngine._spec_executor / _spec_sim_executor)
 _SPEC_EXECUTOR = None
+_SPEC_SIM_EXECUTOR = None
+
+
+class _SpecChain:
+    """A worker-side speculative horizon CHAIN (engine._maybe_build_spec).
+
+    The sim thread advances a private spec pool horizon after horizon —
+    no re-sync between links: horizon N+1's end state IS the pool state
+    after its sim — handing each link's upload closure to the dispatch
+    thread. Consecutive horizon uploads therefore run back-to-back (the
+    relay transfer is the steady-state bound of the chained quiet path)
+    while the next sim overlaps them, instead of sim+upload serializing
+    per horizon. Depth-capped at `depth` un-adopted links; every step
+    re-checks the owning engine's spec generation and self-terminates
+    (releasing its pool) when an event discards the speculation."""
+
+    def __init__(self, eng, gen, end_snap, start, lane, anchor,
+                 sound, strips, depth=2):
+        self.eng = eng
+        self.gen = gen
+        self.end_snap = end_snap
+        self.start = float(start)
+        self.lane = lane
+        self.anchor = anchor
+        self.sound = sound
+        self.strips = strips
+        self.depth = depth
+        self.pool = None
+        self.dead = False
+        self.entries: "queue.Queue" = queue.Queue()
+        self._lock = threading.Lock()
+        self._outstanding = 0
+
+    def launch(self) -> None:
+        self.eng._spec_sim_executor().submit(self._step)
+
+    def advance(self) -> None:
+        """One link was adopted: refill the speculation depth."""
+        with self._lock:
+            self._outstanding -= 1
+        self.eng._spec_sim_executor().submit(self._step)
+
+    def kill(self) -> None:
+        """Terminate regardless of generation (adoption-time mismatch):
+        the next step sees `dead` and releases the pool."""
+        self.dead = True
+        self.eng._spec_sim_executor().submit(self._step)
+
+    def _finish(self) -> None:
+        self.dead = True
+        if self.pool is not None:
+            self.eng._spec_pools.append(self.pool)
+            self.pool = None
+
+    def _step(self) -> None:
+        # sim-thread body; serialized by the single-thread executor
+        try:
+            eng = self.eng
+            if self.dead:
+                self._finish()
+                return
+            if eng._spec_gen != self.gen:
+                # an event discarded this speculation while it sat in the
+                # worker queue — stop before burning sim/upload time
+                self._finish()
+                return
+            with self._lock:
+                if self._outstanding >= self.depth:
+                    return  # paused; adoption re-submits via advance()
+            if self.pool is None:
+                self.pool = eng._spec_pool_acquire()
+                self.pool.sync_from(eng.pool)
+                self.pool.restore_state(self.end_snap)
+            bundle = eng._sim_horizon_bundle(
+                self.start, pool=self.pool, lane=self.lane,
+                anchor=self.anchor, sound=self.sound, strips=self.strips,
+            )
+            if bundle is None:
+                # unencodable program: adoption falls back to a fresh
+                # synchronous horizon
+                self.entries.put(None)
+                self._finish()
+                return
+            dispatch, snaps, died_lists = bundle
+            if eng._spec_gen != self.gen:
+                self._finish()
+                return
+            fut = eng._spec_executor().submit(dispatch)
+            self.entries.put((fut, snaps, died_lists, self.start))
+            if not snaps[-1]["active"].any():
+                # the whole pool dies within this link: the successor is
+                # silence, which the idle shortcut delivers without a
+                # dispatch — end the chain after delivering the tail
+                self._finish()
+                return
+            self.start += len(snaps) * eng.block_frames
+            with self._lock:
+                self._outstanding += 1
+                go = self._outstanding < self.depth
+            if go:
+                eng._spec_sim_executor().submit(self._step)
+        except Exception:
+            # a failed speculative sim must never take down the audio
+            # path: signal the consumer to fall back synchronously
+            self.entries.put(None)
+            self._finish()
 
 
 @dataclasses.dataclass
@@ -570,6 +680,10 @@ class AudioEngine:
         self._h_snaps = []
         self._h_died = []
         self._h_cursor = 0
+        if self._h_next is not None:
+            # explicit kill so a depth-paused chain (no step pending)
+            # still runs one last step to return its pool to the free list
+            self._h_next.kill()
         self._h_next = None
         self._h_spec_tried = False
         # stale-generation mark: a discarded speculative build that is
@@ -1114,17 +1228,19 @@ class AudioEngine:
         unencodable program simply leaves the speculation unbuilt (one
         attempt per horizon — _h_spec_tried).
 
-        The WHOLE build runs on the dispatch worker: sim on a dedicated
-        spec pool (the live pool is never touched off the engine thread),
-        then program fuse + bucket/rung resolution + upload/enqueue. The
-        engine thread's speculative-build block pays only input
-        resolution + submit (~0.05 ms) — round 4 paid the ~3.9 ms
-        sim+closure inline here, the largest residual live-path host cost
-        (tools/tpu_probe2_r5.py kind stats; VERDICT r4 #2). The worker
-        syncs the spec pool from the live pool itself: torn reads are
-        safe because every advance-mutated field is overwritten by
-        end_snap and any other mutation is an event, which discards this
-        speculation before adoption (VoicePool.sync_from)."""
+        The WHOLE build runs off the engine thread as a _SpecChain: the
+        sim thread advances a dedicated spec pool (the live pool is never
+        touched off the engine thread) horizon after horizon, handing
+        each link's upload/enqueue to the dispatch thread, so
+        consecutive horizon uploads run back-to-back while the next sim
+        overlaps them. The engine thread's speculative-build block pays
+        only input resolution + submit (~0.05 ms) — round 4 paid the
+        ~3.9 ms sim+closure inline here, the largest residual live-path
+        host cost (tools/tpu_probe2_r5.py kind stats; VERDICT r4 #2).
+        The chain syncs the spec pool from the live pool itself: torn
+        reads are safe because every advance-mutated field is overwritten
+        by end_snap and any other mutation is an event, which discards
+        this speculation before adoption (VoicePool.sync_from)."""
         self._h_spec_tried = True
         end_snap = self._h_snaps[-1]
         if not end_snap["active"].any():
@@ -1143,37 +1259,13 @@ class AudioEngine:
             tick_anchor=self.clock.anchor_tick,
             samples_per_tick=self.clock.samples_per_tick,
         )
-        sound = self._sound_data_for_backend()
-        strips = self._packed_strips_for_backend()
-        gen = self._spec_gen
-
-        def build():
-            # orphan checkpoint #1: an event discarded this speculation
-            # while it sat in the worker queue — skip the whole build
-            if self._spec_gen != gen:
-                return None
-            pool = self._spec_pool_acquire()
-            try:
-                pool.sync_from(self.pool)
-                pool.restore_state(end_snap)
-                bundle = self._sim_horizon_bundle(
-                    start_next, pool=pool, lane=lane, anchor=anchor,
-                    sound=sound, strips=strips,
-                )
-            finally:
-                self._spec_pools.append(pool)
-            if bundle is None:
-                # unencodable program: adoption falls back to a fresh
-                # synchronous horizon (pool state above was private)
-                return None
-            dispatch, snaps, died_lists = bundle
-            # orphan checkpoint #2: discarded mid-sim — skip the ~6-10 ms
-            # upload+enqueue (the result could never be adopted)
-            if self._spec_gen != gen:
-                return None
-            return dispatch(), snaps, died_lists
-
-        self._h_next = self._spec_executor().submit(build)
+        chain = _SpecChain(
+            self, self._spec_gen, end_snap, start_next, lane, anchor,
+            self._sound_data_for_backend(),
+            self._packed_strips_for_backend(),
+        )
+        chain.launch()
+        self._h_next = chain
         self._h_next_start = start_next
         self._spec_built_this_block = True
 
@@ -1198,37 +1290,62 @@ class AudioEngine:
         return pool
 
     def _adopt_spec(self) -> Optional[render_mod.RenderOutputs]:
-        """Install the speculative horizon at exhaustion and emit its
+        """Install the next speculative horizon at exhaustion and emit its
         slice 0 — valid only when nothing the speculation assumed has
         changed: the fingerprint (OOB state) still matches and the clock
         is exactly at the speculated start (events/commands discard the
-        speculation before it can go stale, this is the belt)."""
+        speculation before it can go stale, this is the belt). On
+        success the chain is told to refill its speculation depth; any
+        mismatch/failure kills the chain (it releases its pool on the
+        worker) and falls back to a fresh synchronous horizon."""
+        chain = self._h_next
         if (self._fingerprint() != self._h_fingerprint
                 or float(self.clock.sample_position) != self._h_next_start):
+            chain.kill()
             self._h_next = None
             return None
-        future = self._h_next
+        if chain.dead and chain.entries.empty():
+            # ended chain (all voices died in the last delivered link, or
+            # a stale generation): nothing more is coming — fall through
+            # to the idle shortcut / a fresh synchronous horizon
+            self._h_next = None
+            return None
         try:
-            res = future.result()
+            # the sim thread is at most one link behind; the timeout is a
+            # belt against a wedged worker — fall back, never hang audio
+            entry = chain.entries.get(timeout=60.0)
+        except queue.Empty:
+            chain.kill()
+            self._h_next = None
+            return None
+        if entry is None:
+            # unencodable program mid-chain: fall back to a fresh
+            # synchronous horizon (which re-decides per-block)
+            self._h_next = None
+            return None
+        fut, snaps, died_lists, start = entry
+        try:
+            slices = fut.result()
         except Exception:
             # a failed speculative dispatch (e.g. backend teardown in a
-            # test harness) must not take down the audio path: fall back
-            # to a fresh synchronous horizon
+            # test harness) must not take down the audio path
+            chain.kill()
             self._h_next = None
             return None
-        if res is None:
-            # the speculative sim hit an unencodable program: fall back to
-            # a fresh synchronous horizon (which re-decides per-block)
+        if float(start) != self._h_next_start:
+            chain.kill()
             self._h_next = None
             return None
-        slices, snaps, died_lists = res
+        chain.advance()
         self._h_slices = slices
         self._h_snaps = snaps
         self._h_died = died_lists
         self._h_cursor = 0
-        self._h_start0 = self._h_next_start
-        self._h_next = None
-        self._h_spec_tried = False
+        self._h_start0 = float(start)
+        # the chain stays installed as the speculation for the horizon
+        # just adopted (its next link is already simming/uploading)
+        self._h_next_start = float(start) + len(slices) * self.block_frames
+        self._h_spec_tried = True
         return self._emit_slice()
 
     @staticmethod
@@ -1245,6 +1362,23 @@ class AudioEngine:
                 max_workers=1, thread_name_prefix="libzl-spec-dispatch"
             )
         return _SPEC_EXECUTOR
+
+    @staticmethod
+    def _spec_sim_executor():
+        """Single PROCESS-WIDE sim worker for speculative horizon chains
+        (_SpecChain._step): host voice sims run here, uploads on the
+        dispatch worker, so consecutive horizon uploads pipeline while
+        the next sim overlaps them. Single-threaded by design — steps of
+        every chain serialize, which is what makes a chain's un-synced
+        pool reuse safe."""
+        global _SPEC_SIM_EXECUTOR
+        if _SPEC_SIM_EXECUTOR is None:
+            from concurrent.futures import ThreadPoolExecutor
+
+            _SPEC_SIM_EXECUTOR = ThreadPoolExecutor(
+                max_workers=1, thread_name_prefix="libzl-spec-sim"
+            )
+        return _SPEC_SIM_EXECUTOR
 
     def _zero_outputs(self) -> render_mod.RenderOutputs:
         if not hasattr(self, "_zero_outputs_cache"):
@@ -1497,7 +1631,9 @@ class AudioEngine:
             # pay the speculative dispatch worker's cold start (thread
             # spawn + first jit enqueue from that thread) at boot: the
             # first _maybe_build_spec otherwise lands it mid-realtime
-            # (MULTICHIP_r04's unexplained 648 ms max block)
+            # (MULTICHIP_r04's unexplained 648 ms max block). The sim
+            # worker's thread spawn is warmed the same way.
+            self._spec_sim_executor().submit(lambda: None).result()
             out = self._spec_executor().submit(warm_one, *work[-1]).result()
         # one REAL device->host transfer: block_until_ready alone does not
         # validate the readback path everywhere (on relay-attached TPUs the

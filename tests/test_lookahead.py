@@ -579,9 +579,9 @@ def test_spec_pool_sync_from_mirrors_and_stays_identity_stable():
 
 def test_discarded_spec_build_early_exits_on_worker():
     """An event that discards the speculation while its build is still
-    QUEUED on the dispatch worker must cancel the build (generation
-    check) — orphan builds burned ~10 ms of worker time each and queued
-    real builds behind them, surfacing as emit-block SLO misses in event
+    QUEUED on the sim worker must cancel the build (generation check) —
+    orphan builds burned ~10 ms of worker time each and queued real
+    builds behind them, surfacing as emit-block SLO misses in event
     storms (round-5 storm soak regression)."""
     import threading
 
@@ -598,15 +598,20 @@ def test_discarded_spec_build_early_exits_on_worker():
 
     eng._sim_horizon_bundle = spy.__get__(eng)
 
-    # jam the worker so the spec build cannot start before the discard
+    # jam the sim worker so the chain's first step cannot start before
+    # the discard
     gate = threading.Event()
-    blocker = eng._spec_executor().submit(gate.wait, 5.0)
-    eng.process_block()  # h_cursor==2: spec submitted behind the blocker
+    blocker = eng._spec_sim_executor().submit(gate.wait, 5.0)
+    eng.process_block()  # h_cursor==2: chain launched behind the blocker
     assert eng._spec_built_this_block
-    future = eng._h_next
-    assert future is not None
-    eng._mark_event()  # discard: bumps the spec generation
+    chain = eng._h_next
+    assert chain is not None
+    eng._mark_event()  # discard: bumps the spec generation + kills chain
     gate.set()
     blocker.result()
-    assert future.result() is None, "orphaned build must early-exit"
+    # drain the sim executor: the queued step must observe the stale
+    # generation and finish without simming
+    eng._spec_sim_executor().submit(lambda: None).result()
+    assert chain.dead and chain.entries.empty(), \
+        "orphaned chain must terminate without producing entries"
     assert not sims, "orphaned build must never run the horizon sim"
