@@ -95,6 +95,17 @@ class _SpecChain:
         self._lock = threading.Lock()
         self._outstanding = 0
 
+    def _depth_now(self) -> int:
+        """Adaptive speculation depth, re-read every step: near recent
+        events a deep chain mostly builds links an imminent event will
+        discard, and their uploads occupy the relay channel so real work
+        queues behind them (storm-soak emit-tail evidence, NOTES round-5);
+        quiet sessions run the full pipeline."""
+        eng = self.eng
+        if eng._blocks_since_event >= 4 * eng._lookahead:
+            return self.depth
+        return 1
+
     def launch(self) -> None:
         self.eng._spec_sim_executor().submit(self._step)
 
@@ -129,7 +140,7 @@ class _SpecChain:
                 self._finish()
                 return
             with self._lock:
-                if self._outstanding >= self.depth:
+                if self._outstanding >= self._depth_now():
                     return  # paused; adoption re-submits via advance()
             if self.pool is None:
                 self.pool = eng._spec_pool_acquire()
@@ -149,7 +160,17 @@ class _SpecChain:
             if eng._spec_gen != self.gen:
                 self._finish()
                 return
-            fut = eng._spec_executor().submit(dispatch)
+
+            def guarded_dispatch():
+                # a killed chain's queued uploads must not occupy the
+                # relay channel: real uploads queue behind them and the
+                # adoption wait surfaces as emit-block SLO misses in
+                # event storms (r5c storm soak: 217 ms worst emit)
+                if self.dead or eng._spec_gen != self.gen:
+                    return None
+                return dispatch()
+
+            fut = eng._spec_executor().submit(guarded_dispatch)
             self.entries.put((fut, snaps, died_lists, self.start))
             if not snaps[-1]["active"].any():
                 # the whole pool dies within this link: the successor is
@@ -160,7 +181,7 @@ class _SpecChain:
             self.start += len(snaps) * eng.block_frames
             with self._lock:
                 self._outstanding += 1
-                go = self._outstanding < self.depth
+                go = self._outstanding < self._depth_now()
             if go:
                 eng._spec_sim_executor().submit(self._step)
         except Exception:
@@ -366,7 +387,7 @@ class AudioEngine:
         # speculative NEXT horizon: built+dispatched mid-emission from the
         # current horizon's end snapshot so device render overlaps
         # emission (see _maybe_build_spec); adopted at exhaustion
-        self._h_next = None  # Future from the dispatch worker, or None
+        self._h_next = None  # live _SpecChain, or None
         self._h_next_start = 0.0
         # dedicated pools for worker-side speculative sims (never the live
         # pool off the engine thread); free list, see _spec_pool_acquire
@@ -1329,6 +1350,12 @@ class AudioEngine:
         except Exception:
             # a failed speculative dispatch (e.g. backend teardown in a
             # test harness) must not take down the audio path
+            chain.kill()
+            self._h_next = None
+            return None
+        if slices is None:
+            # the guarded dispatch skipped (chain raced a kill): fall
+            # back to a fresh synchronous horizon
             chain.kill()
             self._h_next = None
             return None
