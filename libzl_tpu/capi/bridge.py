@@ -19,6 +19,8 @@ pointers and are wrapped with ctypes.
 from __future__ import annotations
 
 import ctypes
+import os
+import sys
 import threading
 import time
 from typing import Optional
@@ -163,6 +165,19 @@ class EngineRuntime:
         if self.engine.backend == "jax":
             self.engine.warmup()
             self._warm_drain_shapes()
+        # realtime GIL fairness: the speculative sim/dispatch workers run
+        # Python stretches (jax arg processing, numpy packing) that hold
+        # the GIL for the full switch interval — at the 5 ms default a
+        # 2.67 ms-budget pump block can miss its deadline just waiting
+        # for the interpreter. 1 ms bounds that wait at negligible
+        # context-switch cost (opt out: LIBZL_TPU_GIL_SWITCH_MS=0 keeps
+        # the interpreter default).
+        ms = os.environ.get("LIBZL_TPU_GIL_SWITCH_MS", "1")
+        try:
+            if float(ms) > 0:
+                sys.setswitchinterval(float(ms) / 1e3)
+        except ValueError:
+            pass
         self._running = True
         self._pump = threading.Thread(target=self._run, daemon=True)
         self._pump.start()
