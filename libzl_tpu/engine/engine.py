@@ -78,8 +78,11 @@ class _SpecChain:
     re-checks the owning engine's spec generation and self-terminates
     (releasing its pool) when an event discards the speculation."""
 
+    DEFAULT_DEPTH = max(1, int(os.environ.get("LIBZL_TPU_SPEC_DEPTH", "2")
+                                or 2))
+
     def __init__(self, eng, gen, end_snap, start, lane, anchor,
-                 sound, strips, depth=2):
+                 sound, strips, depth=None):
         self.eng = eng
         self.gen = gen
         self.end_snap = end_snap
@@ -88,7 +91,7 @@ class _SpecChain:
         self.anchor = anchor
         self.sound = sound
         self.strips = strips
-        self.depth = depth
+        self.depth = self.DEFAULT_DEPTH if depth is None else depth
         self.pool = None
         self.dead = False
         self.entries: "queue.Queue" = queue.Queue()
@@ -96,15 +99,16 @@ class _SpecChain:
         self._outstanding = 0
 
     def _depth_now(self) -> int:
-        """Adaptive speculation depth, re-read every step: near recent
-        events a deep chain mostly builds links an imminent event will
-        discard, and their uploads occupy the relay channel so real work
-        queues behind them (storm-soak emit-tail evidence, NOTES round-5);
-        quiet sessions run the full pipeline."""
-        eng = self.eng
-        if eng._blocks_since_event >= 4 * eng._lookahead:
-            return self.depth
-        return 1
+        """Speculation depth. FIXED at `depth` (default 2, env
+        LIBZL_TPU_SPEC_DEPTH): an adaptive depth-1-near-events variant was
+        measured WORSE in event storms (1.118% vs 0.351% SLO, NOTES
+        round-5 campaigns #3/#4) — the pump renders in bursts to refill
+        its run-ahead margin, and a depth-1 chain refills only at
+        adoption, so an exhaustion inside a burst waits on the ~9 ms
+        horizon upload against a 1-block budget. The generation guards
+        (kill-before-sim and kill-before-upload) already make deep chains
+        cheap to discard, which was the only cost adaptivity avoided."""
+        return self.depth
 
     def launch(self) -> None:
         self.eng._spec_sim_executor().submit(self._step)
@@ -397,6 +401,8 @@ class AudioEngine:
         self._spec_gen = 0
         self._h_spec_tried = False
         self._spec_built_this_block = False
+        self._h_built_this_block = False
+        self._adopted_this_block = False
         self._clean_run = 0
         self._block_dirty = False
         # event pacing: blocks since the last event/preemption block. An
@@ -513,6 +519,12 @@ class AudioEngine:
         period = block_frames / sample_rate
         self.profiler = BlockProfiler()
         self.slo = SloCounter(budget_seconds=period)
+        # context snapshots of the worst deadline misses (top-N by
+        # overrun): which block, which dispatch path, where in the horizon
+        # the pump was, and how long since the last event — the per-kind
+        # histogram says WHICH path misses, this says WHY (built only on a
+        # miss, so it costs nothing on the hot path)
+        self._slo_worst: list = []
         self.dsp_load = DspLoad(period_seconds=period)
         # per-block scheduled-vs-delivered event accounting across the MIDI
         # fabric (MidiRouterWatchdog analog, lib/MidiRouter.cpp:135-188)
@@ -1364,6 +1376,7 @@ class AudioEngine:
             self._h_next = None
             return None
         chain.advance()
+        self._adopted_this_block = True
         self._h_slices = slices
         self._h_snaps = snaps
         self._h_died = died_lists
@@ -1670,6 +1683,28 @@ class AudioEngine:
         self._warmed_key = key
         return len(work)
 
+    SLO_WORST_KEEP = 16
+
+    def _note_slo_miss(self, kind: str, busy: float, budget_blocks: int):
+        """Record context for a deadline miss (top-N by overrun ms).
+        Called only on a miss — off the happy path entirely."""
+        chain = self._h_next
+        rec = {
+            "kind": kind,
+            "ms": round(busy * 1e3, 2),
+            "budget_blocks": budget_blocks,
+            "block": self.total_blocks,
+            "h_cursor": self._h_cursor,
+            "blocks_since_event": self._blocks_since_event,
+            "chain": (None if chain is None else
+                      ("dead" if chain.dead else chain._outstanding)),
+        }
+        worst = self._slo_worst
+        worst.append(rec)
+        if len(worst) > self.SLO_WORST_KEEP:
+            worst.sort(key=lambda r: r["ms"], reverse=True)
+            del worst[self.SLO_WORST_KEEP:]
+
     def stats(self) -> dict:
         """Runtime health counters: SLO (deadline misses), DSP load, and
         the event watchdog (scheduled-vs-delivered MIDI accounting)."""
@@ -1680,12 +1715,16 @@ class AudioEngine:
             "slo_total": self.slo.total_blocks,
             "slo_worst_overrun_ms": round(self.slo.worst_overrun * 1e3, 3),
             # per-dispatch-path miss attribution: kind -> [missed, total,
-            # worst_overrun_ms] (emit / horizon / event_rebuild / spec /
-            # per_block / idle)
+            # worst_overrun_ms] (emit / horizon / event_rebuild / adopt /
+            # spec / per_block / idle)
             "slo_by_kind": {
                 k: [v[0], v[1], round(v[2] * 1e3, 3)]
                 for k, v in self.slo.by_kind.items()
             },
+            # worst-miss context snapshots (top-N by overrun): WHY the
+            # worst blocks missed, not just which path
+            "slo_worst": sorted(self._slo_worst,
+                                key=lambda r: r["ms"], reverse=True),
             "dsp_load": round(self.dsp_load.load, 4),
             "watchdog_scheduled": self.watchdog.scheduled,
             "watchdog_delivered": self.watchdog.delivered,
@@ -1791,6 +1830,7 @@ class AudioEngine:
         if self._lookahead:
             self._h_built_this_block = False
             self._spec_built_this_block = False
+            self._adopted_this_block = False
             self._oob_preempt = False
             out = self._lookahead_outputs()
             event_block = self._block_dirty or self._oob_preempt
@@ -1811,13 +1851,24 @@ class AudioEngine:
                 if self._h_built_this_block:
                     budget = self._lookahead
                     kind = "event_rebuild" if event_block else "horizon"
+                elif self._adopted_this_block:
+                    # adopting a speculative horizon puts ALL its slices
+                    # in hand at once — the block delivers H blocks of
+                    # audio, so like a horizon build its deadline is H
+                    # periods (the wait inside is the chain's upload
+                    # future, not lost audio; the pump's run-ahead margin
+                    # covers >= H blocks by construction — bridge pacing)
+                    budget = max(1, len(self._h_slices))
+                    kind = "adopt"
                 elif self._spec_built_this_block:
                     budget = max(1, len(self._h_slices) - self._h_cursor)
                     kind = "spec"
                 else:
                     budget = 1
                     kind = "emit"
-                self.slo.observe(busy, budget_blocks=budget, kind=kind)
+                if not self.slo.observe(busy, budget_blocks=budget,
+                                        kind=kind):
+                    self._note_slo_miss(kind, busy, budget)
                 self.dsp_load.observe(busy, budget_blocks=budget)
                 return BlockResult(outputs=out, midi_out=midi_out,
                                    tick_count=tick_count)
@@ -1885,7 +1936,8 @@ class AudioEngine:
         self.total_blocks += 1
         busy = _time.perf_counter() - _t0
         self.profiler.record("process_block", busy)
-        self.slo.observe(busy, kind="per_block")
+        if not self.slo.observe(busy, kind="per_block"):
+            self._note_slo_miss("per_block", busy, 1)
         self.dsp_load.observe(busy)
         return BlockResult(outputs=outputs, midi_out=midi_out,
                            tick_count=tick_count)

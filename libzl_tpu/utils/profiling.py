@@ -71,7 +71,9 @@ class SloCounter:
         self.worst_overrun = 0.0
         # per-kind (miss, total) attribution: which dispatch path misses —
         # "emit" slices vs "horizon"/"event_rebuild"/"spec" builds vs
-        # "per_block" dispatches (untagged observations land in "block")
+        # "adopt" (speculative-horizon adoptions, H-block budget like the
+        # builds whose slices they install) vs "per_block" dispatches
+        # (untagged observations land in "block")
         self.by_kind: dict = {}
         # dispatch path of the most recent observation — lets harnesses
         # (dryrun_multichip) attribute per-block wall time to a path

@@ -160,6 +160,7 @@ def main():
         slo_miss_rate=round(stats["slo_missed"] / max(stats["slo_total"], 1),
                             5),
         slo_by_kind=stats.get("slo_by_kind", {}),
+        slo_worst=stats.get("slo_worst", []),
         dsp_load=stats["dsp_load"],
         watchdog_mismatches=stats["watchdog_mismatches"],
         watchdog_lost=stats["watchdog_lost"],
