@@ -48,6 +48,31 @@ def _flat_concat(parts: tuple):
     return _flat_concat_jit(parts)
 
 
+def _set_realtime_priority() -> None:
+    """Elevate the CALLING thread to SCHED_FIFO (the reference's RT tick
+    thread runs SCHED_FIFO max priority, lib/SyncTimer.cpp:139-142). On
+    Linux, sched_setscheduler(0, ...) applies to the calling thread, so
+    the pump gets RT scheduling while the speculative sim/dispatch
+    workers stay SCHED_OTHER — on few-core hosts the workers' native
+    horizon sims and 0.6 MB payload packs otherwise timeslice-delay a
+    ~0.05 ms emit block past its 2.67 ms budget (storm-soak slo_worst:
+    7-8 ms emits at h_cursor 3, exactly the first spec-build blocks —
+    NOTES round-5 campaign #5). Priority via LIBZL_TPU_RT_PRIORITY
+    (default 10, 0 disables); EPERM (non-root, no CAP_SYS_NICE) is
+    normal and silently ignored — behavior is then identical to before.
+    """
+    try:
+        prio = int(os.environ.get("LIBZL_TPU_RT_PRIORITY", "10") or 0)
+    except ValueError:
+        prio = 0
+    if prio <= 0 or not hasattr(os, "sched_setscheduler"):
+        return
+    try:
+        os.sched_setscheduler(0, os.SCHED_FIFO, os.sched_param(prio))
+    except (PermissionError, OSError, AttributeError):
+        pass
+
+
 class EngineRuntime:
     """The process-wide engine singleton + block pump thread."""
 
@@ -501,6 +526,8 @@ class EngineRuntime:
         """Render paced to the wall clock, a few blocks ahead (the JACK
         period callback + latency analog; schedule-ahead per SURVEY.md §2)."""
         from collections import deque
+
+        _set_realtime_priority()
 
         spb = self.engine.block_frames / self.engine.sample_rate
         depth = self.pipeline_depth

@@ -65,6 +65,25 @@ _SPEC_EXECUTOR = None
 _SPEC_SIM_EXECUTOR = None
 
 
+def _nice_spec_worker() -> None:
+    """De-prioritize the calling spec-worker thread (Linux: setpriority
+    with who=0 is per-thread). Chain sims/uploads are throughput work
+    with a whole-horizon deadline; the engine thread's emit path is
+    latency work with a one-block budget — on few-core hosts the
+    niceness gap keeps the scheduler from timeslicing an ~0.05 ms emit
+    behind a multi-ms native horizon sim (storm-soak slo_worst: 7-8 ms
+    emits exactly at the first spec-build blocks, NOTES round-5
+    campaign #5). No-op where unsupported."""
+    import sys
+
+    if not sys.platform.startswith("linux"):
+        return
+    try:
+        os.setpriority(os.PRIO_PROCESS, 0, 10)
+    except (PermissionError, OSError, AttributeError):
+        pass
+
+
 class _SpecChain:
     """A worker-side speculative horizon CHAIN (engine._maybe_build_spec).
 
@@ -1399,7 +1418,8 @@ class AudioEngine:
             from concurrent.futures import ThreadPoolExecutor
 
             _SPEC_EXECUTOR = ThreadPoolExecutor(
-                max_workers=1, thread_name_prefix="libzl-spec-dispatch"
+                max_workers=1, thread_name_prefix="libzl-spec-dispatch",
+                initializer=_nice_spec_worker,
             )
         return _SPEC_EXECUTOR
 
@@ -1416,7 +1436,8 @@ class AudioEngine:
             from concurrent.futures import ThreadPoolExecutor
 
             _SPEC_SIM_EXECUTOR = ThreadPoolExecutor(
-                max_workers=1, thread_name_prefix="libzl-spec-sim"
+                max_workers=1, thread_name_prefix="libzl-spec-sim",
+                initializer=_nice_spec_worker,
             )
         return _SPEC_SIM_EXECUTOR
 

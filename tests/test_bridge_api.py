@@ -456,3 +456,51 @@ def test_drain_flushes_before_per_block_resume(tmp_path):
     a = read_wav(out)
     # 3 drained + 1 per-block, in order, none duplicated
     assert a.num_frames == 4 * rt.engine.block_frames
+
+
+def test_rt_priority_thread_scoped():
+    """_set_realtime_priority elevates ONLY the calling thread to
+    SCHED_FIFO (reference parity: the RT tick thread runs SCHED_FIFO,
+    lib/SyncTimer.cpp:139-142). Where the caller lacks CAP_SYS_NICE the
+    call must be a silent no-op — never an exception on the pump path."""
+    import os
+    import threading
+
+    from libzl_tpu.capi.bridge import _set_realtime_priority
+
+    if not hasattr(os, "sched_getscheduler"):
+        pytest.skip("no sched API on this platform")
+    main_policy = os.sched_getscheduler(0)
+    seen = {}
+
+    def body():
+        _set_realtime_priority()
+        seen["policy"] = os.sched_getscheduler(0)
+
+    t = threading.Thread(target=body)
+    t.start()
+    t.join()
+    if os.geteuid() == 0:
+        assert seen["policy"] == os.SCHED_FIFO
+    # thread-scoped: the main thread's policy is untouched either way
+    assert os.sched_getscheduler(0) == main_policy
+
+
+def test_spec_workers_are_niced():
+    """The speculative sim/dispatch workers run at +10 niceness so their
+    multi-ms native sims never timeslice-delay the pump's ~0.05 ms emit
+    blocks on few-core hosts (storm-soak slo_worst attribution, NOTES
+    round-5 campaign #5)."""
+    import os
+    import sys
+
+    from libzl_tpu.engine.engine import AudioEngine
+
+    if not sys.platform.startswith("linux"):
+        pytest.skip("per-thread setpriority is Linux-specific")
+    nice = AudioEngine._spec_sim_executor().submit(
+        lambda: os.getpriority(os.PRIO_PROCESS, 0)).result()
+    assert nice == 10
+    nice = AudioEngine._spec_executor().submit(
+        lambda: os.getpriority(os.PRIO_PROCESS, 0)).result()
+    assert nice == 10
