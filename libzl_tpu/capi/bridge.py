@@ -522,6 +522,17 @@ class EngineRuntime:
             self._fire_timer_callbacks()
         self._flush_drain()
 
+    def run_ahead_blocks(self) -> int:
+        """The pump's wall-clock run-ahead margin in blocks. Must cover
+        the lookahead horizon: a horizon-build / adoption block
+        legitimately delivers H blocks in one call (its SLO budget is H
+        periods — engine process_block accounting), so the pump keeps at
+        least H+2 blocks of slack to absorb it without starving the
+        sink. tests/test_bridge_api.py pins ahead >= H — the adopt-kind
+        H-block budget is honest only while this holds."""
+        la = getattr(self.engine, "_lookahead", 0)
+        return max(4, 2 * (self.pipeline_depth + 1), la + 2)
+
     def _run(self) -> None:
         """Render paced to the wall clock, a few blocks ahead (the JACK
         period callback + latency analog; schedule-ahead per SURVEY.md §2)."""
@@ -531,12 +542,7 @@ class EngineRuntime:
 
         spb = self.engine.block_frames / self.engine.sample_rate
         depth = self.pipeline_depth
-        # run-ahead must cover the lookahead horizon: a horizon-build block
-        # legitimately takes up to H periods (its SLO budget), so the pump
-        # keeps at least H+2 blocks of slack to absorb it without starving
-        # the sink
-        la = getattr(self.engine, "_lookahead", 0)
-        ahead = max(4, 2 * (depth + 1), la + 2) * spb
+        ahead = self.run_ahead_blocks() * spb
         start = time.monotonic()
         rendered = 0.0
         # pipelined dispatch: keep up to `depth` blocks in flight and consume

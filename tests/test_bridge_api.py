@@ -504,3 +504,19 @@ def test_spec_workers_are_niced():
     nice = AudioEngine._spec_executor().submit(
         lambda: os.getpriority(os.PRIO_PROCESS, 0)).result()
     assert nice == 10
+
+
+def test_run_ahead_covers_lookahead_budget():
+    """The adopt/horizon H-block SLO budget is honest only while the
+    pump's run-ahead margin covers >= H blocks — a build/adoption that
+    legitimately takes up to H periods must not starve the sink."""
+    from libzl_tpu.capi.bridge import EngineRuntime
+
+    rt = EngineRuntime(backend="numpy", num_voices=16)
+    assert rt.run_ahead_blocks() >= getattr(rt.engine, "_lookahead", 0) + 2
+    assert rt.run_ahead_blocks() >= 4
+    # and under a forced deep horizon the margin scales with it
+    # (lookahead needs the jax backend; forced CPU by conftest)
+    rt2 = EngineRuntime(backend="jax", num_voices=16, lookahead=16)
+    assert rt2.engine._lookahead == 16
+    assert rt2.run_ahead_blocks() >= 18
