@@ -1902,7 +1902,8 @@ class AudioEngine:
             self.total_blocks += 1
             busy = _time.perf_counter() - _t0
             self.profiler.record("process_block", busy)
-            self.slo.observe(busy, kind="idle")
+            if not self.slo.observe(busy, kind="idle"):
+                self._note_slo_miss("idle", busy, 1)
             self.dsp_load.observe(busy)
             return BlockResult(
                 outputs=self._zero_outputs(), midi_out=midi_out,
